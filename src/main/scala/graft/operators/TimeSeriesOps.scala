@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+
+/** The reference's analytical query surface (`etsdAMT` etsdQuery.c:218-401,
+  * `etsdVAT` etsdQuery.c:206-215, planned `ETSD_KS` etsdQuery.h:25-55,
+  * missed-interval backfill etsdSave.c:394-402, RRD consolidation ladder
+  * `ECM-1240 storage format 2.txt:126-148`) re-expressed as declarative
+  * DataFrame transforms.
+  *
+  * Scale notes (100 TB stance):
+  *  - every op is a single groupBy/window shuffle keyed on the channel
+  *    column; no driver-side iteration, no collect;
+  *  - time-range filters are plain `ts` predicates → pushed to the parquet
+  *    scan and prunable by partition/row-group stats, which is exactly the
+  *    reference's `etsdFindBlock` sector pruning (etsdRead.c:300-353) done
+  *    by the storage layer instead of hand-rolled arithmetic;
+  *  - double-typed measures are aggregated in scaled-integer space
+  *    (`round(x*100)` cents) so partial-aggregate order can't change the
+  *    result — required both for cross-engine reproducibility and for
+  *    deterministic re-runs on a real cluster.
+  */
+object TimeSeriesOps {
+
+  /** Verb resolution: case-insensitive substring match, mirroring the
+    * reference (`q=maximum` works; etsdQuery.c:374-395). Total is the
+    * default verb. */
+  def amtVerb(cmd: String): String = {
+    val c = cmd.toLowerCase
+    if (c.contains("ave") || c.contains("avg")) "ave"
+    else if (c.contains("min")) "min"
+    else if (c.contains("max")) "max"
+    else "tot"
+  }
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Total/Ave/Min/Max per channel over a time range — the `etsdAMT` family
+    * in one pass. Gauge semantics (sum of samples, etsdQuery.c:337-339).
+    * Output: channel, n, tot, ave, vmin, vmax. */
+  def amt(df: DataFrame, chan: Column, ts: Column, value: Column,
+          start: Column, end: Column): DataFrame = {
+    df.filter(ts >= start && ts <= end)
+      .groupBy(chan.as("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(value)).as("tot_c"),
+        min(value).as("vmin"),
+        max(value).as("vmax"))
+      .select($"channel", $"n",
+        ($"tot_c".cast("double") / 100.0).as("tot"),
+        ($"tot_c".cast("double") / $"n" / 100.0).as("ave"),
+        $"vmin", $"vmax")
+  }
+
+  /** Head/tail proration (etsdQuery.c:232-287): samples cover fixed
+    * intervals; a query whose bounds fall inside an interval takes a linear
+    * fraction of that interval's value. Here the "interval" is a tumbling
+    * `intervalSec` bucket of the raw stream and the bucket value is the
+    * (exact, cents-scaled) sum of samples in it.
+    * Output: channel, prorated total. */
+  def proratedTotal(df: DataFrame, chan: Column, ts: Column, value: Column,
+                    startEpoch: Long, endEpoch: Long, intervalSec: Long): DataFrame = {
+    val b = (floor(unix_timestamp(ts) / intervalSec) * intervalSec).cast("long")
+    val lo = (startEpoch / intervalSec) * intervalSec // bucket containing start
+    df.filter(unix_timestamp(ts) >= lo && unix_timestamp(ts) < endEpoch)
+      .groupBy(chan.as("channel"), b.as("bucket"))
+      .agg(sum(cents(value)).as("s_c"))
+      // overlap of [bucket, bucket+interval) with [start, end) in whole
+      // seconds: the prorated sum stays in exact integer space (cents ×
+      // seconds), divided through by the common denominator only once.
+      .select($"channel",
+        ($"s_c" * (least(lit(endEpoch), $"bucket" + intervalSec) -
+                   greatest(lit(startEpoch), $"bucket"))).as("num"))
+      .groupBy($"channel")
+      .agg(sum($"num").as("num"))
+      .select($"channel",
+        ($"num".cast("double") / intervalSec / 100.0).as("prorated_tot"))
+  }
+
+  /** Counter-with-rollover total (etsdQuery.c:332-336,379-388): given a raw
+    * monotonic-mod-2^32 odometer reading per sample, total consumption =
+    * sum of deltas, where a negative delta means the 32-bit counter rolled
+    * over and gets bumped by 2^32. One window shuffle keyed on channel.
+    * Output: channel, n, counter_total. */
+  def counterTotal(df: DataFrame, chan: Column, ts: Column, raw: Column,
+                   tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy("ts_o", "tb")
+    val twoPow32 = 4294967296L
+    df.select(chan.as("channel"), ts.as("ts_o"), tieBreak.as("tb"), raw.as("raw"))
+      .withColumn("prev", lag($"raw", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("delta",
+        when($"raw" >= $"prev", $"raw" - $"prev")
+          .otherwise($"raw" - $"prev" + twoPow32)) // rollover bump
+      .groupBy($"channel")
+      .agg((count(lit(1)) + 1).as("n"), sum($"delta").as("counter_total"))
+  }
+
+  /** Cumulative counter reconstruction (`LastReading` decode loop,
+    * etsdRead.c:270-285): running sum of deltas per channel, optionally
+    * re-anchored at register rows. Adds column `cum`. */
+  def counterReconstruct(df: DataFrame, chan: Column, ts: Column, delta: Column,
+                         tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy("ts", "tb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(chan.as("channel"), ts.as("ts"), tieBreak.as("tb"), delta.as("delta"))
+      .withColumn("cum", sum($"delta").over(w))
+  }
+
+  /** Value-at-time / as-of lookup (`etsdVAT` etsdQuery.c:206-215 — the
+    * reference's is stub-quality; we implement the documented intent):
+    * for each channel, the latest sample at or before `t`.
+    * Deterministic tie-break via (ts, tieBreak) struct-max.
+    * Output: channel, ts_us, value_at. */
+  def valueAtTime(df: DataFrame, chan: Column, ts: Column, value: Column,
+                  tieBreak: Column, t: Column): DataFrame = {
+    df.filter(ts <= t)
+      .groupBy(chan.as("channel"))
+      .agg(max(struct(unix_micros(ts).as("t"), tieBreak.as("tb"),
+        value.as("v"))).as("s"))
+      .select($"channel", $"s.t".as("ts_us"), $"s.v".as("value_at"))
+  }
+
+  /** The planned kitchen-sink single-pass stats struct (`ETSD_KS`,
+    * etsdQuery.h:25-55): count, invalid count, min/max/avg/total,
+    * time-of-min/max, first/count/conditional-average of over/under
+    * threshold crossings — one `agg` pass, all built-ins.
+    * Timestamps out as epoch micros; averages as exact-integer ratios. */
+  def kitchenSink(df: DataFrame, chan: Column, ts: Column, value: Column,
+                  invalid: Column, over: Double, under: Double): DataFrame = {
+    val v = value
+    val tus = unix_micros(ts)
+    df.groupBy(chan.as("channel")).agg(
+      count(lit(1)).as("n"),
+      count_if(invalid).as("n_invalid"),
+      min(v).as("vmin"),
+      max(v).as("vmax"),
+      sum(cents(v)).as("tot_c"),
+      min(struct(v.as("v"), tus.as("t"))).as("smin"),
+      max(struct(v.as("v"), tus.as("t"))).as("smax"),
+      count_if(v > over).as("n_over"),
+      count_if(v < under).as("n_under"),
+      min(when(v > over, tus)).as("first_over_us"),
+      min(when(v < under, tus)).as("first_under_us"),
+      sum(when(v > over, cents(v))).as("over_c"),
+      sum(when(v < under, cents(v))).as("under_c"))
+    .select($"channel", $"n", $"n_invalid", $"vmin", $"vmax",
+      ($"tot_c".cast("double") / 100.0).as("tot"),
+      ($"tot_c".cast("double") / $"n" / 100.0).as("ave"),
+      $"smin.t".as("t_min_us"), $"smax.t".as("t_max_us"),
+      $"n_over", $"n_under", $"first_over_us", $"first_under_us",
+      ($"over_c".cast("double") / nullif($"n_over", lit(0)) / 100.0).as("ave_over"),
+      ($"under_c".cast("double") / nullif($"n_under", lit(0)) / 100.0).as("ave_under"))
+  }
+
+  /** Missed-interval average backfill (etsdSave.c:394-402,445-459): when a
+    * source misses k intervals and then recovers with an accumulated delta,
+    * the reference writes delta/(1+k) into each missed slot and the current
+    * one. Batch form: bucket the stream, and for every present bucket with
+    * k empty buckets since the previous present one, emit k+1 rows carrying
+    * the averaged value.
+    * Output: channel, bucket_epoch, filled_value, is_backfill. */
+  def gapFillAverage(df: DataFrame, chan: Column, ts: Column, value: Column,
+                     intervalSec: Long): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy("bucket")
+    df.groupBy(chan.as("channel"),
+        (floor(unix_timestamp(ts) / intervalSec) * intervalSec).cast("long").as("bucket"))
+      .agg(sum(cents(value)).as("s_c"))
+      .withColumn("prev", lag($"bucket", 1).over(w))
+      .withColumn("missed",
+        when($"prev".isNull, lit(0L))
+          // buckets are exact multiples of intervalSec → exact long division
+          .otherwise((($"bucket" - $"prev") / intervalSec).cast("long") - 1))
+      .select($"channel", $"bucket", $"s_c", $"missed",
+        explode(sequence(lit(0L), $"missed")).as("i"))
+      .select($"channel",
+        ($"bucket" - $"i" * intervalSec).as("bucket_epoch"),
+        // exact: integer cents divided once; same op order in any engine
+        ($"s_c".cast("double") / ($"missed" + 1) / 100.0).as("filled_value"),
+        ($"i" > 0).as("is_backfill"))
+  }
+
+  /** RRD-style consolidation ladder (edoRRD mirror + RRA ladder,
+    * `ECM-1240 storage format 2.txt:126-148`): for each resolution,
+    * AVERAGE/MIN/MAX/LAST per tumbling window per channel.
+    * Output: resolution_sec, channel, bucket_epoch, n, ave, vmin, vmax, last. */
+  def rollupLadder(df: DataFrame, chan: Column, ts: Column, value: Column,
+                   tieBreak: Column, resolutions: Seq[Long]): DataFrame = {
+    resolutions.map { res =>
+      df.groupBy(chan.as("channel"),
+          (floor(unix_timestamp(ts) / res) * res).cast("long").as("bucket_epoch"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(value)).as("s_c"),
+          min(value).as("vmin"),
+          max(value).as("vmax"),
+          max(struct(unix_micros(ts).as("t"), tieBreak.as("tb"),
+            value.as("v"))).as("s"))
+        .select(lit(res).as("resolution_sec"), $"channel", $"bucket_epoch",
+          $"n", ($"s_c".cast("double") / $"n" / 100.0).as("ave"),
+          $"vmin", $"vmax", $"s.v".as("last"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+
+/** Relational operators the reference lacks but our engine exposes for free
+  * through Catalyst (SURVEY.md §2.3 joins, §2.6 sort/limit/top-k, §2.7 set
+  * ops, §2.8 scalar functions): star-schema joins with explicit broadcast
+  * of small dimensions, deterministic top-k, anti/semi joins, window
+  * ranking, JSON extraction. All money math is exact cents-integer so the
+  * DuckDB oracle hash-matches. */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary over lineitem: the widest scan +
+    // 2-key aggregation; map-side partial agg, no join.
+    "rel_pricing_summary" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val epC = round($"l_extendedprice" * 100).cast("long") // price cents
+      val dPct = round($"l_discount" * 100).cast("long")     // discount %
+      val txPct = round($"l_tax" * 100).cast("long")         // tax %
+      li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(round($"l_quantity" * 100).cast("long")).as("qty_c"),
+          sum(epC).as("base_c"),
+          // price*(1-disc) in integer 10^-4 units
+          sum(epC * (lit(100L) - dPct)).as("disc_u"),
+          // price*(1-disc)*(1+tax) in integer 10^-6 units
+          sum(epC * (lit(100L) - dPct) * (lit(100L) + txPct)).as("charge_u"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag", $"l_linestatus",
+          ($"qty_c".cast("double") / 100.0).as("sum_qty"),
+          ($"base_c".cast("double") / 100.0).as("sum_base_price"),
+          ($"disc_u".cast("double") / 10000.0).as("sum_disc_price"),
+          ($"charge_u".cast("double") / 1000000.0).as("sum_charge"),
+          ($"qty_c".cast("double") / $"n" / 100.0).as("avg_qty"),
+          ($"base_c".cast("double") / $"n" / 100.0).as("avg_price"),
+          $"n".as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with the
+    // three small dims broadcast (no shuffle on the fact side beyond the
+    // orders join; at 100 TB orders/lineitem co-partition on orderkey).
+    "rel_star_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          sum(round($"l_extendedprice" * 100).cast("long") *
+              (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_u"),
+          count(lit(1)).as("n_lines"))
+        .select($"r_name", $"n_name",
+          ($"rev_u".cast("double") / 10000.0).as("revenue"), $"n_lines")
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // broadcast dim join: per-brand price stats
+    "rel_brand_stats" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round($"l_extendedprice" * 100).cast("long")).as("price_c"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"))
+        .select($"p_brand", $"n",
+          ($"price_c".cast("double") / $"n" / 100.0).as("avg_price"),
+          $"min_price", $"max_price")
+        .orderBy($"p_brand")
+    }),
+
+    // anti join: customers with no orders, per nation (left_anti — the
+    // NOT EXISTS shape; broadcast the nation dim)
+    "rel_cust_no_orders" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val n = t(s, d, "nation")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"n_name")
+    }),
+
+    // deterministic top-k: top 10 customers by order spend
+    // (sort + limit with a unique tie-break key)
+    "rel_topk_customers" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("spend_c"),
+             count(lit(1)).as("n_orders"))
+        .select($"o_custkey", ($"spend_c".cast("double") / 100.0).as("spend"),
+          $"n_orders")
+        .orderBy($"spend".desc, $"o_custkey")
+        .limit(10)
+    }),
+
+    // set ops: users seen in both purchase and error events (INTERSECT),
+    // and purchase-only users (EXCEPT), tagged and unioned.
+    "rel_setops_users" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchase = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+      val error = ev.filter($"event_type" === "error").select($"user_id").distinct()
+      purchase.intersect(error).select(lit("both").as("cohort"), $"user_id")
+        .unionByName(purchase.except(error).select(lit("purchase_only").as("cohort"), $"user_id"))
+        .orderBy($"cohort", $"user_id")
+    }),
+
+    // window ranking: top-3 orders per customer by price (row_number with
+    // unique tie-break → deterministic)
+    "rel_window_rank" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      o.select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          row_number().over(w).as("rk"))
+        .filter($"rk" <= 3)
+        .orderBy($"o_custkey", $"rk")
+    }),
+
+    // JSON scalar extraction (§2.8; fixtures' props column): histogram of
+    // props.k with per-bucket value stats
+    "rel_json_props" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.select(get_json_object($"props", "$.k").cast("long").as("k"), $"value")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n"),
+             sum(round($"value" * 100).cast("long")).as("v_c"))
+        .select($"k", $"n", ($"v_c".cast("double") / $"n" / 100.0).as("avg_value"))
+        .orderBy($"k")
+    }),
+
+    // scalar date functions (§2.8): orders per month × priority
+    "rel_date_buckets" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"),
+          $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum(round($"o_totalprice" * 100).cast("long")).as("tp_c"))
+        .select($"month", $"o_orderpriority", $"n",
+          ($"tp_c".cast("double") / 100.0).as("total_price"))
+        .orderBy($"month", $"o_orderpriority")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "rel_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty,
+        CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_base_price,
+        CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/10000.0 AS sum_disc_price,
+        CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_charge,
+        CAST(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/100.0 AS avg_qty,
+        CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/100.0 AS avg_price,
+        count(*) AS count_order
+      FROM lineitem
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "rel_star_revenue" -> """
+      SELECT r_name, n_name,
+        CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
+        count(*) AS n_lines
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "rel_brand_stats" -> """
+      SELECT p_brand, count(*) AS n,
+        CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/100.0 AS avg_price,
+        min(l_extendedprice) AS min_price,
+        max(l_extendedprice) AS max_price
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "rel_cust_no_orders" -> """
+      SELECT n_name, count(*) AS n_customers
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "rel_topk_customers" -> """
+      SELECT o_custkey,
+        CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS spend,
+        count(*) AS n_orders
+      FROM orders
+      GROUP BY 1
+      ORDER BY spend DESC, o_custkey
+      LIMIT 10""",
+
+    "rel_setops_users" -> """
+      SELECT 'both' AS cohort, user_id
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      UNION ALL
+      SELECT 'purchase_only' AS cohort, user_id
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      ORDER BY 1, 2""",
+
+    "rel_window_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        FROM orders) t
+      WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    "rel_json_props" -> """
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/100.0 AS avg_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "rel_date_buckets" -> """
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_orderpriority, count(*) AS n,
+             CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS total_price
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
+}

@@ -1,0 +1,21 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata table loaders. `events.parquet` carries TIMESTAMP(NANOS)
+  * which Spark's parquet reader rejects; read the raw int64 nanos
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
+  * timestamp with exact integer division — the same truncation DuckDB
+  * applies when it loads the file, so both engines see identical values. */
+object Tables {
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+}

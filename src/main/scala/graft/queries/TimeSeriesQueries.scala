@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.operators.TimeSeriesOps
+
+/** The reference's query surface (SURVEY.md §2.2, §2.4-2.6, §2.10) bound to
+  * the driver's `events` table: `event_type` plays the channel, `value` the
+  * sample, `event_id` the deterministic tie-break. Each entry has a DuckDB
+  * oracle in [[oracles]]; numeric aggregation happens in scaled-integer
+  * space on both sides so results hash-match bit-for-bit. */
+object TimeSeriesQueries {
+
+  private val S = "2024-01-08 06:30:00"
+  private val E = "2024-01-25 18:45:00"
+  private val SEpoch = 1704695400L // 2024-01-08 06:30:00 UTC
+  private val EEpoch = 1706208300L // 2024-01-25 18:45:00 UTC
+  private val VatT = "2024-01-15 12:00:00"
+  private val Hour = 3600L
+  private val Day = 86400L
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // etsdAMT tot/ave/min/max in one pass (etsdQuery.c:218-401)
+    "ts_amt" -> ((s, d) =>
+      TimeSeriesOps.amt(events(s, d), $"event_type", $"ts", $"value",
+          lit(S).cast("timestamp"), lit(E).cast("timestamp"))
+        .orderBy("channel")),
+
+    // head/tail partial-interval proration (etsdQuery.c:232-287)
+    "ts_prorated_total" -> ((s, d) =>
+      TimeSeriesOps.proratedTotal(events(s, d), $"event_type", $"ts", $"value",
+          SEpoch, EEpoch, Hour)
+        .orderBy("channel")),
+
+    // counter semantics with 2^32 rollover bump (etsdQuery.c:332-336,379-388):
+    // synthesize a mod-2^32 odometer from the stream, then reconstruct.
+    "ts_counter_total" -> ((s, d) => {
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val odo = events(s, d).select($"event_type", $"ts", $"event_id",
+        (sum(round($"value" * 100).cast("long")).over(w) % 4294967296L).as("raw"))
+      TimeSeriesOps.counterTotal(odo, $"event_type", $"ts", $"raw", $"event_id")
+        .orderBy("channel")
+    }),
+
+    // LastReading cumulative reconstruction (etsdRead.c:270-285), rolled up
+    // to end-of-hour running totals.
+    "ts_counter_cum" -> ((s, d) => {
+      val rec = TimeSeriesOps.counterReconstruct(events(s, d),
+        $"event_type", $"ts", round($"value" * 100).cast("long"), $"event_id")
+      rec.groupBy($"channel",
+          (floor(unix_micros($"ts") / 1000000L / Hour) * Hour).cast("long").as("bucket_epoch"))
+        .agg(max($"cum").as("cum_c"))
+        .select($"channel", $"bucket_epoch",
+          ($"cum_c".cast("double") / 100.0).as("cum_value"))
+        .orderBy("channel", "bucket_epoch")
+    }),
+
+    // value-at-time as-of lookup (etsdVAT intent, etsdQuery.c:206-215)
+    "ts_vat" -> ((s, d) =>
+      TimeSeriesOps.valueAtTime(events(s, d), $"event_type", $"ts", $"value",
+          $"event_id", lit(VatT).cast("timestamp"))
+        .orderBy("channel")),
+
+    // ETSD_KS kitchen-sink single-pass stats (etsdQuery.h:25-55)
+    "ts_ks" -> ((s, d) =>
+      TimeSeriesOps.kitchenSink(events(s, d), $"event_type", $"ts", $"value",
+          get_json_object($"props", "$.k") === "0", over = 200.0, under = 50.0)
+        .orderBy("channel")),
+
+    // missed-interval average backfill (etsdSave.c:394-402,445-459)
+    "ts_gap_fill" -> ((s, d) =>
+      TimeSeriesOps.gapFillAverage(events(s, d), $"event_type", $"ts", $"value", Hour)
+        .orderBy("channel", "bucket_epoch")),
+
+    // RRD consolidation ladder AVERAGE/MIN/MAX/LAST at 1h and 1d
+    // (edoRRD + `ECM-1240 storage format 2.txt:126-148`)
+    "ts_rollup_ladder" -> ((s, d) =>
+      TimeSeriesOps.rollupLadder(events(s, d), $"event_type", $"ts", $"value",
+          $"event_id", Seq(Hour, Day))
+        .orderBy("resolution_sec", "channel", "bucket_epoch")))
+
+  private val centsSum = "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
+
+  def oracles: Map[String, String] = Map(
+    "ts_amt" -> s"""
+      SELECT event_type AS channel,
+             count(*) AS n,
+             CAST($centsSum AS DOUBLE)/100.0 AS tot,
+             CAST($centsSum AS DOUBLE)/count(*)/100.0 AS ave,
+             min(value) AS vmin,
+             max(value) AS vmax
+      FROM events
+      WHERE ts >= TIMESTAMP '$S' AND ts <= TIMESTAMP '$E'
+      GROUP BY 1 ORDER BY 1""",
+
+    "ts_prorated_total" -> s"""
+      WITH b AS (
+        SELECT event_type AS channel,
+               ((epoch_us(ts)//1000000)//3600)*3600 AS bucket,
+               $centsSum AS s_c
+        FROM events
+        WHERE (epoch_us(ts)//1000000) >= ${(SEpoch / Hour) * Hour}
+          AND (epoch_us(ts)//1000000) < $EEpoch
+        GROUP BY 1, 2)
+      SELECT channel,
+             CAST(sum(s_c * (least($EEpoch, bucket+3600) - greatest($SEpoch, bucket))) AS DOUBLE)/3600/100.0
+               AS prorated_tot
+      FROM b GROUP BY 1 ORDER BY 1""",
+
+    "ts_counter_total" -> s"""
+      WITH r AS (
+        SELECT event_type AS channel, ts, event_id,
+               sum(CAST(round(value*100) AS BIGINT))
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 % 4294967296 AS raw
+        FROM events),
+      d AS (
+        SELECT channel,
+               raw - lag(raw) OVER (PARTITION BY channel ORDER BY ts, event_id) AS delta
+        FROM r)
+      SELECT channel, count(*)+1 AS n,
+             CAST(sum(CASE WHEN delta >= 0 THEN delta ELSE delta + 4294967296 END) AS BIGINT)
+               AS counter_total
+      FROM d WHERE delta IS NOT NULL GROUP BY 1 ORDER BY 1""",
+
+    "ts_counter_cum" -> s"""
+      WITH r AS (
+        SELECT event_type AS channel, ts,
+               sum(CAST(round(value*100) AS BIGINT))
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        FROM events)
+      SELECT channel, ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+             CAST(max(cum_c) AS DOUBLE)/100.0 AS cum_value
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ts_vat" -> s"""
+      SELECT event_type AS channel,
+             (max(struct_pack(t := epoch_us(ts), tb := event_id, v := value))).t AS ts_us,
+             (max(struct_pack(t := epoch_us(ts), tb := event_id, v := value))).v AS value_at
+      FROM events
+      WHERE ts <= TIMESTAMP '$VatT'
+      GROUP BY 1 ORDER BY 1""",
+
+    "ts_ks" -> s"""
+      SELECT event_type AS channel,
+             count(*) AS n,
+             CAST(count_if(json_extract_string(props, '$$.k') = '0') AS BIGINT) AS n_invalid,
+             min(value) AS vmin,
+             max(value) AS vmax,
+             CAST($centsSum AS DOUBLE)/100.0 AS tot,
+             CAST($centsSum AS DOUBLE)/count(*)/100.0 AS ave,
+             (min(struct_pack(v := value, t := epoch_us(ts)))).t AS t_min_us,
+             (max(struct_pack(v := value, t := epoch_us(ts)))).t AS t_max_us,
+             CAST(count_if(value > 200.0) AS BIGINT) AS n_over,
+             CAST(count_if(value < 50.0) AS BIGINT) AS n_under,
+             min(CASE WHEN value > 200.0 THEN epoch_us(ts) END) AS first_over_us,
+             min(CASE WHEN value < 50.0 THEN epoch_us(ts) END) AS first_under_us,
+             CAST(sum(CASE WHEN value > 200.0 THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)
+               / nullif(count_if(value > 200.0), 0) / 100.0 AS ave_over,
+             CAST(sum(CASE WHEN value < 50.0 THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)
+               / nullif(count_if(value < 50.0), 0) / 100.0 AS ave_under
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "ts_gap_fill" -> s"""
+      WITH h AS (
+        SELECT event_type AS channel,
+               ((epoch_us(ts)//1000000)//3600)*3600 AS bucket,
+               $centsSum AS s_c
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT channel, bucket, s_c,
+               coalesce((bucket - lag(bucket) OVER (PARTITION BY channel ORDER BY bucket))//3600 - 1, 0) AS missed
+        FROM h),
+      x AS (
+        SELECT channel, bucket, s_c, missed,
+               unnest(generate_series(0, missed)) AS i
+        FROM g)
+      SELECT channel,
+             bucket - i*3600 AS bucket_epoch,
+             CAST(s_c AS DOUBLE)/(missed+1)/100.0 AS filled_value,
+             i > 0 AS is_backfill
+      FROM x ORDER BY 1, 2""",
+
+    "ts_rollup_ladder" -> Seq(Hour, Day).map { res => s"""
+      SELECT CAST($res AS BIGINT) AS resolution_sec,
+             event_type AS channel,
+             ((epoch_us(ts)//1000000)//$res)*$res AS bucket_epoch,
+             count(*) AS n,
+             CAST($centsSum AS DOUBLE)/count(*)/100.0 AS ave,
+             min(value) AS vmin,
+             max(value) AS vmax,
+             (max(struct_pack(t := epoch_us(ts), tb := event_id, v := value))).v AS last
+      FROM events GROUP BY 1, 2, 3"""
+    }.mkString("", " UNION ALL ", " ORDER BY 1, 2, 3"))
+}

@@ -37,7 +37,7 @@ object TimeLiterals {
         }
         val v = (num.toDouble * mult).toLong
         if (sign == "-") -v else v
-      case _ if t.nonEmpty && t.forall(c => c.isDigit || c == '-' || c == '+') =>
+      case _ if t.matches("[+-]?\\d+") =>
         t.toLong // bare seconds
       case _ => throw new IllegalArgumentException(s"bad duration literal '$s'")
     }
@@ -75,27 +75,27 @@ object TimeLiterals {
 
   private def splitOffset(s: String): (String, Long) = {
     // a trailing "<sign><digits[.digits]><unit-word>" or "<sign><digits>" is
-    // an offset iff the sign is not part of a date (dates never end the string
-    // with -Nunit after a keyword/space-free time). Strategy: find last +/-
-    // that is preceded by a letter (keyword) or where the remainder parses as
-    // a duration and the prefix parses as a base.
+    // an offset iff the remainder of the string still parses as a base
+    // literal on its own — this is what keeps "2024-01-05" whole (prefix
+    // "2024-01" is not a base) while "10:00+30" and "now-4h" split.
     val idx = math.max(s.lastIndexOf('+'), s.lastIndexOf('-'))
     if (idx <= 0) (s, 0L)
     else {
-      val prefix = s.substring(0, idx)
+      val prefix = s.substring(0, idx).trim
       val suffix = s.substring(idx) // includes sign
-      val suffixIsDur =
-        try { parseDurationSec(suffix); true } catch { case _: Exception => false }
-      // "2024-01-05" has idx at its last '-'; its suffix "-05" parses as a
-      // bare number, so additionally require prefix to not look like a cut
-      // date ("yyyy" or "yyyy-mm" or "mm/dd/yyyy hh:mm" tails).
-      val prefixEndsDigit = prefix.nonEmpty && prefix.last.isDigit
-      val sepBefore = prefix.exists(c => c == '-' || c == '/' || c == ':')
-      val looksLikeDateCut = prefixEndsDigit && (sepBefore || prefix.forall(_.isDigit)) &&
-        suffix.drop(1).forall(_.isDigit)
-      if (suffixIsDur && !looksLikeDateCut) (prefix, parseDurationSec(suffix))
-      else (s, 0L)
+      val dur = try Some(parseDurationSec(suffix)) catch { case _: Exception => None }
+      dur match {
+        case Some(off) if baseParses(prefix) => (prefix, off)
+        case _ => (s, 0L)
+      }
     }
+  }
+
+  private def baseParses(p: String): Boolean = {
+    val b = p.toLowerCase
+    b.isEmpty || b == "now" || b.startsWith("mid") || b == "begin" ||
+      (try { parseAbsolute(p, LocalDateTime.of(2000, 1, 1, 0, 0)); true }
+       catch { case _: Exception => false })
   }
 
   private def parseAbsolute(s: String, nowDt: LocalDateTime): Long = {

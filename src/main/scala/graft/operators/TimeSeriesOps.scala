@@ -67,7 +67,12 @@ object TimeSeriesOps {
                     startEpoch: Long, endEpoch: Long, intervalSec: Long): DataFrame = {
     val b = (floor(unix_timestamp(ts) / intervalSec) * intervalSec).cast("long")
     val lo = (startEpoch / intervalSec) * intervalSec // bucket containing start
-    df.filter(unix_timestamp(ts) >= lo && unix_timestamp(ts) < endEpoch)
+    // raw-ts predicates (not unix_timestamp(ts)) so the range reaches the
+    // parquet scan as PushedFilters / row-group pruning — the Spark analog
+    // of the reference's etsdFindBlock sector pruning (etsdRead.c:300-353).
+    // Equivalent for whole-second bounds: floor(ts)>=lo ⟺ ts>=lo, and
+    // floor(ts)<E ⟺ ts<E when lo,E are integers.
+    df.filter(ts >= timestamp_seconds(lit(lo)) && ts < timestamp_seconds(lit(endEpoch)))
       .groupBy(chan.as("channel"), b.as("bucket"))
       .agg(sum(cents(value)).as("s_c"))
       // overlap of [bucket, bucket+interval) with [start, end) in whole
@@ -82,34 +87,81 @@ object TimeSeriesOps {
         ($"num".cast("double") / intervalSec / 100.0).as("prorated_tot"))
   }
 
+  /** Segment length for two-phase prefix sums (one day). The reference
+    * bounds counter-decode state the same way: per-block 32-bit register
+    * snapshots re-anchor the running `LastReading` so no reader ever scans
+    * from t0 (README.md:25, etsdRead.c:276-285). A day segment keeps every
+    * window task bounded at 100 TB regardless of channel cardinality. */
+  val SegmentSec = 86400L
+
+  private def segOf(ts: Column): Column =
+    floor(unix_timestamp(ts) / SegmentSec).cast("long")
+
   /** Counter-with-rollover total (etsdQuery.c:332-336,379-388): given a raw
     * monotonic-mod-2^32 odometer reading per sample, total consumption =
     * sum of deltas, where a negative delta means the 32-bit counter rolled
-    * over and gets bumped by 2^32. One window shuffle keyed on channel.
+    * over and gets bumped by 2^32.
+    *
+    * Two-phase at scale: adjacent-pair deltas inside bounded day segments
+    * (window keyed channel×segment), plus one boundary delta per segment
+    * pair computed over the tiny per-segment summary — no task ever sorts a
+    * full channel history. Channels with a single sample have no delta and
+    * are omitted (reference behavior: no pairs → no total).
     * Output: channel, n, counter_total. */
   def counterTotal(df: DataFrame, chan: Column, ts: Column, raw: Column,
                    tieBreak: Column): DataFrame = {
-    val w = Window.partitionBy("channel").orderBy("ts_o", "tb")
     val twoPow32 = 4294967296L
-    df.select(chan.as("channel"), ts.as("ts_o"), tieBreak.as("tb"), raw.as("raw"))
-      .withColumn("prev", lag($"raw", 1).over(w))
-      .filter($"prev".isNotNull)
-      .withColumn("delta",
-        when($"raw" >= $"prev", $"raw" - $"prev")
-          .otherwise($"raw" - $"prev" + twoPow32)) // rollover bump
+    def bump(cur: Column, prev: Column): Column =
+      when(cur >= prev, cur - prev).otherwise(cur - prev + twoPow32)
+    val wIn = Window.partitionBy("channel", "seg").orderBy("ts_o", "tb")
+    val perSeg = df
+      .select(chan.as("channel"), ts.as("ts_o"), tieBreak.as("tb"), raw.as("raw"))
+      .withColumn("seg", segOf($"ts_o"))
+      .withColumn("prev", lag($"raw", 1).over(wIn))
+      .groupBy($"channel", $"seg")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"prev".isNotNull, bump($"raw", $"prev"))).as("in_sum"),
+        min(struct($"ts_o", $"tb", $"raw")).as("first_s"),
+        max(struct($"ts_o", $"tb", $"raw")).as("last_s"))
+    val wSeg = Window.partitionBy("channel").orderBy("seg")
+    perSeg
+      .withColumn("prev_last", lag($"last_s.raw", 1).over(wSeg))
+      .withColumn("boundary",
+        when($"prev_last".isNotNull, bump($"first_s.raw", $"prev_last"))
+          .otherwise(lit(0L)))
       .groupBy($"channel")
-      .agg((count(lit(1)) + 1).as("n"), sum($"delta").as("counter_total"))
+      .agg(sum($"n_rows").as("n"),
+        (sum(coalesce($"in_sum", lit(0L))) + sum($"boundary")).as("counter_total"))
+      .filter($"n" > 1)
   }
 
   /** Cumulative counter reconstruction (`LastReading` decode loop,
-    * etsdRead.c:270-285): running sum of deltas per channel, optionally
-    * re-anchored at register rows. Adds column `cum`. */
+    * etsdRead.c:270-285): running sum of deltas per channel. Adds column
+    * `cum`.
+    *
+    * Two-phase prefix sum: (1) running sum inside bounded day segments;
+    * (2) exclusive prefix over per-segment totals (tiny: channels × days),
+    * joined back on (channel, seg) — AQE broadcasts the summary side. This
+    * is the register-anchor design of the reference applied to Spark: no
+    * single task materializes a full channel history. */
   def counterReconstruct(df: DataFrame, chan: Column, ts: Column, delta: Column,
                          tieBreak: Column): DataFrame = {
-    val w = Window.partitionBy("channel").orderBy("ts", "tb")
+    val wIn = Window.partitionBy("channel", "seg").orderBy("ts", "tb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(chan.as("channel"), ts.as("ts"), tieBreak.as("tb"), delta.as("delta"))
-      .withColumn("cum", sum($"delta").over(w))
+    val rows = df
+      .select(chan.as("channel"), ts.as("ts"), tieBreak.as("tb"), delta.as("delta"))
+      .withColumn("seg", segOf($"ts"))
+      .withColumn("cum_in_seg", sum($"delta").over(wIn))
+    val wSeg = Window.partitionBy("channel").orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val segPrefix = rows.groupBy($"channel", $"seg")
+      .agg(sum($"delta").as("seg_sum"))
+      .withColumn("seg_prefix", coalesce(sum($"seg_sum").over(wSeg), lit(0L)))
+      .select($"channel", $"seg", $"seg_prefix")
+    rows.join(segPrefix, Seq("channel", "seg"))
+      .select($"channel", $"ts", $"tb", $"delta",
+        ($"seg_prefix" + $"cum_in_seg").as("cum"))
   }
 
   /** Value-at-time / as-of lookup (`etsdVAT` etsdQuery.c:206-215 — the
@@ -191,19 +243,35 @@ object TimeSeriesOps {
     * Output: resolution_sec, channel, bucket_epoch, n, ave, vmin, vmax, last. */
   def rollupLadder(df: DataFrame, chan: Column, ts: Column, value: Column,
                    tieBreak: Column, resolutions: Seq[Long]): DataFrame = {
-    resolutions.map { res =>
-      df.groupBy(chan.as("channel"),
-          (floor(unix_timestamp(ts) / res) * res).cast("long").as("bucket_epoch"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(cents(value)).as("s_c"),
-          min(value).as("vmin"),
-          max(value).as("vmax"),
-          max(struct(unix_micros(ts).as("t"), tieBreak.as("tb"),
-            value.as("v"))).as("s"))
-        .select(lit(res).as("resolution_sec"), $"channel", $"bucket_epoch",
-          $"n", ($"s_c".cast("double") / $"n" / 100.0).as("ave"),
-          $"vmin", $"vmax", $"s.v".as("last"))
+    // one scan + one shuffle: aggregate at the finest resolution only, then
+    // derive every coarser rung from the finest aggregate (n/sum/min/max/
+    // last-struct all compose) — RRA consolidation (`ECM-1240 storage
+    // format 2.txt:126-148`) without re-scanning the raw table per rung.
+    // Catalyst plans the shared base subtree as one ReusedExchange.
+    val sorted = resolutions.sorted
+    val finest = sorted.head
+    require(sorted.forall(_ % finest == 0),
+      "ladder resolutions must be multiples of the finest rung")
+    val base = df.groupBy(chan.as("channel"),
+        (floor(unix_timestamp(ts) / finest) * finest).cast("long").as("bucket_epoch"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(value)).as("s_c"),
+        min(value).as("vmin"),
+        max(value).as("vmax"),
+        max(struct(unix_micros(ts).as("t"), tieBreak.as("tb"),
+          value.as("v"))).as("s"))
+    sorted.map { res =>
+      val level =
+        if (res == finest) base
+        else base.groupBy($"channel",
+            (floor($"bucket_epoch" / res) * res).cast("long").as("bucket_epoch"))
+          .agg(sum($"n").as("n"), sum($"s_c").as("s_c"),
+            min($"vmin").as("vmin"), max($"vmax").as("vmax"),
+            max($"s").as("s"))
+      level.select(lit(res).as("resolution_sec"), $"channel", $"bucket_epoch",
+        $"n", ($"s_c".cast("double") / $"n" / 100.0).as("ave"),
+        $"vmin", $"vmax", $"s.v".as("last"))
     }.reduce(_ unionByName _)
   }
 }

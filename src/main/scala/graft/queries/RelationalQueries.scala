@@ -54,8 +54,11 @@ object RelationalQueries {
       val c = t(s, d, "customer")
       val n = t(s, d, "nation")
       val r = t(s, d, "region")
+      // customer scales with sf → no hard broadcast hint (AQE picks the
+      // strategy from runtime stats); nation/region are fixed-size dims,
+      // safe to pin as broadcasts at any scale.
       li.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
@@ -68,11 +71,12 @@ object RelationalQueries {
         .orderBy($"r_name", $"n_name")
     }),
 
-    // broadcast dim join: per-brand price stats
+    // dim join: per-brand price stats. part scales with sf, so no hard
+    // broadcast hint — AQE broadcasts when it actually fits.
     "rel_brand_stats" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val p = t(s, d, "part")
-      li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      li.join(p, $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(
           count(lit(1)).as("n"),
@@ -227,7 +231,7 @@ object RelationalQueries {
       WHERE rk <= 3 ORDER BY o_custkey, rk""",
 
     "rel_json_props" -> """
-      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              count(*) AS n,
              CAST(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/100.0 AS avg_value
       FROM events GROUP BY 1 ORDER BY 1""",

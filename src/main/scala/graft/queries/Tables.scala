@@ -14,8 +14,14 @@ object Tables {
     s.read.parquet(s"$dir/$name.parquet")
 
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is also set at session build in Verify/Bench; this guard
+    // only covers driver-supplied sessions and avoids re-setting otherwise.
+    if (s.conf.getOption(NanosConf).forall(_ != "true")) s.conf.set(NanosConf, "true")
+    // `ts DIV 1000` truncates toward zero == floor for the post-1970
+    // fixture data (all nanos positive); matches DuckDB's load of the file.
     table(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 }

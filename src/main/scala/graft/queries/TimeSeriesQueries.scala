@@ -39,13 +39,13 @@ object TimeSeriesQueries {
         .orderBy("channel")),
 
     // counter semantics with 2^32 rollover bump (etsdQuery.c:332-336,379-388):
-    // synthesize a mod-2^32 odometer from the stream, then reconstruct.
+    // synthesize a mod-2^32 odometer from the stream (via the same two-phase
+    // prefix-sum reconstruction), then total it back with bump handling.
     "ts_counter_total" -> ((s, d) => {
-      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val odo = events(s, d).select($"event_type", $"ts", $"event_id",
-        (sum(round($"value" * 100).cast("long")).over(w) % 4294967296L).as("raw"))
-      TimeSeriesOps.counterTotal(odo, $"event_type", $"ts", $"raw", $"event_id")
+      val odo = TimeSeriesOps.counterReconstruct(events(s, d),
+          $"event_type", $"ts", round($"value" * 100).cast("long"), $"event_id")
+        .select($"channel", $"ts", $"tb", ($"cum" % 4294967296L).as("raw"))
+      TimeSeriesOps.counterTotal(odo, $"channel", $"ts", $"raw", $"tb")
         .orderBy("channel")
     }),
 

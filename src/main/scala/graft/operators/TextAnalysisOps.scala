@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.functions.DetHash
+import graft.operators.DedupOps.normText
+
+/** Text-analysis operators for corpus curation: per-group stats, token
+  * counting (whitespace + regex lexer), quality scoring, self-training
+  * character-trigram language identification, and MinHash fingerprints.
+  *
+  * All counts are exact integers; every ratio is a single double division
+  * of exact integers (deterministic cross-engine). The language-ID profile
+  * table is tiny (langs × top-k trigrams) and broadcast to the scoring
+  * join, so classification is one scan of the corpus.
+  */
+object TextAnalysisOps {
+
+  /** Whitespace token count without tokenizing: spaces+1 on the collapsed
+    * normal form. Exact, allocation-free, codegen-friendly. */
+  def wsTokens(norm: Column): Column =
+    (length(norm) - length(regexp_replace(norm, " ", "")) + 1).cast("long")
+
+  /** Per-(lang, source) corpus stats. Output: lang, source, n_docs,
+    * sum_chars, avg_chars, sum_tokens, avg_tokens. */
+  def textStats(docs: DataFrame, lang: Column, source: Column, nChars: Column,
+                text: Column): DataFrame =
+    docs.select(lang.as("lang"), source.as("source"), nChars.as("nc"),
+        wsTokens(normText(text)).as("tk"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nc").as("sum_chars"),
+        sum($"tk").as("sum_tokens"))
+      .select($"lang", $"source", $"n_docs", $"sum_chars",
+        ($"sum_chars".cast("double") / $"n_docs").as("avg_chars"),
+        $"sum_tokens",
+        ($"sum_tokens".cast("double") / $"n_docs").as("avg_tokens"))
+
+  /** BPE-ish lexer pattern: letter runs, digit runs, single other glyphs.
+    * Kept to constructs with identical semantics in Java regex and RE2. */
+  val LexerPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Per-doc token counts: whitespace tokens and regex-lexer tokens.
+    * Output: doc_id, n_chars_norm, ws_tokens, re_tokens. */
+  def tokenCounts(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .select($"doc_id", length($"norm").cast("long").as("n_chars_norm"),
+        wsTokens($"norm").as("ws_tokens"),
+        size(regexp_extract_all($"norm", lit(LexerPattern), lit(0))).cast("long").as("re_tokens"))
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Per-doc quality features + one combined score: length, punctuation
+    * density, stopword ratio, mean word length. Output: doc_id, n_chars,
+    * n_tokens, n_punct, n_stop, quality. */
+  def qualityScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val inList = StopWords.map(w => s"'$w'").mkString(", ")
+    docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .select($"doc_id", length($"norm").cast("long").as("n_chars"),
+        wsTokens($"norm").as("n_tokens"),
+        (length($"norm") - length(regexp_replace($"norm", "[.,!?;:]", ""))).cast("long").as("n_punct"),
+        expr(s"CAST(size(filter(split(norm, ' '), w -> w IN ($inList))) AS BIGINT)").as("n_stop"))
+      .withColumn("quality",
+        lit(0.5) * ($"n_stop".cast("double") / $"n_tokens") +
+        lit(0.3) * (least($"n_tokens", lit(200L)).cast("double") / 200.0) -
+        lit(0.2) * ($"n_punct".cast("double") / $"n_chars"))
+  }
+
+  /** Character trigrams (multiset) per doc. */
+  private def trigrams(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .filter(length($"norm") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))")).as("tri"))
+
+  /** Self-training n-gram language ID: build per-language profiles (top-k
+    * trigrams by corpus frequency, ties broken by trigram) from the
+    * labeled corpus, then classify each doc by the count-weighted profile
+    * match — each doc trigram occurrence contributes the candidate
+    * language's corpus count for that trigram, so languages sharing the
+    * same top trigrams still separate by frequency (ties → lexicographically
+    * last language — any fixed rule works, it just must be deterministic).
+    * The profile is tiny (langs × k rows) and broadcast, so classification
+    * is one corpus scan + one shuffle on (doc, lang).
+    * Output: doc_id, pred_lang, score. */
+  def langId(docs: DataFrame, id: Column, text: Column, lang: Column,
+             profileSize: Int = 40): DataFrame = {
+    val tri = trigrams(docs, id, text)
+    val labeled = docs.select(id.as("doc_id"), lang.as("lang"))
+    val profile = tri.join(labeled, "doc_id")
+      .groupBy($"lang", $"tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+          .orderBy($"cnt".desc, $"tri")))
+      .filter($"rk" <= profileSize)
+      .select($"lang".as("cand_lang"), $"tri", $"cnt")
+    tri.join(broadcast(profile), "tri")
+      .groupBy($"doc_id", $"cand_lang").agg(sum($"cnt").as("score"))
+      .groupBy($"doc_id")
+      .agg(max(struct($"score", $"cand_lang")).as("best"))
+      .select($"doc_id", $"best.cand_lang".as("pred_lang"), $"best.score".as("score"))
+  }
+
+  /** Per-doc MinHash fingerprint (first 4 permutation minima over the
+    * 5-char shingle set) — a constant-size document sketch usable as a
+    * locality-sensitive cache/interchange key. Output: doc_id, f0..f3. */
+  def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame =
+    DedupOps.shingleHashes(docs, id, text)
+      .groupBy($"doc_id")
+      .agg(min(DetHash.perm(0, $"h31")).as("f0"),
+        (1 until 4).map(i => min(DetHash.perm(i, $"h31")).as(s"f$i")): _*)
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.functions.DetHash
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scores are computed from milli-quantized integer vectors
+  * (`floor(double(x)*1000)`): dot products and norms are then exact
+  * 64-bit integers, and the final cosine is one IEEE double division +
+  * sqrt — bit-identical in any engine and under any partitioning /
+  * aggregation order. Raw float accumulation would make top-k membership
+  * depend on summation order, which is unacceptable for a reproducible
+  * 100 TB pipeline (and for the DuckDB oracle hash-compare).
+  *
+  * Scale: brute-force is probe-broadcast × corpus (k·N work, one pass, no
+  * all-pairs); the LSH variant buckets the corpus by random-hyperplane
+  * signs so each probe only scores its own bucket — the standard recall/
+  * cost dial when N² of even k·N is too much.
+  */
+object VectorOps {
+
+  /** Milli-quantized integer vector + its squared norm.
+    * Output: id, qv (array<long>), nrm (long). */
+  def quantize(df: DataFrame, id: Column, emb: Column): DataFrame =
+    df.select(id.as("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))").as("qv"))
+      .withColumn("nrm", expr("aggregate(transform(qv, x -> x*x), 0L, (a,x) -> a+x)"))
+
+  private def cosCol: Column =
+    $"dot".cast("double") / sqrt($"pn".cast("double") * $"nrm".cast("double"))
+
+  /** Brute-force top-k cosine neighbors for a (small) probe set. The probe
+    * side is broadcast; the corpus is scanned once. Excludes self-matches.
+    * Output: probe_id, vec_id, cos, rk (1-based). */
+  def bruteKnn(vectors: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val p = probes.select($"vec_id".as("probe_id"), $"qv".as("pv"), $"nrm".as("pn"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    vectors.crossJoin(broadcast(p))
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("dot", expr("aggregate(zip_with(pv, qv, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"probe_id", $"vec_id", $"cos", $"rk")
+  }
+
+  /** Random-hyperplane LSH bucket id (one sign bit per plane) for a
+    * quantized vector column `qv`. Pure literal sign matrix from
+    * [[DetHash.lshSigns]], so bucketing is engine-reproducible. */
+  def lshBucket(planes: Int, dim: Int): Column = {
+    val signs = DetHash.lshSigns(planes, dim)
+    (0 until planes).map { pl =>
+      val dot = expr(s"aggregate(zip_with(qv, array(${signs(pl).mkString(",")}), " +
+        "(x,s) -> x*CAST(s AS BIGINT)), 0L, (a,x) -> a+x)")
+      when(dot >= 0, lit(1L << pl)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: probes only score corpus vectors in
+    * their own hyperplane bucket (equality join on bucket id — no
+    * cross join). Output: probe_id, vec_id, cos, rk. */
+  def lshKnn(vectors: DataFrame, probeIds: Column => Column, k: Int,
+             planes: Int, dim: Int): DataFrame = {
+    val bucketed = vectors.withColumn("bucket", lshBucket(planes, dim))
+    val p = bucketed.filter(probeIds($"vec_id"))
+      .select($"bucket", $"vec_id".as("probe_id"), $"qv".as("pv"), $"nrm".as("pn"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    bucketed.join(p, "bucket")
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("dot", expr("aggregate(zip_with(pv, qv, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"probe_id", $"vec_id", $"cos", $"rk")
+  }
+}

@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.functions.DetHash
+import graft.operators.{DedupOps, TextAnalysisOps, VectorOps}
+
+/** LLM-training-data-pipeline operators over the driver's `documents` and
+  * `embeddings` tables: exact + MinHash-LSH + SimHash + n-gram-Jaccard
+  * deduplication, brute-force and LSH-bucketed cosine top-k, text stats /
+  * token counting / quality scoring / language ID / document fingerprints.
+  *
+  * Every query has a DuckDB oracle built from the SAME hash/sign literals
+  * ([[DetHash]]) and the same exact-integer arithmetic, so results
+  * hash-match bit-for-bit across engines. No query contains an all-pairs
+  * stage: candidate pairs always come from capped equality-bucket joins
+  * (LSH bands / fingerprint bytes / shared n-grams), and ANN probes are a
+  * broadcast-small set — the plans survive a 100× scale-up.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "documents")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "embeddings")
+
+  private val MinJaccard = 0.8     // planted near-dups sit at ≥0.85
+  private val NgramMinJaccard = 0.5
+  private val MaxHamming = 2L
+  private val AnnK = 5
+  private val AnnProbeMax = 10L    // probe set: vec_id < 10
+  private val LshPlanes = 4
+  private val EmbDim = 64
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-(lang, source) corpus stats
+    "llm_text_stats" -> ((s, d) =>
+      TextAnalysisOps.textStats(docs(s, d), $"lang", $"source", $"n_chars", $"text")
+        .orderBy("lang", "source")),
+
+    // per-doc token counting: whitespace + regex lexer
+    "llm_token_counts" -> ((s, d) =>
+      TextAnalysisOps.tokenCounts(docs(s, d), $"doc_id", $"text")
+        .orderBy("doc_id")),
+
+    // per-doc quality features + combined score
+    "llm_quality" -> ((s, d) =>
+      TextAnalysisOps.qualityScore(docs(s, d), $"doc_id", $"text")
+        .orderBy("doc_id")),
+
+    // exact dedup: md5 of normalized text, keeper = min doc_id
+    "llm_exact_dedup" -> ((s, d) =>
+      DedupOps.exactDedup(docs(s, d), $"doc_id", $"text")
+        .orderBy("text_hash")),
+
+    // MinHash signatures = constant-size document fingerprints
+    "llm_minhash_sig" -> ((s, d) =>
+      DedupOps.minHashSignatures(
+          DedupOps.shingleHashes(docs(s, d), $"doc_id", $"text"))
+        .orderBy("doc_id")),
+
+    // MinHash+LSH near-dup pairs (banded bucket join, capped; no all-pairs)
+    "llm_minhash_dedup" -> ((s, d) =>
+      DedupOps.minHashDedup(docs(s, d), $"doc_id", $"text", MinJaccard)
+        .orderBy("doc_a", "doc_b")),
+
+    // SimHash near-dup pairs (byte-banded bucket join, Hamming ≤ 2)
+    "llm_simhash_pairs" -> ((s, d) =>
+      DedupOps.simHashPairs(
+          DedupOps.simHash(docs(s, d), $"doc_id", $"text"), MaxHamming.toInt)
+        .orderBy("doc_a", "doc_b")),
+
+    // word-n-gram Jaccard near-dup (5-gram buckets, 3-gram similarity)
+    "llm_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccard(docs(s, d), $"doc_id", $"text", NgramMinJaccard)
+        .orderBy("doc_a", "doc_b")),
+
+    // brute-force cosine top-k for a broadcast probe set (k·N, single scan)
+    "llm_ann_topk" -> ((s, d) => {
+      val q = VectorOps.quantize(embs(s, d), $"vec_id", $"embedding")
+      VectorOps.bruteKnn(q, q.filter($"vec_id" < AnnProbeMax), AnnK)
+        .orderBy("probe_id", "rk")
+    }),
+
+    // LSH-bucketed approximate top-k (hyperplane-sign equality join)
+    "llm_ann_lsh" -> ((s, d) => {
+      val q = VectorOps.quantize(embs(s, d), $"vec_id", $"embedding")
+      VectorOps.lshKnn(q, _ < AnnProbeMax, AnnK, LshPlanes, EmbDim)
+        .orderBy("probe_id", "rk")
+    }),
+
+    // count-weighted character-trigram language ID
+    "llm_lang_id" -> ((s, d) =>
+      TextAnalysisOps.langId(docs(s, d), $"doc_id", $"text", $"lang")
+        .orderBy("doc_id")))
+
+  // ---- DuckDB oracles, built from the same DetHash literals ----
+
+  private val Norm = DedupOps.normTextSql("text")
+  private def h31(e: String): String = DetHash.h31Sql(e)
+  private val WsTok = s"length(norm) - length(replace(norm, ' ', '')) + 1"
+
+  /** doc → distinct 5-char-shingle h31 hashes (mirrors DedupOps.shingleHashes). */
+  private val ShingleCte = s"""
+    sh AS (
+      SELECT DISTINCT doc_id, ${h31("g")} AS h31
+      FROM (SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(length(norm)-4, 1)),
+              i -> substr(norm, i, 5))) AS g
+            FROM (SELECT doc_id, $Norm AS norm FROM documents)))"""
+
+  /** MinHash signature CTE over `sh` (mirrors DedupOps.minHashSignatures). */
+  private val SigCte = {
+    val mins = (0 until DetHash.NumHashes)
+      .map(i => s"min(${DetHash.permSql(i, "h31")}) AS m$i").mkString(", ")
+    s"mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  /** LSH band rows over `mh` (mirrors DedupOps.bandRows). */
+  private val BandCte = {
+    val rows = (0 until DetHash.NumBands).map { b =>
+      val key = (1 until DetHash.RowsPerBand).foldLeft(s"m${b * DetHash.RowsPerBand}") {
+        (acc, i) => s"($acc)*31 + m${b * DetHash.RowsPerBand + i}"
+      }
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+    }.mkString(" UNION ALL ")
+    s"bands AS ($rows)"
+  }
+
+  /** Candidate pairs from capped (band,bkey) buckets (mirrors candidatePairs). */
+  private def candCte(maxBucket: Int): String = s"""
+    caps AS (SELECT band, bkey FROM bands GROUP BY 1, 2
+             HAVING count(*) >= 2 AND count(*) <= $maxBucket),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN caps USING (band, bkey)
+      JOIN bands b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id)"""
+
+  /** Exact Jaccard over candidates vs a (doc_id, h31) set table `sh`. */
+  private val JaccardSelect = s"""
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.h31 = a.h31
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)"""
+
+  /** Quantized embeddings + exact integer squared norm (mirrors quantize). */
+  private val QuantCte = s"""
+    q AS (SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+          FROM embeddings),
+    qn AS (SELECT vec_id, qv,
+            CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+    u AS (SELECT vec_id, unnest(qv) AS v,
+            unnest(generate_series(1, len(qv))) AS i FROM qn)"""
+
+  private val CosSql =
+    "CAST(dot AS DOUBLE) / sqrt(CAST(pn AS DOUBLE) * CAST(nrm AS DOUBLE))"
+
+  def oracles: Map[String, String] = Map(
+    "llm_text_stats" -> s"""
+      WITH d AS (SELECT lang, source, n_chars, CAST($WsTok AS BIGINT) AS tk
+                 FROM (SELECT lang, source, n_chars, $Norm AS norm FROM documents))
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars,
+             CAST(sum(tk) AS BIGINT) AS sum_tokens,
+             CAST(CAST(sum(tk) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "llm_token_counts" -> s"""
+      SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+             CAST($WsTok AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(norm, '${TextAnalysisOps.LexerPattern}', 0)) AS BIGINT) AS re_tokens
+      FROM (SELECT doc_id, $Norm AS norm FROM documents) ORDER BY 1""",
+
+    "llm_quality" -> {
+      val inList = TextAnalysisOps.StopWords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH f AS (
+        SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+               CAST($WsTok AS BIGINT) AS n_tokens,
+               CAST(length(norm) - length(regexp_replace(norm, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(norm, ' '), w -> w IN ($inList))) AS BIGINT) AS n_stop
+        FROM (SELECT doc_id, $Norm AS norm FROM documents))
+      SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+             0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+             + 0.3 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+             - 0.2 * (CAST(n_punct AS DOUBLE) / n_chars) AS quality
+      FROM f ORDER BY 1"""
+    },
+
+    "llm_exact_dedup" -> s"""
+      SELECT md5($Norm) AS text_hash,
+             min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "llm_minhash_sig" -> s"""
+      WITH $ShingleCte, $SigCte
+      SELECT * FROM mh ORDER BY doc_id""",
+
+    "llm_minhash_dedup" -> s"""
+      WITH $ShingleCte, $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect
+      SELECT * FROM jac WHERE jaccard >= $MinJaccard ORDER BY doc_a, doc_b""",
+
+    "llm_simhash_pairs" -> {
+      val ssum = (0 until 32)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val fpExpr = (0 until 32)
+        .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, ${DetHash.h60Sql("w")} AS h
+        FROM (SELECT doc_id, unnest(string_split($Norm, ' ')) AS w FROM documents)),
+      sums AS (SELECT doc_id, $ssum FROM tok GROUP BY doc_id),
+      fp AS (SELECT doc_id, $fpExpr AS simhash FROM sums),
+      bands AS (
+        SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS bkey
+        FROM fp, (SELECT unnest([0,1,2,3]) AS band)),
+      caps AS (SELECT band, bkey FROM bands GROUP BY 1, 2
+               HAVING count(*) >= 2 AND count(*) <= 50),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM bands a JOIN caps USING (band, bkey)
+        JOIN bands b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM cand
+      WHERE hamming <= $MaxHamming ORDER BY doc_a, doc_b"""
+    },
+
+    "llm_ngram_jaccard" -> {
+      def gram(n: Int) = (1 until n).foldLeft("ws[i]")((acc, k) => s"$acc || ' ' || ws[i+$k]")
+      s"""
+      WITH words AS (
+        SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+        WHERE len(string_split($Norm, ' ')) >= 5),
+      bucket5 AS (
+        SELECT DISTINCT doc_id, ${h31("g")} AS bkey
+        FROM (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(ws)-4), i -> ${gram(5)})) AS g FROM words)),
+      sh AS (
+        SELECT DISTINCT doc_id, ${h31("g")} AS h31
+        FROM (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(ws)-2), i -> ${gram(3)})) AS g FROM words)),
+      caps AS (SELECT bkey FROM bucket5 GROUP BY 1
+               HAVING count(*) >= 2 AND count(*) <= 20),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bucket5 a JOIN caps USING (bkey)
+        JOIN bucket5 b ON b.bkey = a.bkey AND a.doc_id < b.doc_id),
+      $JaccardSelect
+      SELECT * FROM jac WHERE jaccard >= $NgramMinJaccard ORDER BY doc_a, doc_b"""
+    },
+
+    "llm_ann_topk" -> s"""
+      WITH $QuantCte,
+      dots AS (
+        SELECT pa.vec_id AS probe_id, pb.vec_id AS vec_id,
+               CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+               any_value(pa.nrm) AS pn, any_value(pb.nrm) AS nrm
+        FROM qn pa JOIN u ua ON ua.vec_id = pa.vec_id
+        JOIN u ub ON ub.i = ua.i
+        JOIN qn pb ON pb.vec_id = ub.vec_id AND pb.vec_id <> pa.vec_id
+        WHERE pa.vec_id < $AnnProbeMax
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT probe_id, vec_id, $CosSql AS cos,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY $CosSql DESC, vec_id) AS INTEGER) AS rk
+        FROM dots)
+      SELECT probe_id, vec_id, cos, rk FROM scored
+      WHERE rk <= $AnnK ORDER BY probe_id, rk""",
+
+    "llm_ann_lsh" -> {
+      val signs = DetHash.lshSigns(LshPlanes, EmbDim)
+      val signRows = (0 until LshPlanes)
+        .map(p => s"($p, [${signs(p).mkString(",")}])").mkString(", ")
+      val buckVal = s"CASE pl WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 END"
+      s"""
+      WITH $QuantCte,
+      signs AS (SELECT pl, unnest(ss) AS s, unnest(generate_series(1, $EmbDim)) AS i
+                FROM (VALUES $signRows) t(pl, ss)),
+      bdot AS (SELECT u.vec_id, signs.pl, CAST(sum(u.v * signs.s) AS BIGINT) AS d
+               FROM u JOIN signs ON signs.i = u.i GROUP BY 1, 2),
+      bucket AS (SELECT vec_id,
+               CAST(sum(CASE WHEN d >= 0 THEN $buckVal ELSE 0 END) AS BIGINT) AS bucket
+               FROM bdot GROUP BY 1),
+      dots AS (
+        SELECT pa.vec_id AS probe_id, pb.vec_id AS vec_id,
+               CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+               any_value(pa.nrm) AS pn, any_value(pb.nrm) AS nrm
+        FROM qn pa JOIN bucket ba ON ba.vec_id = pa.vec_id
+        JOIN bucket bb ON bb.bucket = ba.bucket
+        JOIN qn pb ON pb.vec_id = bb.vec_id AND pb.vec_id <> pa.vec_id
+        JOIN u ua ON ua.vec_id = pa.vec_id
+        JOIN u ub ON ub.vec_id = pb.vec_id AND ub.i = ua.i
+        WHERE pa.vec_id < $AnnProbeMax
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT probe_id, vec_id, $CosSql AS cos,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY $CosSql DESC, vec_id) AS INTEGER) AS rk
+        FROM dots)
+      SELECT probe_id, vec_id, cos, rk FROM scored
+      WHERE rk <= $AnnK ORDER BY probe_id, rk"""
+    },
+
+    "llm_lang_id" -> s"""
+      WITH tri AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, length(norm)-2),
+                 i -> substr(norm, i, 3))) AS tri
+        FROM (SELECT doc_id, $Norm AS norm FROM documents)
+        WHERE length(norm) >= 3),
+      profile AS (
+        SELECT lang AS cand_lang, tri, CAST(count(*) AS BIGINT) AS cnt
+        FROM tri JOIN documents USING (doc_id)
+        GROUP BY 1, 2
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri) <= 40),
+      score AS (
+        SELECT t.doc_id, p.cand_lang, CAST(sum(p.cnt) AS BIGINT) AS score
+        FROM tri t JOIN profile p USING (tri) GROUP BY 1, 2)
+      SELECT doc_id,
+             (max(struct_pack(s := score, l := cand_lang))).l AS pred_lang,
+             (max(struct_pack(s := score, l := cand_lang))).s AS score
+      FROM score GROUP BY 1 ORDER BY 1""")
+}

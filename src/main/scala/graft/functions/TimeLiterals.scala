@@ -103,8 +103,12 @@ object TimeLiterals {
     val norm = s.replaceAll("\\s+", " ")
     // bare hh:mm[:ss] → today, or yesterday if in the future (etsdQuery.c:149-158)
     if (norm.matches("""\d{1,2}:\d{2}(:\d{2})?""")) {
-      val lt = LocalTime.parse(if (norm.count(_ == ':') == 1) norm + ":00" else norm,
-        DateTimeFormatter.ofPattern("H:m:s"))
+      val lt =
+        try LocalTime.parse(if (norm.count(_ == ':') == 1) norm + ":00" else norm,
+          DateTimeFormatter.ofPattern("H:m:s"))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(s"bad time literal '$s'", e)
+        }
       val cand = nowDt.toLocalDate.atTime(lt)
       val res = if (cand.isAfter(nowDt)) cand.minus(1, ChronoUnit.DAYS) else cand
       return ep(res)

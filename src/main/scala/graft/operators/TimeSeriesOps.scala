@@ -210,6 +210,31 @@ object TimeSeriesOps {
       ($"under_c".cast("double") / nullif($"n_under", lit(0)) / 100.0).as("ave_under"))
   }
 
+  /** AMT clock-skew correction (etsdQuery.c:384-390): the reference scales
+    * the raw total from the span it actually covered to the requested span
+    * — `Tot = (Tot·(end−start) + 1) / coveredSec` (its exact integer
+    * arithmetic, +1 included) where covered = valid intervals × interval
+    * time. Here an "interval" is a tumbling `intervalSec` bucket and a
+    * bucket is covered when it has ≥1 valid sample.
+    * Output: channel, n_buckets, covered_sec, skew_tot. */
+  def skewCorrectedTotal(df: DataFrame, chan: Column, ts: Column, value: Column,
+                         valid: Column, startEpoch: Long, endEpoch: Long,
+                         intervalSec: Long): DataFrame = {
+    val requested = endEpoch - startEpoch
+    df.filter(ts >= timestamp_seconds(lit(startEpoch)) &&
+        ts < timestamp_seconds(lit(endEpoch)) && valid)
+      .groupBy(chan.as("channel"),
+        (floor(unix_timestamp(ts) / intervalSec) * intervalSec).cast("long").as("bucket"))
+      .agg(sum(cents(value)).as("s_c"))
+      .groupBy($"channel")
+      .agg(sum($"s_c").as("tot_c"), count(lit(1)).as("n_buckets"))
+      .withColumn("covered_sec", $"n_buckets" * intervalSec)
+      // integer DIV keeps the big product exact (cents × seconds overflows
+      // the double mantissa at scale); divide to double only at the end
+      .selectExpr("channel", "n_buckets", "covered_sec",
+        s"CAST((tot_c * $requested + 1) DIV covered_sec AS DOUBLE)/100.0 AS skew_tot")
+  }
+
   /** Missed-interval average backfill (etsdSave.c:394-402,445-459): when a
     * source misses k intervals and then recovers with an accumulated delta,
     * the reference writes delta/(1+k) into each missed slot and the current

@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft._
+import graft.model.{ChannelConfig, EtsdSchema, StreamType}
 import graft.operators.TimeSeriesOps
+import graft.sources.EtsdSource
 
 /** The reference's query surface (SURVEY.md §2.2, §2.4-2.6, §2.10) bound to
   * the driver's `events` table: `event_type` plays the channel, `value` the
@@ -84,7 +86,45 @@ object TimeSeriesQueries {
     "ts_rollup_ladder" -> ((s, d) =>
       TimeSeriesOps.rollupLadder(events(s, d), $"event_type", $"ts", $"value",
           $"event_id", Seq(Hour, Day))
-        .orderBy("resolution_sec", "channel", "bucket_epoch")))
+        .orderBy("resolution_sec", "channel", "bucket_epoch")),
+
+    // AMT clock-skew correction: total rescaled requested-span/covered-span
+    // (etsdQuery.c:384-390); `props.k = '0'` marks invalid samples
+    "ts_skew_total" -> ((s, d) =>
+      TimeSeriesOps.skewCorrectedTotal(events(s, d), $"event_type", $"ts", $"value",
+          not(coalesce(get_json_object($"props", "$.k") === "0", lit(false))),
+          SEpoch, EEpoch, Hour)
+        .orderBy("channel")),
+
+    // the .tsd codec in the oracle gate: hourly sums encoded into real
+    // 512-byte ETSD blocks (24-bit Large streams, one block per day) and
+    // decoded back — a distributed identity round-trip (etsdSave.c:206-330,
+    // etsdRead.c:38-167)
+    "ts_tsd_roundtrip" -> ((s, d) => {
+      val ev = events(s, d)
+      val names = ev.select($"event_type").distinct().collect()
+        .map(_.getString(0)).toSeq // channel catalog = driver-side schema load
+      val hourly = ev.groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      EtsdSource.roundTripHourlyBlocks(hourly, names)
+        .orderBy("channel", "bucket_epoch")
+    }),
+
+    // the etsdCmd-style string-driven query path: verb substring, channel
+    // substring resolution, CLI time literals (etsdCmd.c:333-461)
+    "ts_cli_query" -> ((s, d) => {
+      val schema = EtsdSchema(
+        Seq("click", "error", "purchase", "signup", "view")
+          .map(n => ChannelConfig(n, StreamType.DoubleS)), 1, 24)
+      val long = events(s, d).select($"ts", $"event_type".as("channel"),
+        round($"value" * 100).cast("long").as("value"),
+        lit(true).as("valid"), lit(false).as("is_register"))
+      EtsdQueryApi.query(long, schema,
+          Seq("q=maximum", "c=lick", s"s=$S", s"e=$E"),
+          java.time.Instant.ofEpochSecond(EEpoch))
+        .orderBy("channel")
+    }))
 
   private val centsSum = "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
 
@@ -189,6 +229,37 @@ object TimeSeriesQueries {
              CAST(s_c AS DOUBLE)/(missed+1)/100.0 AS filled_value,
              i > 0 AS is_backfill
       FROM x ORDER BY 1, 2""",
+
+    "ts_skew_total" -> s"""
+      WITH b AS (
+        SELECT event_type AS channel,
+               ((epoch_us(ts)//1000000)//3600)*3600 AS bucket,
+               $centsSum AS s_c
+        FROM events
+        WHERE (epoch_us(ts)//1000000) >= $SEpoch
+          AND (epoch_us(ts)//1000000) < $EEpoch
+          AND NOT coalesce(json_extract_string(props, '$$.k') = '0', FALSE)
+        GROUP BY 1, 2),
+      t AS (SELECT channel, CAST(sum(s_c) AS BIGINT) AS tot_c,
+                   count(*) AS n_buckets FROM b GROUP BY 1)
+      SELECT channel, n_buckets, n_buckets*3600 AS covered_sec,
+             CAST((tot_c * ${EEpoch - SEpoch} + 1) // (n_buckets*3600) AS DOUBLE)/100.0
+               AS skew_tot
+      FROM t ORDER BY 1""",
+
+    "ts_tsd_roundtrip" -> s"""
+      SELECT event_type AS channel,
+             ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+             $centsSum AS s_c
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ts_cli_query" -> s"""
+      SELECT event_type AS channel, count(*) AS n,
+             CAST(max(CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS result
+      FROM events
+      WHERE ts >= TIMESTAMP '$S' AND ts <= TIMESTAMP '$E'
+        AND event_type = 'click'
+      GROUP BY 1 ORDER BY 1""",
 
     "ts_rollup_ladder" -> Seq(Hour, Day).map { res => s"""
       SELECT CAST($res AS BIGINT) AS resolution_sec,

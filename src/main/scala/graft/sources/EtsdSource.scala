@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.codec._
+import graft.model.{ChannelConfig, EtsdSchema, StreamType}
+
+/** Spark reader for native `.tsd` files (SURVEY.md §7 step 3): the analog
+  * of `etsdInit` + block iteration (etsd.c:41-123, etsdRead.c:181-287),
+  * producing the canonical long DataFrame
+  * `(ts, channel, value, valid, is_register)`.
+  *
+  * v1 strategy: `binaryFile` scan + per-file decode. Each 512-byte block
+  * is self-contained, so decode parallelism is per-file here and could be
+  * per-block-range via a DataSource V2 `PartitionReader` with time-range
+  * pushdown (the reference's `etsdFindBlock` sector pruning,
+  * etsdRead.c:300-353) if single files ever grow beyond a task — real ETSD
+  * files are ≤ a few hundred KB/day (`ECM-1240 storage format 2.txt:19-23`),
+  * so one-file-per-task is the right grain and the 100 TB path is many
+  * files, which binaryFile already parallelizes. */
+object EtsdSource {
+
+  /** Decoded long row; `value` is the stored sample (counter channels:
+    * the delta), `ts_us` epoch micros. */
+  final case class LongRow(ts_us: Long, channel: String, value: Option[Long],
+                           valid: Boolean, is_register: Boolean)
+
+  /** Read one or many `.tsd` files (glob ok). Every file carries its own
+    * header schema; schemas may differ across files. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select($"content").as[Array[Byte]]
+    bin.flatMap { bytes =>
+      val (schema, samples) = EtsdDecoder.decodeFile(bytes)
+      val names = schema.channels.map(_.name)
+      samples.map(s => LongRow(s.tsEpoch * 1000000L, names(s.chan), s.value,
+        s.value.isDefined, s.isRegister))
+    }.select(timestamp_micros($"ts_us").as("ts"), $"channel", $"value",
+      $"valid", $"is_register")
+  }
+
+  /** Distributed encode→decode round-trip of a fixed-cadence grid through
+    * real 512-byte ETSD blocks — the oracle-checked proof that the codec
+    * is the identity on stored values. Input: one row per
+    * (channel, bucketEpoch) with an integer value; missing buckets are
+    * encoded as the invalid sentinel and dropped on decode. One day = one
+    * block (24 × 1 h intervals, 24-bit Large streams); groups are
+    * independent, so the plan is a single shuffle by day — no cross-block
+    * state, exactly the reference's self-contained-block design
+    * (README.md:7-9). */
+  def roundTripHourlyBlocks(hourly: DataFrame, channelNames: Seq[String]): DataFrame = {
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    val names = channelNames.sorted
+    require(names.forall(ChannelConfig.nameOk), s"bad channel names: $names")
+    val schema = EtsdSchema(
+      names.map(n => ChannelConfig(n, StreamType.LargeS)),
+      intervalSec = 3600, blockIntervals = 24)
+    val idx = names.zipWithIndex.toMap
+
+    hourly.select($"channel", $"bucket", $"s_c").as[(String, Long, Long)]
+      .groupByKey { case (_, bucket, _) => bucket / 86400L }
+      .flatMapGroups { (day, rows) =>
+        val byHourChan = rows.map { case (c, b, v) =>
+          ((b % 86400L / 3600L).toInt, idx(c)) -> v
+        }.toMap
+        val enc = new EtsdEncoder(schema)
+        val dayStart = day * 86400L
+        (0 until 24).foreach { h =>
+          enc.feed(dayStart + h * 3600L, names.indices.map { ci =>
+            byHourChan.get((h, ci)) match {
+              case Some(v) => Reading(v)
+              case None    => Reading(0L, status = 1) // missing → invalid
+            }
+          }.toIndexedSeq)
+        }
+        enc.blocks().iterator.flatMap { bytes =>
+          EtsdDecoder.decodeBlock(schema, bytes).iterator.collect {
+            case Sample(ts, chan, Some(v), false) =>
+              (names(chan), ts - 3600L, v) // sample covers the previous hour
+          }
+        }
+      }
+      .toDF("channel", "bucket_epoch", "s_c")
+  }
+}

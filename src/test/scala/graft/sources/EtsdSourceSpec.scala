@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.codec.{EtsdEncoder, Reading}
+import graft.model.{ChannelConfig, EtsdSchema, StreamType}
+import graft.queries.EtsdQueryApi
+
+/** End-to-end: encode a deterministic series into a real .tsd file, read
+  * it back through the Spark source, and drive the etsdCmd-style query
+  * API over it with verb/time/channel strings. */
+class EtsdSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // 2 channels: a counter odometer with register, a signed gauge
+  private val schema = EtsdSchema(Seq(
+    ChannelConfig("OdoMain", StreamType.FullS, counter = true, register = true),
+    ChannelConfig("TempC", StreamType.HalfS, signed = true)), intervalSec = 10,
+    blockIntervals = 6)
+  private val t0 = 1700000000L
+  private val n = 15
+
+  private def tsdPath: String = {
+    val enc = new EtsdEncoder(schema)
+    (0 until n).foreach { k =>
+      enc.feed(t0 + k * 10L,
+        IndexedSeq(Reading(1000L + 7L * k), Reading(if (k % 2 == 0) -5 else 20)))
+    }
+    val dir = Files.createTempDirectory("tsd").toString
+    Files.write(Paths.get(dir, "test.tsd"), enc.toFileBytes())
+    dir
+  }
+
+  test("EtsdSource.read decodes a .tsd file into the long DataFrame") {
+    val df = EtsdSource.read(spark, tsdPath).cache()
+    assert(df.columns.toSeq == Seq("ts", "channel", "value", "valid", "is_register"))
+    val odo = df.filter("channel = 'OdoMain' AND NOT is_register")
+      .orderBy("ts").collect()
+    assert(odo.length == n)
+    assert(odo.head.isNullAt(2))           // first counter sample: no baseline
+    assert(odo.tail.forall(_.getLong(2) == 7L)) // constant delta
+    val temp = df.filter("channel = 'TempC' AND NOT is_register")
+      .orderBy("ts").collect()
+    assert(temp.map(_.getLong(2)).toSeq ==
+      (0 until n).map(k => if (k % 2 == 0) -5L else 20L)) // signed round-trip
+    val regs = df.filter("is_register").orderBy("ts").collect()
+    assert(regs.length == 3) // one per block, all OdoMain
+    assert(regs.map(r => r.isNullAt(2)).toSeq == Seq(true, false, false))
+  }
+
+  test("EtsdQueryApi: verb substring, channel substring, time literals") {
+    val df = EtsdSource.read(spark, tsdPath)
+    val now = Instant.ofEpochSecond(t0 + n * 10L)
+
+    def one(args: String*): (Long, Double) = {
+      val r = EtsdQueryApi.query(df, schema, args, now).collect()
+      assert(r.length == 1)
+      (r(0).getLong(1), r(0).getDouble(2))
+    }
+    // q=maximum matched by substring; channel 'temp' resolves TempC
+    assert(one("q=maximum", "c=temp") == ((n, 20.0)))
+    assert(one("q=MINI", "c=temp") == ((n, -5.0)))
+    // counter totals are sums of deltas; first sample is invalid -> n-1 rows
+    assert(one("q=tot", "c=odo") == ((n - 1, 7.0 * (n - 1))))
+    // relative range: samples land at t0+10k, so [now-40, now] holds 5
+    assert(one("q=tot", "c=odo", "s=now-40s") == ((5, 35.0)))
+    // begin keyword (= first stored row, the block-1 register at t0) + offset
+    assert(one("q=tot", "c=odo", "s=begin+100s", "e=now") == ((6, 42.0)))
+    // default start = begin, default end = now
+    assert(one("q=ave", "c=temp")._2 == (8 * -5.0 + 7 * 20.0) / 15)
+  }
+
+  test("EtsdQueryApi rejects unknown channels and bad args") {
+    val df = EtsdSource.read(spark, tsdPath)
+    val now = Instant.ofEpochSecond(t0)
+    intercept[IllegalArgumentException](
+      EtsdQueryApi.query(df, schema, Seq("c=nope"), now))
+    intercept[IllegalArgumentException](
+      EtsdQueryApi.query(df, schema, Seq("zz"), now))
+  }
+
+  test("roundTripHourlyBlocks is the identity on present buckets") {
+    import spark.implicits._
+    val day = 19800L // arbitrary epoch day
+    val rows = Seq(
+      ("a", day * 86400L, 123456L), ("a", day * 86400L + 3600L, 999L),
+      ("a", day * 86400L + 7 * 3600L, 16777214L), // LargeS max valid
+      ("b", day * 86400L + 3600L, 1L),
+      ("b", (day + 1) * 86400L + 23 * 3600L, 42L)) // second block
+    val hourly = rows.toDF("channel", "bucket", "s_c")
+    val back = EtsdSource.roundTripHourlyBlocks(hourly, Seq("a", "b"))
+      .orderBy("channel", "bucket_epoch")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(back == rows.sorted)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft._
+
+/** One source reading flowing through the ingest pipeline — the Spark row
+  * form of a `srcReadChan` result + its status code (edd.c:318-341;
+  * status 0 = good, 1 = checksum/timeout, 2 = source reset,
+  * plugins/sourceAPI.txt:46-47). */
+final case class SrcRow(ts_us: Long, source_id: Int, channel: String,
+                        reading: Long, status: Int, counter: Boolean)
+
+/** Output of the stateful counter-delta decode: the averaged per-interval
+  * delta the reference's save path would store (etsdSave.c:394-402). */
+final case class DeltaRow(ts_us: Long, channel: String, delta: Option[Long],
+                          missed: Int)
+
+private final case class ChanState(last: Long, missed: Int, hasLast: Boolean)
+
+/** The `edd` ingest daemon (edd.c:239-387) as Structured Streaming:
+  * deterministic srcSIM-style generator sources, ≤4-source union,
+  * invalid/reset status handling, per-channel `LastReading`/`MissedUpdate`
+  * state across micro-batches, and a tumbling block-window commit to
+  * partitioned parquet with checkpointing (a strictly stronger guarantee
+  * than the reference's crash-loses-one-block model, README.md:7-9).
+  *
+  * Scale stance: the pipeline is shuffle-free until the optional stateful
+  * decode (keyed by channel — the reference's own cardinality), and the
+  * sink partitions by block window, so 1000 executors append in parallel
+  * with no coordination beyond the streaming commit log. */
+object Ingest {
+
+  /** Sine parameters of the simulator source: 5 counters accumulating
+    * `floor((sin(n/k)+1)·amp)` per interval plus an AC-voltage gauge
+    * `120 + 4·sin(n/20)` (plugins/srcSIM.c:97-117). */
+  val SimChans: Seq[(String, Int, Int)] = Seq( // (name, k, amp)
+    ("cnt1", 2, 10), ("cnt2", 5, 20), ("cnt3", 3, 30),
+    ("cnt4", 7, 40), ("cnt5", 10, 50))
+
+  /** Per-interval counter increment, interval `j` (1-based). */
+  def simIncrement(j: Long, k: Int, amp: Int): Long =
+    math.floor((math.sin(j.toDouble / k) + 1.0) * amp).toLong
+
+  /** Closed-form odometer after `n` intervals — the test oracle. */
+  def simOdometer(n: Long, k: Int, amp: Int): Long =
+    (1L to n).map(simIncrement(_, k, amp)).sum
+
+  /** Transform a stream of interval ticks (`n` ≥ 1, `ts`) into the
+    * 6-channel reading stream of one simulated source. `statusEvery`
+    * injects an invalid tick every k-th interval (status 1), mirroring a
+    * checksum/timeout failure. The odometer is evaluated with the
+    * `aggregate` higher-order function — pure codegen'd expressions, no
+    * UDF; O(n) per row is fine for a generator (a real source reports its
+    * own absolute readings). */
+  def simTransform(ticks: DataFrame, sourceId: Int,
+                   statusEvery: Option[Int] = None): DataFrame = {
+    val status = statusEvery
+      .map(k => when($"n" % k === 0, lit(1)).otherwise(lit(0)))
+      .getOrElse(lit(0))
+    val chans = SimChans.map { case (name, k, amp) =>
+      val odo = when($"n" >= 1, expr(
+        s"""aggregate(sequence(1L, n), 0L,
+            (acc, j) -> acc + CAST(floor((sin(CAST(j AS DOUBLE)/$k)+1.0)*$amp) AS BIGINT))"""))
+        .otherwise(lit(0L))
+      struct(lit(s"src${sourceId}_$name").as("channel"),
+        odo.as("reading"), lit(true).as("counter"))
+    } :+ struct(lit(s"src${sourceId}_volts").as("channel"),
+      (lit(1200L) + round(sin($"n".cast("double") / 20) * 40)).cast("long").as("reading"),
+      lit(false).as("counter")) // volts ×10, AC-offset style (srcECM.c:45-47)
+    ticks.select($"ts", $"n", explode(array(chans: _*)).as("c"), status.as("status"))
+      .select(unix_micros($"ts").as("ts_us"), lit(sourceId).as("source_id"),
+        $"c.channel".as("channel"), $"c.reading".as("reading"),
+        $"status", $"c.counter".as("counter"))
+  }
+
+  /** A live rate-source-backed simulator (the srcSIM plugin as a real
+    * streaming source): tick k carries event time `start + k·intervalSec`
+    * (ticks may arrive faster than real time; event-time processing makes
+    * the cadence a property of the data, not the wall clock). */
+  def simSource(spark: SparkSession, sourceId: Int, intervalSec: Int,
+                startEpoch: Long, statusEvery: Option[Int] = None): DataFrame = {
+    val rate = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    simTransform(
+      rate.select(($"value" + 1).as("n"),
+        timestamp_seconds(lit(startEpoch) + ($"value" + 1) * intervalSec).as("ts")),
+      sourceId, statusEvery)
+  }
+
+  /** Union ≤4 sources into one reading stream (edd.c:47-53,309-341). */
+  def unionSources(sources: Seq[DataFrame]): DataFrame = {
+    require(sources.nonEmpty && sources.size <= 4, "1-4 sources (edd.c:47)")
+    sources.reduce(_ unionByName _)
+  }
+
+  /** Status handling (edd.c:318-331): non-zero status stores the invalid
+    * sentinel — here SQL NULL + a `valid` flag; status 2 additionally
+    * marks a source reset (baseline invalidation downstream). */
+  def applyStatus(rows: DataFrame): DataFrame =
+    rows.select($"ts_us", $"source_id", $"channel",
+      when($"status" === 0, $"reading").as("value"),
+      ($"status" === 0).as("valid"), ($"status" === 2).as("is_reset"),
+      $"counter")
+
+  /** Per-channel `LastReading`/`MissedUpdate` decode state across
+    * micro-batches (etsd.c:113-121): emits the averaged delta stream the
+    * save path stores — delta/(1+missed) backfilled over missed slots,
+    * give-up after 255 misses, baseline invalidated on reset
+    * (etsdSave.c:394-402,445-459). Keyed by channel = the reference's own
+    * state cardinality; state is O(1) per channel. */
+  def counterDeltas(rows: Dataset[SrcRow]): Dataset[DeltaRow] = {
+    import rows.sparkSession.implicits._
+    rows.filter(_.counter).groupByKey(_.channel)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (channel: String, it: Iterator[SrcRow], state: GroupState[ChanState]) => {
+          var s = state.getOption.getOrElse(ChanState(0L, 0, hasLast = false))
+          val out = Seq.newBuilder[DeltaRow]
+          it.toSeq.sortBy(_.ts_us).foreach { r =>
+            if (r.status == 2) s = ChanState(0L, 0, hasLast = false)
+            else if (r.status != 0) {
+              out += DeltaRow(r.ts_us, channel, None, s.missed)
+              val m = s.missed + 1
+              s = if (m > 255) ChanState(0L, 0, hasLast = false) // give up
+                  else s.copy(missed = m)
+            } else if (!s.hasLast) {
+              out += DeltaRow(r.ts_us, channel, None, 0)
+              s = ChanState(r.reading, 0, hasLast = true)
+            } else {
+              val d = ((r.reading - s.last) & 0xFFFFFFFFL) / (1 + s.missed)
+              out += DeltaRow(r.ts_us, channel, Some(d), s.missed)
+              s = ChanState(r.reading, 0, hasLast = true)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+        })
+  }
+
+  /** Tumbling block-window commit (edd.c:354-368, etsdCommit
+    * etsdSave.c:58-75): append to parquet partitioned by the block window
+    * start, exactly-once via the checkpoint log. Partition-per-block makes
+    * the reference's file rotation (etsdRotate) a retention no-op
+    * (SURVEY.md §2.1). */
+  def commitStream(rows: DataFrame, blockSec: Long, outPath: String,
+                   checkpointPath: String): StreamingQuery =
+    rows
+      .withColumn("block_epoch",
+        (floor($"ts_us" / 1000000L / blockSec) * blockSec).cast("long"))
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("block_epoch")
+      .outputMode(OutputMode.Append)
+      .start()
+}

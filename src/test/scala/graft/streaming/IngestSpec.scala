@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft._
+import graft.TestSpark
+
+/** End-to-end streaming ingest: deterministic generator → status handling
+  * → tumbling block commit with checkpointing; totals must match the
+  * generator's closed form (the srcSIM test-harness role,
+  * plugins/srcSIM.c:97-117). */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val t0 = 1700000000L
+
+  test("ingest N intervals: committed totals match the closed form; " +
+       "checkpoint resumes without duplicates") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = Files.createTempDirectory("ingest_out").toString
+    val ckpt = Files.createTempDirectory("ingest_ckpt").toString
+
+    val mem = MemoryStream[Long]
+    val tickDf = mem.toDF.select($"value".as("n"),
+      timestamp_seconds(lit(t0) + $"value" * 10).as("ts"))
+    val rows = Ingest.applyStatus(Ingest.unionSources(Seq(
+      Ingest.simTransform(tickDf, 0),
+      Ingest.simTransform(tickDf, 1, statusEvery = Some(16)))))
+
+    def run(ticks: Seq[Long]): Unit = { // fresh query, same checkpoint
+      val q = Ingest.commitStream(rows, blockSec = 240, out, ckpt)
+      mem.addData(ticks: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run(1L to 48L)
+    val df1 = spark.read.parquet(out)
+    // 2 sources x 6 channels x 48 intervals
+    assert(df1.count() == 2 * 6 * 48)
+    // block windows: 480 s at 240 s/block -> 3 partitions (ticks 1..48
+    // span t0+10..t0+480, so windows t0, t0+240, t0+480)
+    assert(df1.select("block_epoch").distinct().count() == 3)
+
+    // counters carry the absolute odometer: last - first = closed form
+    for (((name, k, amp), _) <- Ingest.SimChans.zipWithIndex) {
+      val vals = df1.filter($"channel" === s"src0_$name" && $"valid")
+        .agg(min("value"), max("value")).head
+      assert(vals.getLong(0) == Ingest.simOdometer(1, k, amp), s"$name first")
+      assert(vals.getLong(1) == Ingest.simOdometer(48, k, amp), s"$name last")
+    }
+    // gauge channel: exact sine table
+    val volts = df1.filter($"channel" === "src0_volts").select("value").as[Long]
+      .collect().sorted
+    val expect = (1L to 48L)
+      .map(n => 1200L + math.round(math.sin(n.toDouble / 20) * 40)).sorted
+    assert(volts.toSeq == expect)
+    // src1 drops every 16th tick to NULL (status handling, edd.c:322-331)
+    assert(df1.filter($"channel" === "src1_volts" && !$"valid").count() == 3)
+    assert(df1.filter($"channel" === "src1_volts" && $"value".isNull).count() == 3)
+
+    // resume from the checkpoint: only the new ticks append
+    run(49L to 60L)
+    val df2 = spark.read.parquet(out)
+    assert(df2.count() == 2 * 6 * 60)
+    assert(df2.filter($"channel" === "src0_cnt1" && $"valid")
+      .agg(max("value")).head.getLong(0) ==
+      Ingest.simOdometer(60, 2, 10))
+  }
+
+  test("counterDeltas: LastReading/MissedUpdate state across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SrcRow]
+    val q = Ingest.counterDeltas(mem.toDS())
+      .writeStream.format("memory").queryName("deltas")
+      .outputMode("append").start()
+
+    def row(i: Int, reading: Long, status: Int) =
+      SrcRow(i * 1000000L, 0, "c", reading, status, counter = true)
+    // batch 1: baseline, clean delta, then two misses
+    mem.addData(row(1, 100, 0), row(2, 150, 0), row(3, 0, 1), row(4, 0, 1))
+    q.processAllAvailable()
+    // batch 2 (state crosses the batch boundary): recovery averages the
+    // accumulated delta over 1+missed; then a reset clears the baseline
+    mem.addData(row(5, 250, 0), row(6, 0, 2), row(7, 999, 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("deltas").as[DeltaRow].collect().sortBy(_.ts_us)
+    assert(got.map(_.delta).toSeq == Seq(None, Some(50L), None, None,
+      Some((250L - 150L) / 3), None))
+    assert(got.map(_.missed).toSeq == Seq(0, 0, 0, 1, 2, 0))
+    // give-up + reset semantics: ts 6 (reset) emits nothing, ts 7 re-baselines
+    assert(got.last.ts_us == 7 * 1000000L && got.last.delta.isEmpty)
+  }
+}

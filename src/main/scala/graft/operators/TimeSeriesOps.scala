@@ -164,6 +164,71 @@ object TimeSeriesOps {
         ($"seg_prefix" + $"cum_in_seg").as("cum"))
   }
 
+  /** Register-anchored counter reconstruction (`readReg` + the
+    * `LastReading` loop, etsdRead.c:276-285, README.md:25): absolute
+    * 32-bit snapshots re-anchor the running delta sum, bounding both
+    * accumulated drift and — here — the work any one task does.
+    *
+    * Input is the canonical long form: register rows carry the absolute
+    * snapshot (null = invalid register, skipped), sample rows carry the
+    * stored delta (null = invalid sample — emits null but does NOT break
+    * the chain, matching the reference's skip-on-E_DATA). Output adds
+    * `abs` = reconstructed absolute value mod 2^32, null until the first
+    * valid anchor is seen.
+    *
+    * Scale shape: windows run inside bounded (channel × `segmentSec`)
+    * partitions; cross-segment carry is a prefix over the tiny per-segment
+    * summary (channels × segments) joined back — no task ever sorts a full
+    * channel history, the same two-phase design as [[counterReconstruct]]
+    * but seeded by anchors. */
+  def anchoredReconstruct(df: DataFrame, chan: Column, ts: Column, value: Column,
+                          isRegister: Column, tieBreak: Column,
+                          segmentSec: Long = SegmentSec): DataFrame = {
+    val twoPow32 = 4294967296L
+    val rows = df
+      .select(chan.as("channel"), unix_micros(ts).as("ts_us"),
+        isRegister.as("is_reg"), value.as("v"), tieBreak.as("tb"))
+      .withColumn("seg", floor($"ts_us" / 1000000L / segmentSec).cast("long"))
+      // sequential decode order: a block's trailing samples precede the
+      // next block's register at the same timestamp
+      .withColumn("ro", when($"is_reg", 1).otherwise(0))
+      .withColumn("d", when(!$"is_reg" && $"v".isNotNull, $"v").otherwise(lit(0L)))
+      .withColumn("av", when($"is_reg", $"v")) // valid-anchor value else null
+    val w = Window.partitionBy("channel", "seg").orderBy("ts_us", "ro", "tb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inSeg = rows
+      .withColumn("run_d", sum($"d").over(w))
+      .withColumn("a_val", last($"av", ignoreNulls = true).over(w))
+      .withColumn("a_run", last(when($"av".isNotNull, $"run_d"),
+        ignoreNulls = true).over(w))
+    // per-segment summary: total delta + state at the segment's last anchor
+    val segSum = inSeg.groupBy($"channel", $"seg")
+      .agg(sum($"d").as("tot_d"),
+        max(when($"av".isNotNull,
+          struct($"ts_us", $"ro", $"tb", $"a_val", $"a_run"))).as("lastA"))
+    val wSeg = Window.partitionBy("channel").orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = segSum
+      .withColumn("cum_tot", sum($"tot_d").over(wSeg))
+      // absolute value at segment end, propagated from the latest
+      // anchored segment: base + deltas of the anchor-free segments since
+      .withColumn("base", last(when($"lastA".isNotNull,
+        $"lastA.a_val" + ($"tot_d" - $"lastA.a_run")), ignoreNulls = true).over(wSeg))
+      .withColumn("cum_at_base", last(when($"lastA".isNotNull, $"cum_tot"),
+        ignoreNulls = true).over(wSeg))
+      .withColumn("seg_end_abs", $"base" + ($"cum_tot" - $"cum_at_base"))
+      .withColumn("carry_in", lag($"seg_end_abs", 1).over(
+        Window.partitionBy("channel").orderBy("seg")))
+      .select($"channel", $"seg", $"carry_in")
+    inSeg.join(carry, Seq("channel", "seg"))
+      .withColumn("abs0",
+        coalesce($"a_val" + ($"run_d" - $"a_run"), $"carry_in" + $"run_d"))
+      .select($"channel", $"ts_us", $"is_reg".as("is_register"), $"tb", $"v",
+        when($"is_reg", $"v")
+          .when($"v".isNotNull, pmod($"abs0", lit(twoPow32)))
+          .otherwise(lit(null).cast("long")).as("abs"))
+  }
+
   /** Value-at-time / as-of lookup (`etsdVAT` etsdQuery.c:206-215 — the
     * reference's is stub-quality; we implement the documented intent):
     * for each channel, the latest sample at or before `t`.

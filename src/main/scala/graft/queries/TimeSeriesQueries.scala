@@ -88,6 +88,26 @@ object TimeSeriesQueries {
           $"event_id", Seq(Hour, Day))
         .orderBy("resolution_sec", "channel", "bucket_epoch")),
 
+    // register-anchored reconstruction (readReg + LastReading,
+    // etsdRead.c:276-285): synthetic absolute anchors at each day start
+    // re-base the running sum; hour segments force the cross-segment carry
+    "ts_anchored_cum" -> ((s, d) => {
+      val ev = events(s, d)
+      val deltas = ev.select($"ts", $"event_type".as("channel"),
+        round($"value" * 100).cast("long").as("value"),
+        lit(false).as("is_register"), $"event_id".as("tb"))
+      val anchors = ev.select($"event_type".as("channel"),
+          floor(unix_timestamp($"ts") / 86400L).cast("long").as("day")).distinct()
+        .select(timestamp_seconds($"day" * 86400L).as("ts"), $"channel",
+          ($"day" * 1000000L).as("value"), lit(true).as("is_register"),
+          lit(-1L).as("tb"))
+      TimeSeriesOps.anchoredReconstruct(deltas.unionByName(anchors),
+          $"channel", $"ts", $"value", $"is_register", $"tb", 3600L)
+        .filter(!$"is_register")
+        .select($"channel", $"ts_us", $"abs")
+        .orderBy("channel", "ts_us", "abs")
+    }),
+
     // AMT clock-skew correction: total rescaled requested-span/covered-span
     // (etsdQuery.c:384-390); `props.k = '0'` marks invalid samples
     "ts_skew_total" -> ((s, d) =>
@@ -229,6 +249,19 @@ object TimeSeriesQueries {
              CAST(s_c AS DOUBLE)/(missed+1)/100.0 AS filled_value,
              i > 0 AS is_backfill
       FROM x ORDER BY 1, 2""",
+
+    "ts_anchored_cum" -> s"""
+      WITH d AS (
+        SELECT event_type AS channel, epoch_us(ts) AS ts_us, event_id,
+               CAST(round(value*100) AS BIGINT) AS c,
+               (epoch_us(ts)//1000000)//86400 AS day
+        FROM events)
+      SELECT channel, ts_us,
+             CAST((day*1000000 + sum(c) OVER (
+                PARTITION BY channel, day ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              % 4294967296 AS BIGINT) AS abs
+      FROM d ORDER BY 1, 2, 3""",
 
     "ts_skew_total" -> s"""
       WITH b AS (

@@ -138,6 +138,62 @@ object Ingest {
         })
   }
 
+  /** AC-voltage offset encode at ingest (srcECM.c:45-47,238-253): raw
+    * volts×10 squeezed into one byte — 0 = power outage, 1 = brownout
+    * (below the offset), 2..253 = volts×10 − 1040, 0xFE = overvoltage,
+    * 0xFF = invalid. */
+  val AcOffset = 1040L
+  def acVoltsEncode(voltsX10: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(voltsX10.isNull, lit(0xFFL))
+      .when(voltsX10 === 0, lit(0L))                 // outage during interval
+      .when(voltsX10 < AcOffset, lit(1L))            // brownout
+      .otherwise(least(voltsX10 - AcOffset, lit(0xFEL)))
+
+  /** Decode back to volts×10; the status codes (outage/brownout/over/
+    * invalid) have no exact voltage — they decode to NULL with the code
+    * preserved by the caller if needed. */
+  def acVoltsDecode(enc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(enc > 1 && enc < 0xFEL, enc + AcOffset)
+
+  /** The EDO output-plugin surface (edoRRD, plugins/edoRRD.c:44-74,
+    * Plugin_API.txt): a second sink mirroring the reading stream as
+    * multi-resolution AVERAGE/MIN/MAX/LAST consolidations via
+    * `foreachBatch` — RRA consolidation done incrementally. Invalid rows
+    * are dropped (RRD stores "U"). Each micro-batch appends partial
+    * consolidations; (resolution_sec, channel, bucket_epoch) groups
+    * compose on read (n/sum/min/max/last all merge), so readers finish
+    * the fold — the streaming-friendly form of the RRD update. */
+  def edoMirror(rows: DataFrame, resolutions: Seq[Long], outPath: String,
+                checkpointPath: String): StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.TimeSeriesOps.rollupLadder(
+            batch.filter($"valid"), $"channel",
+            timestamp_micros($"ts_us"), $"value", $"ts_us", resolutions)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").partitionBy("resolution_sec").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
+  /** Merge the partial consolidations [[edoMirror]] appends into final
+    * rollups — the `recoverRRD` read side (etsdCmd.c:648-656). `last`
+    * folds in processing order across batches (within a batch it is
+    * event-time exact), matching the reference's RRD update-in-arrival-
+    * order semantics. */
+  def mergeMirror(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy($"resolution_sec", $"channel", $"bucket_epoch")
+      .agg(sum($"n").as("n"),
+        // recover the exact integer cents sum from each partial's average
+        // so the merged average reproduces the batch fold bit-for-bit
+        sum(round($"ave" * $"n" * 100).cast("long")).as("s_c"),
+        min($"vmin").as("vmin"), max($"vmax").as("vmax"),
+        max(struct($"batch_id".as("b"), $"last".as("v"))).as("l"))
+      .select($"resolution_sec", $"channel", $"bucket_epoch", $"n",
+        ($"s_c".cast("double") / $"n" / 100.0).as("ave"),
+        $"vmin", $"vmax", $"l.v".as("last"))
+
   /** Tumbling block-window commit (edd.c:354-368, etsdCommit
     * etsdSave.c:58-75): append to parquet partitioned by the block window
     * start, exactly-once via the checkpoint log. Partition-per-block makes

@@ -72,6 +72,56 @@ class IngestSpec extends AnyFunSuite {
       Ingest.simOdometer(60, 2, 10))
   }
 
+  test("AC-voltage offset encode/decode (srcECM.c:45-47,238-253)") {
+    import spark.implicits._
+    val volts = Seq[Option[Long]](Some(0L), Some(900L), Some(1040L), Some(1200L),
+      Some(1293L), Some(1294L), Some(5000L), None).toDF("v")
+    val got = volts.select(
+        Ingest.acVoltsEncode($"v").as("enc"),
+        Ingest.acVoltsDecode(Ingest.acVoltsEncode($"v")).as("dec"))
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (0L, None),            // outage
+      (1L, None),            // brownout
+      (0L + 0, None),        // exactly offset -> 0? no: 1040-1040=0 = outage code
+      (160L, Some(1200L)),   // nominal 120.0 V
+      (253L, Some(1293L)),   // top of exact range
+      (254L, None),          // overvoltage cap
+      (254L, None),          // clamp
+      (255L, None)))         // invalid
+  }
+
+  test("edoMirror: streaming consolidations merge to the batch rollup") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = Files.createTempDirectory("edo_out").toString
+    val ckpt = Files.createTempDirectory("edo_ckpt").toString
+    val mem = MemoryStream[Long]
+    val ticks = mem.toDF.select($"value".as("n"),
+      timestamp_seconds(lit(t0) + $"value" * 10).as("ts"))
+    val rows = Ingest.applyStatus(Ingest.simTransform(ticks, 0))
+    val q = Ingest.edoMirror(rows, Seq(60L, 300L), out, ckpt)
+    mem.addData(1L to 30L: _*)
+    q.processAllAvailable()
+    mem.addData(31L to 60L: _*) // second batch splits buckets across appends
+    q.processAllAvailable()
+    q.stop()
+
+    val merged = Ingest.mergeMirror(spark, out)
+    // against a direct batch rollup of the same 60 ticks
+    val batch = graft.operators.TimeSeriesOps.rollupLadder(
+      Ingest.applyStatus(Ingest.simTransform(
+          (1L to 60L).toDF("value").select($"value".as("n"),
+            timestamp_seconds(lit(t0) + $"value" * 10).as("ts")), 0))
+        .filter($"valid"),
+      $"channel", timestamp_micros($"ts_us"), $"value", $"ts_us", Seq(60L, 300L))
+    val key = Seq("resolution_sec", "channel", "bucket_epoch")
+    val cmp = merged.select(key.map(col) :+ $"n" :+ $"ave" :+ $"vmin" :+ $"vmax" :+ $"last": _*)
+      .except(batch.select(key.map(col) :+ $"n" :+ $"ave" :+ $"vmin" :+ $"vmax" :+ $"last": _*))
+    assert(cmp.isEmpty, s"diff: ${cmp.collect().mkString("; ")}")
+    assert(merged.count() == batch.count())
+  }
+
   test("counterDeltas: LastReading/MissedUpdate state across batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

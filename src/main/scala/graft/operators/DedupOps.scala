@@ -37,10 +37,16 @@ object DedupOps {
       .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
 
   /** Per-(doc, distinct 5-char-shingle) 31-bit hashes — the shared base of
-    * MinHash and true-Jaccard computation. Output: doc_id, h31 (distinct). */
+    * MinHash and true-Jaccard computation. Output: doc_id, h31 (distinct).
+    *
+    * The compact (id, norm) projection is spread by doc before the
+    * generator: explode multiplies rows ~n_chars×, so parallelism must not
+    * depend on the input file layout (a single small parquet file is one
+    * partition — and one core doing all the hashing). */
   def shingleHashes(docs: DataFrame, id: Column, text: Column,
                     shingleLen: Int = 5): DataFrame =
     docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .repartition($"doc_id")
       .select($"doc_id", explode(expr(
         s"transform(sequence(1, greatest(length(norm)-${shingleLen - 1}, 1)), " +
           s"i -> substring(norm, i, $shingleLen))")).as("sh"))
@@ -101,11 +107,22 @@ object DedupOps {
 
   /** MinHash+LSH near-duplicate detection end-to-end: shingle → signature →
     * band bucket join (capped) → exact Jaccard on candidates → threshold.
-    * No all-pairs stage anywhere in the plan. */
+    * No all-pairs stage anywhere in the plan.
+    *
+    * The shingle-hash set feeds three consumers (signatures, both Jaccard
+    * joins); it is persisted so the md5 explode — the one corpus-sized
+    * scan — runs once, which is exactly the "materialize the shingle table
+    * first" shape a 100 TB dedup run uses. */
   def minHashDedup(docs: DataFrame, id: Column, text: Column,
                    minJaccard: Double, maxBucket: Int = 20): DataFrame = {
     val sh = shingleHashes(docs, id, text)
-    val cand = candidatePairs(bandRows(minHashSignatures(sh)), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures are one tiny row per doc but feed three join branches in
+    // candidatePairs — pin them so each branch reads 16 longs/doc, not the
+    // corpus-sized shingle aggregation
+    val mh = minHashSignatures(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(bandRows(mh), maxBucket)
     trueJaccard(cand, sh).filter($"jaccard" >= minJaccard)
   }
 
@@ -114,6 +131,7 @@ object DedupOps {
     * (2*bit_j(h60(token)) - 1). Output: doc_id, simhash. */
   def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .repartition($"doc_id") // explode-wide parallelism (see shingleHashes)
       .select($"doc_id", explode(split($"norm", " ")).as("w"))
       .select($"doc_id", DetHash.h60($"w").as("h"))
     val sums = tok.groupBy($"doc_id").agg(
@@ -130,6 +148,9 @@ object DedupOps {
     * bucket-join docs agreeing on any byte (capped), keep pairs within
     * `maxHamming` bits. Output: doc_a, doc_b, hamming. */
   def simHashPairs(fp: DataFrame, maxHamming: Int, maxBucket: Int = 50): DataFrame = {
+    // fp's three consumers below resolve to identical aggregation subtrees
+    // that Catalyst de-duplicates via ReusedExchange — pinning it instead
+    // measurably hurts (cache materialization blocks the fused plan)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("bkey")))
     val bands = fp.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
@@ -154,11 +175,13 @@ object DedupOps {
                    minJaccard: Double, maxBucket: Int = 20): DataFrame = {
     val words = docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
       .filter(size($"ws") >= 5)
+      .repartition($"doc_id") // explode-wide parallelism (see shingleHashes)
     def grams(n: Int): DataFrame = words.select($"doc_id", explode(expr(
       s"transform(sequence(1, size(ws)-${n - 1}), i -> concat_ws(' ', " +
         (0 until n).map(k => s"element_at(ws, i+$k)").mkString(", ") + "))")).as("g"))
       .select($"doc_id", DetHash.h31($"g").as("h31")).distinct()
     val buckets = grams(5).select($"doc_id", $"h31".as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val caps = buckets.groupBy($"bkey").count()
       .filter($"count" >= 2 && $"count" <= maxBucket).select($"bkey")
     val a = buckets.join(caps, "bkey").select($"bkey", $"doc_id".as("doc_a"))

@@ -67,10 +67,13 @@ object TextAnalysisOps {
         lit(0.2) * ($"n_punct".cast("double") / $"n_chars"))
   }
 
-  /** Character trigrams (multiset) per doc. */
+  /** Character trigrams (multiset) per doc. Spread by doc before the
+    * generator so the ~n_chars× explode parallelizes independently of the
+    * input file layout (see DedupOps.shingleHashes). */
   private def trigrams(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(id.as("doc_id"), normText(text).as("norm"))
       .filter(length($"norm") >= 3)
+      .repartition($"doc_id")
       .select($"doc_id", explode(expr(
         "transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))")).as("tri"))
 
@@ -86,7 +89,10 @@ object TextAnalysisOps {
     * Output: doc_id, pred_lang, score. */
   def langId(docs: DataFrame, id: Column, text: Column, lang: Column,
              profileSize: Int = 40): DataFrame = {
+    // the trigram explode is the corpus-sized scan and feeds both the
+    // profile build and the scoring join — materialize it once
     val tri = trigrams(docs, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labeled = docs.select(id.as("doc_id"), lang.as("lang"))
     val profile = tri.join(labeled, "doc_id")
       .groupBy($"lang", $"tri").agg(count(lit(1)).as("cnt"))

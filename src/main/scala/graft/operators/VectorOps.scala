@@ -25,10 +25,13 @@ import graft.functions.DetHash
 object VectorOps {
 
   /** Milli-quantized integer vector + its squared norm.
-    * Output: id, qv (array<long>), nrm (long). */
+    * Output: id, qv (array<long>), nrm (long). Spread by id so the k·N
+    * scoring scan parallelizes even when the corpus arrives as one small
+    * file (one partition otherwise — one core scoring everything). */
   def quantize(df: DataFrame, id: Column, emb: Column): DataFrame =
     df.select(id.as("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))").as("qv"))
+      .repartition($"vec_id")
       .withColumn("nrm", expr("aggregate(transform(qv, x -> x*x), 0L, (a,x) -> a+x)"))
 
   private def cosCol: Column =

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft._
+
+/** One media item: opaque codec payload + typed metadata. The payload is
+  * an opaque `binary` column exactly as a 100 TB multimodal lake stores
+  * image/audio/video — decode happens inside the engine's batched
+  * per-partition step, never on the driver. */
+final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                          width: Int, height: Int, sample_rate: Int)
+
+/** Decoded features for one media item. */
+final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                               n_frames: Int, feature: Array[Float])
+
+/** One sampled frame: a byte-range slice of the payload. */
+final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+/** Multimodal-column operators (training-data pipeline surface): decode /
+  * feature-extract / frame-sample over opaque binary payloads.
+  *
+  * The Spark-side plumbing — schema, partition spread, batched iteration
+  * shape, typed output — is real and tested; the codec call itself is a
+  * DETERMINISTIC FAKE (this container has no image/audio libraries). A
+  * production deployment swaps [[decodeStub]] for the real codec (JNI /
+  * ONNX runtime here, or `mapInPandas` + PIL/librosa on the PySpark
+  * side); nothing else changes. `mapPartitions` is the right primitive:
+  * codecs are per-item imperative library calls with setup cost worth
+  * amortizing per batch, not expressible as Catalyst expressions. */
+object MultimodalOps {
+
+  val FeatureDim = 8
+  val FrameBytes = 16
+
+  /** STUB — stands in for the real image/audio decoder. Deterministic pure
+    * function of the payload bytes (a rolling polynomial per feature lane)
+    * so tests and re-runs are exactly reproducible. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      val lane = i % FeatureDim
+      acc(lane) = (acc(lane) * 31 + (payload(i) & 0xFF)) & 0xFFFFFFL
+      i += 1
+    }
+    acc.map(v => v.toFloat / 0x1000000)
+  }
+
+  /** Batched decode + feature extraction: one partition = one sequential
+    * batch through the (stub) codec, mirroring mapInPandas batch shape.
+    * Input spread by media_id first so codec work parallelizes regardless
+    * of the input file layout. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.repartition($"media_id").mapPartitions { batch =>
+      // per-batch codec setup would go here (amortized across the batch)
+      batch.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+          (m.payload.length + FrameBytes - 1) / FrameBytes,
+          decodeStub(m.payload))
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size byte slice of the
+    * payload (a video keyframe / audio window analog). flatMap keeps it
+    * streaming — no payload is ever materialized twice. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = FrameBytes,
+                   stride: Int = 2): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.repartition($"media_id").flatMap { m =>
+      val n = (m.payload.length + frameBytes - 1) / frameBytes
+      (0 until n by stride).iterator.map { f =>
+        val from = f * frameBytes
+        MediaFrame(m.media_id, f,
+          java.util.Arrays.copyOfRange(m.payload, from,
+            math.min(from + frameBytes, m.payload.length)))
+      }
+    }
+  }
+
+  /** Fabricate a media table from the documents fixture: the text bytes
+    * play the opaque payload (real binary column, real sizes), metadata
+    * derived deterministically. The driver ships no binary fixtures; this
+    * is the documented stand-in. */
+  def mediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id".as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+        encode($"text", "UTF-8").as("payload"),
+        (pmod($"doc_id", lit(1920)) + 1).cast("int").as("width"),
+        (pmod($"doc_id", lit(1080)) + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** Declarative binary-column statistics — everything here stays in
+    * whole-stage codegen (no stub, no UDF): payload size, content hash,
+    * head bytes, frame count. Output: media_id, kind, n_bytes, content_md5,
+    * head_hex, n_frames. */
+  def binaryStats(media: Dataset[MediaRow]): DataFrame =
+    media.toDF().select($"media_id", $"kind",
+      octet_length($"payload").cast("long").as("n_bytes"),
+      md5($"payload").as("content_md5"),
+      hex(substring($"payload", 1, 8)).as("head_hex"),
+      (floor((octet_length($"payload") + FrameBytes - 1) / FrameBytes))
+        .cast("long").as("n_frames"))
+}

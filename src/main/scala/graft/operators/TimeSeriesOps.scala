@@ -243,6 +243,35 @@ object TimeSeriesOps {
       .select($"channel", $"s.t".as("ts_us"), $"s.v".as("value_at"))
   }
 
+  /** General as-of join (SURVEY.md §2.3 — the reference's `etsdVAT` point
+    * lookup generalized to a keyed table join): each left row picks the
+    * latest right row with `rightTs <= leftTs` for the same key.
+    *
+    * Shape: union + running `last` over a window keyed by the join key —
+    * ONE shuffle on the key, no range-join pair explosion. Right-row ties
+    * at the same timestamp resolve by the deterministic `rTb` tie-break.
+    * Scale note: the window partitions by the real join key (user/device/
+    * series id — high cardinality), not a low-cardinality channel, so
+    * per-task history stays bounded by one key's rows.
+    * Output: k, lid, l_ts_us, r_ts_us, r_tb, r_val (nulls when no right
+    * row precedes the left row). */
+  def asofJoin(left: DataFrame, lKey: Column, lTs: Column, lId: Column,
+               right: DataFrame, rKey: Column, rTs: Column, rTb: Column,
+               rVal: Column): DataFrame = {
+    val r = right.select(rKey.as("k"), unix_micros(rTs).as("t"),
+      lit(0).as("side"), rTb.as("rtb"), rVal.as("rv"))
+    val l = left.select(lKey.as("k"), unix_micros(lTs).as("t"),
+      lit(1).as("side"), lId.as("lid"))
+    val w = Window.partitionBy("k").orderBy("t", "side", "rtb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l, allowMissingColumns = true)
+      .withColumn("m", last(when($"side" === 0,
+        struct($"t".as("rt"), $"rtb", $"rv")), ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"k", $"lid", $"t".as("l_ts_us"),
+        $"m.rt".as("r_ts_us"), $"m.rtb".as("r_tb"), $"m.rv".as("r_val"))
+  }
+
   /** The planned kitchen-sink single-pass stats struct (`ETSD_KS`,
     * etsdQuery.h:25-55): count, invalid count, min/max/avg/total,
     * time-of-min/max, first/count/conditional-average of over/under

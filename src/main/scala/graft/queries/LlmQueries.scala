@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft._
 import graft.functions.DetHash
-import graft.operators.{DedupOps, TextAnalysisOps, VectorOps}
+import graft.operators.{DedupOps, MultimodalOps, TextAnalysisOps, VectorOps}
 
 /** LLM-training-data-pipeline operators over the driver's `documents` and
   * `embeddings` tables: exact + MinHash-LSH + SimHash + n-gram-Jaccard
@@ -94,7 +94,14 @@ object LlmQueries {
     // count-weighted character-trigram language ID
     "llm_lang_id" -> ((s, d) =>
       TextAnalysisOps.langId(docs(s, d), $"doc_id", $"text", $"lang")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // multimodal: opaque binary payload + typed metadata; declarative
+    // byte-level stats (size, content hash, head bytes, frame count) stay
+    // in codegen — the batched decode-stub path is covered by unit tests
+    "llm_binary_features" -> ((s, d) =>
+      MultimodalOps.binaryStats(MultimodalOps.mediaFromDocs(docs(s, d)))
+        .orderBy("media_id")))
 
   // ---- DuckDB oracles, built from the same DetHash literals ----
 
@@ -316,6 +323,16 @@ object LlmQueries {
       SELECT probe_id, vec_id, cos, rk FROM scored
       WHERE rk <= $AnnK ORDER BY probe_id, rk"""
     },
+
+    "llm_binary_features" -> s"""
+      SELECT doc_id AS media_id,
+             (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS content_md5,
+             hex(encode(substring(text, 1, 8))) AS head_hex,
+             (octet_length(encode(text)) + ${MultimodalOps.FrameBytes - 1})
+               // ${MultimodalOps.FrameBytes} AS n_frames
+      FROM documents ORDER BY 1""",
 
     "llm_lang_id" -> s"""
       WITH tri AS (

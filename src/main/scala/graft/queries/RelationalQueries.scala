@@ -160,6 +160,22 @@ object RelationalQueries {
         .select($"month", $"o_orderpriority", $"n",
           ($"tp_c".cast("double") / 100.0).as("total_price"))
         .orderBy($"month", $"o_orderpriority")
+    }),
+
+    // general as-of join (§2.3): each event picks the same user's latest
+    // order at or before the event time — union + keyed running `last`,
+    // one shuffle on the high-cardinality user key, no range explosion
+    "rel_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val o = t(s, d, "orders")
+      graft.operators.TimeSeriesOps.asofJoin(
+          ev, $"user_id", $"ts", $"event_id",
+          o, $"o_custkey", $"o_orderdate".cast("timestamp"), $"o_orderkey",
+          round($"o_totalprice" * 100).cast("long"))
+        .select($"k".as("user_id"), $"lid".as("event_id"), $"l_ts_us",
+          $"r_ts_us", $"r_tb".as("o_orderkey"),
+          ($"r_val".cast("double") / 100.0).as("o_totalprice"))
+        .orderBy("event_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -240,5 +256,25 @@ object RelationalQueries {
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              o_orderpriority, count(*) AS n,
              CAST(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS total_price
-      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "rel_asof_join" -> """
+      WITH u AS (
+        SELECT o_custkey AS k, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t,
+               0 AS side, o_orderkey AS rtb,
+               CAST(round(o_totalprice*100) AS BIGINT) AS rv,
+               CAST(NULL AS BIGINT) AS lid
+        FROM orders
+        UNION ALL
+        SELECT user_id, epoch_us(ts), 1, NULL, NULL, event_id FROM events),
+      w AS (
+        SELECT *, last_value(CASE WHEN side = 0
+                 THEN struct_pack(rt := t, rtb := rtb, rv := rv) END IGNORE NULLS)
+               OVER (PARTITION BY k ORDER BY t, side, rtb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        FROM u)
+      SELECT k AS user_id, lid AS event_id, t AS l_ts_us,
+             m.rt AS r_ts_us, m.rtb AS o_orderkey,
+             CAST(m.rv AS DOUBLE)/100.0 AS o_totalprice
+      FROM w WHERE side = 1 ORDER BY event_id""")
 }

@@ -64,6 +64,28 @@ object VectorOps {
     }.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-sign buckets, then
+    * exact integer cosine only within capped buckets — the ANN machinery
+    * turned into a dedup operator (pairs the corpus against itself with no
+    * all-pairs stage; recall is the LSH dial: more planes → more, smaller
+    * buckets at higher N). Output: vec_a < vec_b, cos. */
+  def cosineDedup(vectors: DataFrame, minCos: Double, planes: Int, dim: Int,
+                  maxBucket: Int): DataFrame = {
+    val b = vectors.withColumn("bucket", lshBucket(planes, dim))
+    val caps = b.groupBy($"bucket").count()
+      .filter($"count" >= 2 && $"count" <= maxBucket).select($"bucket")
+    val l = b.join(caps, "bucket")
+      .select($"bucket", $"vec_id".as("vec_a"), $"qv".as("va"), $"nrm".as("na"))
+    val r = b.join(caps, "bucket")
+      .select($"bucket", $"vec_id".as("vec_b"), $"qv".as("vb"), $"nrm".as("nb"))
+    l.join(r, Seq("bucket")).filter($"vec_a" < $"vec_b")
+      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("cos", $"dot".cast("double") /
+        sqrt($"na".cast("double") * $"nb".cast("double")))
+      .filter($"cos" >= minCos)
+      .select($"vec_a", $"vec_b", $"cos")
+  }
+
   /** LSH-bucketed approximate top-k: probes only score corpus vectors in
     * their own hyperplane bucket (equality join on bucket id — no
     * cross join). Output: probe_id, vec_id, cos, rk. */

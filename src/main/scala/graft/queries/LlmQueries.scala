@@ -33,6 +33,8 @@ object LlmQueries {
   private val AnnProbeMax = 10L    // probe set: vec_id < 10
   private val LshPlanes = 4
   private val EmbDim = 64
+  private val EmbedPlanes = 6      // 64 buckets — scale dial for dedup
+  private val EmbedMinCos = 0.4    // fixtures are random vectors (max ~0.51)
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-(lang, source) corpus stats
@@ -90,6 +92,13 @@ object LlmQueries {
       VectorOps.lshKnn(q, _ < AnnProbeMax, AnnK, LshPlanes, EmbDim)
         .orderBy("probe_id", "rk")
     }),
+
+    // embedding-cosine near-dup pairs (LSH buckets, capped, no all-pairs)
+    "llm_embed_dedup" -> ((s, d) =>
+      VectorOps.cosineDedup(
+          VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
+          EmbedMinCos, EmbedPlanes, EmbDim, maxBucket = 500)
+        .orderBy("vec_a", "vec_b")),
 
     // count-weighted character-trigram language ID
     "llm_lang_id" -> ((s, d) =>
@@ -333,6 +342,43 @@ object LlmQueries {
              (octet_length(encode(text)) + ${MultimodalOps.FrameBytes - 1})
                // ${MultimodalOps.FrameBytes} AS n_frames
       FROM documents ORDER BY 1""",
+
+    "llm_embed_dedup" -> {
+      val signs = DetHash.lshSigns(EmbedPlanes, EmbDim)
+      val signRows = (0 until EmbedPlanes)
+        .map(p => s"($p, [${signs(p).mkString(",")}])").mkString(", ")
+      val buckVal = "CASE pl WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 " +
+        "WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 END"
+      s"""
+      WITH $QuantCte,
+      signs AS (SELECT pl, unnest(ss) AS s, unnest(generate_series(1, $EmbDim)) AS i
+                FROM (VALUES $signRows) t(pl, ss)),
+      bdot AS (SELECT u.vec_id, signs.pl, CAST(sum(u.v * signs.s) AS BIGINT) AS d
+               FROM u JOIN signs ON signs.i = u.i GROUP BY 1, 2),
+      bucket AS (SELECT vec_id,
+               CAST(sum(CASE WHEN d >= 0 THEN $buckVal ELSE 0 END) AS BIGINT) AS bucket
+               FROM bdot GROUP BY 1),
+      caps AS (SELECT bucket FROM bucket GROUP BY 1
+               HAVING count(*) >= 2 AND count(*) <= 500),
+      pair AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bucket a JOIN caps USING (bucket)
+        JOIN bucket b ON b.bucket = a.bucket AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT p.vec_a, p.vec_b, CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+               any_value(na.nrm) AS na, any_value(nb.nrm) AS nb
+        FROM pair p
+        JOIN qn na ON na.vec_id = p.vec_a
+        JOIN qn nb ON nb.vec_id = p.vec_b
+        JOIN u ua ON ua.vec_id = p.vec_a
+        JOIN u ub ON ub.vec_id = p.vec_b AND ub.i = ua.i
+        GROUP BY 1, 2)
+      SELECT vec_a, vec_b,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+      FROM dots
+      WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= $EmbedMinCos
+      ORDER BY 1, 2"""
+    },
 
     "llm_lang_id" -> s"""
       WITH tri AS (

@@ -42,6 +42,26 @@ object EtsdSource {
       $"valid", $"is_register")
   }
 
+  /** Block-timestamp probe (`etsdTimeS`, etsdRead.h:27; consumed by the
+    * sector search `etsdFindBlock`, etsdRead.c:300-353): one row per data
+    * block with its sector number, timestamp, and valid-interval count —
+    * the file's time index. The reference binary-probes sectors with one
+    * fopen/fseek/fread per guess; here the whole index materializes in a
+    * single scan and time-range → block pruning becomes an ordinary
+    * filter on this frame (or parquet row-group stats once ingested). */
+  def blockTimestamps(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        (BlockBuffer.BlockSize until bytes.length by BlockBuffer.BlockSize)
+          .map { off =>
+            val b = BlockBuffer(bytes.slice(off, off + BlockBuffer.BlockSize))
+            (p, off / BlockBuffer.BlockSize, b.timestamp, b.validIntervals)
+          }
+      }.toDF("path", "sector", "ts_epoch", "valid_intervals")
+  }
+
   /** Distributed encode→decode round-trip of a fixed-cadence grid through
     * real 512-byte ETSD blocks — the oracle-checked proof that the codec
     * is the identity on stored values. Input: one row per

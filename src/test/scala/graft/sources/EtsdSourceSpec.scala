@@ -74,6 +74,14 @@ class EtsdSourceSpec extends AnyFunSuite {
     assert(one("q=ave", "c=temp")._2 == (8 * -5.0 + 7 * 20.0) / 15)
   }
 
+  test("blockTimestamps probes the per-sector time index (etsdTimeS)") {
+    val idx = EtsdSource.blockTimestamps(spark, tsdPath)
+      .orderBy("sector").collect()
+    assert(idx.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(idx.map(_.getLong(2)).toSeq == Seq(t0, t0 + 60L, t0 + 120L))
+    assert(idx.map(_.getInt(3)).toSeq == Seq(6, 6, 3)) // last block short
+  }
+
   test("EtsdQueryApi rejects unknown channels and bad args") {
     val df = EtsdSource.read(spark, tsdPath)
     val now = Instant.ofEpochSecond(t0)

@@ -50,6 +50,77 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(samples.count(_.isRegister) > 20)
   }
 
+  test("amtVerb: case-insensitive substring, total is the default (etsdQuery.c:374-395)") {
+    assert(TimeSeriesOps.amtVerb("maximum") == "max")
+    assert(TimeSeriesOps.amtVerb("MINI") == "min")
+    assert(TimeSeriesOps.amtVerb("Average") == "ave")
+    assert(TimeSeriesOps.amtVerb("avg") == "ave")
+    assert(TimeSeriesOps.amtVerb("tot") == "tot")
+    assert(TimeSeriesOps.amtVerb("anything-else") == "tot")
+  }
+
+  test("proration fenceposts (etsdQuery.c:232-287 semantics)") {
+    import spark.implicits._
+    // one channel, value 36.0 in each of three hour buckets h0,h1,h2
+    val h0 = 1704067200L // 2024-01-01 00:00
+    val rows = Seq(h0, h0 + 3600, h0 + 7200)
+      .map(t => (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)), "c", 36.0))
+      .toDF("ts", "ch", "v")
+    def tot(s: Long, e: Long): Double =
+      TimeSeriesOps.proratedTotal(rows, $"ch", $"ts", $"v", s, e, 3600L)
+        .head.getDouble(1)
+    // exact bucket bounds: no proration
+    assert(tot(h0, h0 + 3 * 3600) == 108.0)
+    // start half into bucket 0: half of its 36 is kept
+    assert(tot(h0 + 1800, h0 + 3 * 3600) == 90.0)
+    // end a quarter into bucket 2: quarter of its 36 is kept
+    assert(tot(h0, h0 + 2 * 3600 + 900) == 81.0)
+    // both partial: 0.5*36 + 36 + 0.25*36
+    assert(tot(h0 + 1800, h0 + 2 * 3600 + 900) == 63.0)
+    // range inside a single bucket: that fraction only
+    assert(tot(h0 + 600, h0 + 1500) == 9.0) // 900s of 3600 = 36/4
+    // degenerate: start == end -> zero coverage
+    assert(tot(h0 + 600, h0 + 600) == 0.0)
+  }
+
+  test("counter rollover at exactly 2^32 (etsdQuery.c:332-336)") {
+    import spark.implicits._
+    val t0 = 1704067200L
+    // odometer mod 2^32: ..., 2^32-2, 2^32-1, 0, 5 -> deltas 1, 1, 5
+    val odo = Seq(4294967294L, 4294967295L, 0L, 5L)
+    val rows = odo.zipWithIndex.map { case (v, i) =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + i)), "c", v, i.toLong)
+    }.toDF("ts", "ch", "raw", "tb")
+    val got = TimeSeriesOps.counterTotal(rows, $"ch", $"ts", $"raw", $"tb")
+      .head
+    assert(got.getLong(1) == 4L)  // n samples
+    assert(got.getLong(2) == 7L)  // 1 + 1 (wraps to 0) + 5
+    // a single sample has no delta: channel omitted entirely
+    val one = rows.filter($"tb" === 0)
+    assert(TimeSeriesOps.counterTotal(one, $"ch", $"ts", $"raw", $"tb").isEmpty)
+  }
+
+  test("gap-fill backfill edges: missed = 0, 1, and a long gap") {
+    import spark.implicits._
+    val h0 = 1704067200L
+    // buckets h0, h2 (one missing), then h258 (255 missing)
+    val rows = Seq(h0 -> 10.0, (h0 + 2 * 3600) -> 30.0, (h0 + 258 * 3600) -> 512.0)
+      .map { case (t, v) =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)), "c", v) }
+      .toDF("ts", "ch", "v")
+    val got = TimeSeriesOps.gapFillAverage(rows, $"ch", $"ts", $"v", 3600L)
+      .orderBy("bucket_epoch").collect()
+    assert(got.length == 1 + 2 + 256) // h0; h1+h2 averaged; h3..h258 averaged
+    assert(got.head.getLong(1) == h0 && got.head.getDouble(2) == 10.0
+      && !got.head.getBoolean(3)) // missed=0: value kept, not a backfill
+    val h1 = got.find(_.getLong(1) == h0 + 3600).get
+    assert(h1.getDouble(2) == 15.0 && h1.getBoolean(3)) // 30/(1+1)
+    val h2 = got.find(_.getLong(1) == h0 + 2 * 3600).get
+    assert(h2.getDouble(2) == 15.0 && !h2.getBoolean(3))
+    val far = got.find(_.getLong(1) == h0 + 258 * 3600).get
+    assert(far.getDouble(2) == 2.0 && !far.getBoolean(3)) // 512/256
+  }
+
   test("anchoredReconstruct: invalid registers are skipped, not anchors") {
     import spark.implicits._
     // hand-built long rows: invalid register, valid anchor, deltas, gap

@@ -91,6 +91,38 @@ class EtsdSourceSpec extends AnyFunSuite {
       EtsdQueryApi.query(df, schema, Seq("zz"), now))
   }
 
+  test("DSv2 reader: same rows as v1, ts range pushed to block pruning") {
+    import spark.implicits._
+    val dir = tsdPath
+    val v2 = spark.read.format("graft.sources.TsdDataSource").load(dir)
+    val v1 = EtsdSource.read(spark, dir)
+    // identical multisets of rows
+    assert(v2.count() == v1.count())
+    assert(v2.exceptAll(v1).isEmpty && v1.exceptAll(v2).isEmpty)
+
+    // a ts range filter reaches the scan (etsdFindBlock analog) and the
+    // residual filter still applies exactly
+    val cutoff = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(t0 + 100))
+    val filtered = v2.filter($"ts" > cutoff && !$"is_register")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("tsRange=[" + (t0 + 100)), s"no pushdown in:\n$plan")
+    assert(filtered.count() ==
+      v1.filter($"ts" > cutoff && !$"is_register").count())
+
+    // block-level pruning: a range beyond the file returns nothing
+    val far = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(t0 + 999999))
+    assert(v2.filter($"ts" > far).isEmpty)
+  }
+
+  test("DSv2 reader splits one file into sector-range partitions") {
+    val v2 = spark.read.format("graft.sources.TsdDataSource")
+      .option("blocksPerPartition", 1).load(tsdPath)
+    assert(v2.rdd.getNumPartitions == 3) // 3 blocks -> 3 partitions
+    assert(v2.count() == EtsdSource.read(spark, tsdPath).count())
+  }
+
   test("roundTripHourlyBlocks is the identity on present buckets") {
     import spark.implicits._
     val day = 19800L // arbitrary epoch day

@@ -42,6 +42,21 @@ object EtsdSource {
       $"valid", $"is_register")
   }
 
+  /** Wide pivoted view of the long form — one row per timestamp, one
+    * column per channel (SURVEY.md §1.5: the ECM-style consumer shape;
+    * the long form stays canonical because it scales to arbitrary channel
+    * counts). Register rows are excluded; the channel list comes from the
+    * schema so the output shape is fixed, not data-dependent. */
+  def wide(long: DataFrame, schema: EtsdSchema): DataFrame = {
+    val chans = schema.channels.filter(_.streamType != graft.model.StreamType.DontSave)
+      .map(_.name)
+    long.filter(!$"is_register")
+      .groupBy($"ts")
+      .pivot("channel", chans)
+      .agg(first($"value"))
+      .orderBy($"ts")
+  }
+
   /** Block-timestamp probe (`etsdTimeS`, etsdRead.h:27; consumed by the
     * sector search `etsdFindBlock`, etsdRead.c:300-353): one row per data
     * block with its sector number, timestamp, and valid-interval count —

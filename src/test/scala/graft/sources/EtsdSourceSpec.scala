@@ -123,6 +123,18 @@ class EtsdSourceSpec extends AnyFunSuite {
     assert(v2.count() == EtsdSource.read(spark, tsdPath).count())
   }
 
+  test("wide pivots the long form to one column per channel") {
+    val long = EtsdSource.read(spark, tsdPath)
+    val w = EtsdSource.wide(long, schema).collect()
+    assert(EtsdSource.wide(long, schema).columns.toSeq ==
+      Seq("ts", "OdoMain", "TempC"))
+    assert(w.length == n) // one row per timestamp, registers excluded
+    assert(w.head.isNullAt(1)) // first counter sample: no baseline
+    assert(w.tail.forall(_.getLong(1) == 7L))
+    assert(w.map(_.getLong(2)).toSeq ==
+      (0 until n).map(k => if (k % 2 == 0) -5L else 20L))
+  }
+
   test("roundTripHourlyBlocks is the identity on present buckets") {
     import spark.implicits._
     val day = 19800L // arbitrary epoch day

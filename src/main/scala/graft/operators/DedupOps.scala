@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft._
 import graft.functions.DetHash
@@ -17,7 +18,13 @@ import graft.functions.DetHash
   * shingle or band) are dropped by the cap rather than exploding one task.
   * All hashes are [[DetHash]] md5-derived integers, so dedup decisions are
   * reproducible across engines and re-runs.
-  */
+  *
+  * Per-document set computations (distinct shingle hashes, MinHash
+  * signatures, SimHash bit sums) stay in ARRAY form inside one narrow
+  * projection — `array_distinct` / `array_min` / `aggregate` over a
+  * higher-order `transform` — so the plan contains no corpus-sized
+  * `distinct` or `groupBy` exchange for work that is per-document anyway.
+  * The only shuffles left are the candidate bucket joins themselves. */
 object DedupOps {
 
   /** Whitespace-collapsing lowercase normalization shared by all text ops. */
@@ -28,6 +35,10 @@ object DedupOps {
   def normTextSql(e: String): String =
     s"regexp_replace(lower(trim($e)), '\\s+', ' ', 'g')"
 
+  /** [[DetHash.h31]] as a SQL lambda body over element variable `v`. */
+  private def h31Lambda(v: String): String =
+    s"cast(conv(substring(md5($v), 1, 15), 16, 10) as bigint) % ${DetHash.M31}"
+
   /** Exact duplicate grouping: md5 over normalized text, keep the lowest
     * doc id per group. Single hash-shuffle; the canonical first dedup pass
     * of any corpus pipeline. Output: text_hash, keeper_doc_id, n_docs. */
@@ -36,32 +47,42 @@ object DedupOps {
       .groupBy($"text_hash")
       .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
 
-  /** Per-(doc, distinct 5-char-shingle) 31-bit hashes — the shared base of
-    * MinHash and true-Jaccard computation. Output: doc_id, h31 (distinct).
+  /** Per-doc DISTINCT 5-char-shingle 31-bit hash set, as an array column —
+    * one narrow pass, no exchange. Output: doc_id, hs array<long>.
     *
-    * The compact (id, norm) projection is spread by doc before the
-    * generator: explode multiplies rows ~n_chars×, so parallelism must not
-    * depend on the input file layout (a single small parquet file is one
-    * partition — and one core doing all the hashing). */
-  def shingleHashes(docs: DataFrame, id: Column, text: Column,
-                    shingleLen: Int = 5): DataFrame =
+    * The compact (id, norm) projection is spread by doc before the heavy
+    * hashing: md5 cost is ~n_chars× the projection, so parallelism must
+    * not depend on the input file layout (a single small parquet file is
+    * one partition — and one core doing all the hashing). */
+  def shingleHashArrays(docs: DataFrame, id: Column, text: Column,
+                        shingleLen: Int = 5): DataFrame =
     docs.select(id.as("doc_id"), normText(text).as("norm"))
       .repartition($"doc_id")
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(1, greatest(length(norm)-${shingleLen - 1}, 1)), " +
-          s"i -> substring(norm, i, $shingleLen))")).as("sh"))
-      .select($"doc_id", DetHash.h31($"sh").as("h31"))
-      .distinct()
+      .select($"doc_id", expr(
+        s"""array_distinct(transform(
+           |  transform(sequence(1, greatest(length(norm)-${shingleLen - 1}, 1)),
+           |            i -> substring(norm, i, $shingleLen)),
+           |  s -> ${h31Lambda("s")}))""".stripMargin).as("hs"))
 
-  /** MinHash signatures: one row per doc with m0..m15 (min of each affine
-    * permutation over the doc's shingle-hash set). Bounded state per doc
-    * (16 longs) regardless of doc length. */
-  def minHashSignatures(sh: DataFrame): DataFrame =
-    sh.groupBy($"doc_id")
-      .agg(
-        min(DetHash.perm(0, $"h31")).as("m0"),
-        (1 until DetHash.NumHashes).map(i =>
-          min(DetHash.perm(i, $"h31")).as(s"m$i")): _*)
+  /** Exploded (doc_id, h31) view of [[shingleHashArrays]] — the join-shaped
+    * form consumed by [[trueJaccard]]. Distinctness is inherited from the
+    * array, so no shuffle happens here either. */
+  def shingleHashes(docs: DataFrame, id: Column, text: Column,
+                    shingleLen: Int = 5): DataFrame =
+    explodeHashes(shingleHashArrays(docs, id, text, shingleLen))
+
+  private def explodeHashes(arr: DataFrame): DataFrame =
+    arr.select($"doc_id", explode($"hs").as("h31"))
+
+  /** MinHash signatures from the array form: one row per doc with m0..m15,
+    * each `array_min` over an affine permutation of the doc's shingle-hash
+    * set — computed entirely inside the projection, zero exchanges.
+    * Bounded state per doc (16 longs) regardless of doc length. */
+  def minHashSignatures(arr: DataFrame): DataFrame =
+    arr.select($"doc_id" +: (0 until DetHash.NumHashes).map { i =>
+      expr(s"array_min(transform(hs, h -> (h * ${DetHash.MinHashA(i)} + " +
+        s"${DetHash.MinHashB(i)}) % ${DetHash.P31}))").as(s"m$i")
+    }: _*)
 
   /** LSH band rows: (doc_id, band, bkey) with bkey a polynomial combine of
     * the band's 4 minhash rows. Docs agreeing on any band collide. */
@@ -88,72 +109,68 @@ object DedupOps {
       .select($"doc_a", $"doc_b").distinct()
   }
 
-  /** True Jaccard over the candidate pairs only (set semantics on shingle
-    * hashes): |A∩B| via an equality join on the hash, sizes joined back.
-    * Output: doc_a, doc_b, n_common, jaccard. */
-  def trueJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"h31"), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"h31"), Seq("doc_b", "h31"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+  /** True Jaccard over the candidate pairs only (set semantics on hash
+    * arrays): fetch each side's distinct-hash array with two equi joins
+    * (the candidate set is tiny relative to the corpus — AQE broadcasts
+    * it), then |A∩B| via `array_intersect` inside the task. The corpus
+    * itself is never shuffled by hash — the reference "fetch signatures
+    * for candidates" shape. Output: doc_a, doc_b, n_common, jaccard. */
+  def trueJaccard(cand: DataFrame, arr: DataFrame): DataFrame =
+    cand
+      .join(arr.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
+      .join(arr.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"hs_a", $"hs_b")).cast("long").as("n_common"),
+        (size($"hs_a") + size($"hs_b")).as("sz_ab"))
       .select($"doc_a", $"doc_b", $"n_common",
-        ($"n_common".cast("double") / ($"sz_a" + $"sz_b" - $"n_common")).as("jaccard"))
-  }
+        ($"n_common".cast("double") / ($"sz_ab" - $"n_common")).as("jaccard"))
 
   /** MinHash+LSH near-duplicate detection end-to-end: shingle → signature →
     * band bucket join (capped) → exact Jaccard on candidates → threshold.
     * No all-pairs stage anywhere in the plan.
     *
-    * The shingle-hash set feeds three consumers (signatures, both Jaccard
-    * joins); it is persisted so the md5 explode — the one corpus-sized
-    * scan — runs once, which is exactly the "materialize the shingle table
-    * first" shape a 100 TB dedup run uses. */
+    * The per-doc shingle-hash array feeds every consumer (signatures, both
+    * Jaccard joins, sizes); it is persisted so the md5 explode — the one
+    * corpus-sized computation — runs once, which is exactly the
+    * "materialize the shingle table first" shape a 100 TB dedup run uses.
+    * Everything before the band bucket join is exchange-free. */
   def minHashDedup(docs: DataFrame, id: Column, text: Column,
                    minJaccard: Double, maxBucket: Int = 20): DataFrame = {
-    val sh = shingleHashes(docs, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // signatures are one tiny row per doc but feed three join branches in
-    // candidatePairs — pin them so each branch reads 16 longs/doc, not the
-    // corpus-sized shingle aggregation
-    val mh = minHashSignatures(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(bandRows(mh), maxBucket)
-    trueJaccard(cand, sh).filter($"jaccard" >= minJaccard)
+    val base = shingleHashArrays(docs, id, text)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(bandRows(minHashSignatures(base)), maxBucket)
+    trueJaccard(cand, base).filter($"jaccard" >= minJaccard)
   }
 
   /** 32-bit SimHash fingerprint per doc over whitespace tokens (multiset):
     * bit j of the fingerprint is the sign of sum over tokens of
-    * (2*bit_j(h60(token)) - 1). Output: doc_id, simhash. */
+    * (2*bit_j(h60(token)) - 1). The token-hash array is built once per doc
+    * and the 32 bit-sums fold over it with `aggregate` — all inside one
+    * narrow projection, no token-level exchange. Output: doc_id, simhash. */
   def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = docs.select(id.as("doc_id"), normText(text).as("norm"))
-      .repartition($"doc_id") // explode-wide parallelism (see shingleHashes)
-      .select($"doc_id", explode(split($"norm", " ")).as("w"))
-      .select($"doc_id", DetHash.h60($"w").as("h"))
-    val sums = tok.groupBy($"doc_id").agg(
-      bitSum(0).as("s0"), (1 until 32).map(j => bitSum(j).as(s"s$j")): _*)
-    val fp = (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select($"doc_id", fp.as("simhash"))
+    val hs = docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .select($"doc_id", expr(
+        "transform(split(norm, ' '), " +
+          "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))").as("hs"))
+    val fp = (0 until 32).map { j =>
+      val s = expr(s"aggregate(hs, 0L, (acc, h) -> acc + " +
+        s"(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END))")
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hs.select($"doc_id", fp.as("simhash"))
   }
-
-  private def bitSum(j: Int): Column =
-    sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1))
 
   /** Near-dup pairs by SimHash: band the 32-bit fingerprint into 4 bytes,
     * bucket-join docs agreeing on any byte (capped), keep pairs within
-    * `maxHamming` bits. Output: doc_a, doc_b, hamming. */
+    * `maxHamming` bits. `fp` is narrow compute (no exchange Catalyst could
+    * reuse across the three bucket-join branches), so it is pinned here —
+    * one fingerprint pass, three cheap cache reads. */
   def simHashPairs(fp: DataFrame, maxHamming: Int, maxBucket: Int = 50): DataFrame = {
-    // fp's three consumers below resolve to identical aggregation subtrees
-    // that Catalyst de-duplicates via ReusedExchange — pinning it instead
-    // measurably hurts (cache materialization blocks the fused plan)
+    val fpP = fp.persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("bkey")))
-    val bands = fp.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
+    val bands = fpP.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
     val caps = bands.groupBy($"band", $"bkey").count()
       .filter($"count" >= 2 && $"count" <= maxBucket).select($"band", $"bkey")
@@ -170,24 +187,31 @@ object DedupOps {
 
   /** Word n-gram Jaccard near-dup: candidates bucketed by shared exact
     * word-5-gram (capped), similarity = Jaccard of distinct word-3-gram
-    * hash sets. Output: doc_a, doc_b, n_common, jaccard. */
+    * hash sets. Both gram sets are built as arrays in ONE narrow pass over
+    * the corpus and persisted together. Output: doc_a, doc_b, n_common,
+    * jaccard. */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
                    minJaccard: Double, maxBucket: Int = 20): DataFrame = {
-    val words = docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
+    def gramArr(n: Int): Column = {
+      val g = (0 until n).map(k => s"element_at(ws, i+$k)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      expr(s"""array_distinct(transform(
+              |  transform(sequence(1, size(ws)-${n - 1}), i -> $g),
+              |  s -> ${h31Lambda("s")}))""".stripMargin)
+    }
+    val base = docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
       .filter(size($"ws") >= 5)
-      .repartition($"doc_id") // explode-wide parallelism (see shingleHashes)
-    def grams(n: Int): DataFrame = words.select($"doc_id", explode(expr(
-      s"transform(sequence(1, size(ws)-${n - 1}), i -> concat_ws(' ', " +
-        (0 until n).map(k => s"element_at(ws, i+$k)").mkString(", ") + "))")).as("g"))
-      .select($"doc_id", DetHash.h31($"g").as("h31")).distinct()
-    val buckets = grams(5).select($"doc_id", $"h31".as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .select($"doc_id", gramArr(5).as("b5"), gramArr(3).as("g3"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = base.select($"doc_id", explode($"b5").as("bkey"))
     val caps = buckets.groupBy($"bkey").count()
       .filter($"count" >= 2 && $"count" <= maxBucket).select($"bkey")
     val a = buckets.join(caps, "bkey").select($"bkey", $"doc_id".as("doc_a"))
     val b = buckets.join(caps, "bkey").select($"bkey", $"doc_id".as("doc_b"))
     val cand = a.join(b, "bkey").filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-    trueJaccard(cand, grams(3)).filter($"jaccard" >= minJaccard)
+    trueJaccard(cand, base.select($"doc_id", $"g3".as("hs")))
+      .filter($"jaccard" >= minJaccard)
   }
 }

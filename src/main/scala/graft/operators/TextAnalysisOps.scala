@@ -110,10 +110,12 @@ object TextAnalysisOps {
 
   /** Per-doc MinHash fingerprint (first 4 permutation minima over the
     * 5-char shingle set) — a constant-size document sketch usable as a
-    * locality-sensitive cache/interchange key. Output: doc_id, f0..f3. */
+    * locality-sensitive cache/interchange key. Array-form compute: one
+    * narrow pass, no exchange. Output: doc_id, f0..f3. */
   def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame =
-    DedupOps.shingleHashes(docs, id, text)
-      .groupBy($"doc_id")
-      .agg(min(DetHash.perm(0, $"h31")).as("f0"),
-        (1 until 4).map(i => min(DetHash.perm(i, $"h31")).as(s"f$i")): _*)
+    DedupOps.shingleHashArrays(docs, id, text)
+      .select($"doc_id" +: (0 until 4).map { i =>
+        expr(s"array_min(transform(hs, h -> (h * ${DetHash.MinHashA(i)} + " +
+          s"${DetHash.MinHashB(i)}) % ${DetHash.P31}))").as(s"f$i")
+      }: _*)
 }

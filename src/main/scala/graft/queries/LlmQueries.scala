@@ -58,9 +58,10 @@ object LlmQueries {
         .orderBy("text_hash")),
 
     // MinHash signatures = constant-size document fingerprints
+    // (array-form input: the whole query is exchange-free up to the sort)
     "llm_minhash_sig" -> ((s, d) =>
       DedupOps.minHashSignatures(
-          DedupOps.shingleHashes(docs(s, d), $"doc_id", $"text"))
+          DedupOps.shingleHashArrays(docs(s, d), $"doc_id", $"text"))
         .orderBy("doc_id")),
 
     // MinHash+LSH near-dup pairs (banded bucket join, capped; no all-pairs)

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft._
+
+/** Range/band joins without an O(n²) stage.
+  *
+  * Spark has no IEJoin-style range-join operator; a naive
+  * `a.join(b, abs(a.v - b.v) <= delta)` plans as BroadcastNestedLoopJoin
+  * (all pairs — disqualifying at 100 TB). The standard scale shape,
+  * implemented here: quantize the join value into buckets of width
+  * `delta`, replicate ONE side into its own and the next bucket, then an
+  * ordinary equi shuffle join on (key, bucket) + residual filter. Each
+  * matching pair lands in exactly one or two buckets, so the join's
+  * partitions are bucket-sized — bounded by data density, never by n². */
+object RangeJoinOps {
+
+  /** Self band join: unordered pairs of rows agreeing on `key` with
+    * `|value_a - value_b| <= delta`, `id_a < id_b`. `delta` must be > 0;
+    * values may be any numeric column (compared exactly — pass an
+    * integer-scaled column for money to keep the pairing deterministic).
+    * Output: key, id_a, id_b, v_a, v_b. */
+  def selfBandJoin(df: DataFrame, key: Column, id: Column, value: Column,
+                   delta: Long): DataFrame = {
+    val base = df.select(key.as("key"), id.as("id"), value.as("v"))
+      .withColumn("bucket", floor($"v" / delta))
+    // replicate the probe side into (bucket, bucket+1): the partner with
+    // the equal-or-higher bucket is always found at one of the two
+    val probe = base.select($"key", $"id".as("id_a"), $"v".as("v_a"),
+        explode(array($"bucket", $"bucket" + 1)).as("bucket"))
+    val build = base.select($"key", $"id".as("id_b"), $"v".as("v_b"), $"bucket")
+    probe.join(build, Seq("key", "bucket"))
+      .filter($"id_a" =!= $"id_b" && abs($"v_a" - $"v_b") <= delta)
+      .select($"key",
+        least($"id_a", $"id_b").as("id_a"), greatest($"id_a", $"id_b").as("id_b"),
+        when($"id_a" < $"id_b", $"v_a").otherwise($"v_b").as("v_a"),
+        when($"id_a" < $"id_b", $"v_b").otherwise($"v_a").as("v_b"))
+      .distinct()
+  }
+
+  /** Interval join: each left row (point `ts`) matched to right rows whose
+    * `[start, end)` interval contains it, where intervals are bounded by
+    * `maxLen`. Buckets of width `maxLen`: a point's interval starts in the
+    * point's own or the previous bucket, so the left side replicates ×2
+    * and the join is an ordinary equi join on (key, bucket) + residual —
+    * no nested loop. Output: left row + right row (columns prefixed). */
+  def intervalJoin(points: DataFrame, pKey: Column, pId: Column, pTs: Column,
+                   intervals: DataFrame, iKey: Column, iId: Column,
+                   iStart: Column, iEnd: Column, maxLen: Long): DataFrame = {
+    val p = points.select(pKey.as("key"), pId.as("p_id"), pTs.as("p_ts"))
+      .withColumn("bucket",
+        explode(array(floor($"p_ts" / maxLen), floor($"p_ts" / maxLen) - 1)))
+    val iv = intervals.select(iKey.as("key"), iId.as("i_id"),
+        iStart.as("i_start"), iEnd.as("i_end"))
+      .withColumn("bucket", floor($"i_start" / maxLen))
+    // each interval lives in exactly one bucket and the two point replicas
+    // land in distinct buckets, so every matching pair appears once — no
+    // dedup pass needed
+    p.join(iv, Seq("key", "bucket"))
+      .filter($"p_ts" >= $"i_start" && $"p_ts" < $"i_end" &&
+        $"i_end" - $"i_start" <= maxLen)
+      .select($"key", $"p_id", $"i_id", $"p_ts", $"i_start", $"i_end")
+  }
+}

@@ -86,6 +86,49 @@ object VectorOps {
       .select($"vec_a", $"vec_b", $"cos")
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer — the
+    * `nCentroids` lowest-id vectors stand in for trained k-means seeds —
+    * partitions the corpus into inverted lists (each vector assigned to
+    * its nearest centroid), and each probe searches only its `nProbe`
+    * nearest lists. The scale path when hyperplane LSH recall is too
+    * coarse: nProbe/nCentroids is the recall-vs-cost dial.
+    *
+    * Shuffle audit: centroids are broadcast; the assignment scan is
+    * N×C map-side work with its argmax co-partitioned on vec_id (no
+    * exchange after [[quantize]]'s spread); the only data shuffle is the
+    * list-id join, whose partitions are the inverted lists themselves.
+    * Output: probe_id, vec_id, cos, rk (1-based). */
+  def ivfKnn(vectors: DataFrame, probeIds: Column => Column, k: Int,
+             nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(vectors.orderBy($"vec_id").limit(nCentroids)
+      .select($"vec_id".as("cent_id"), $"qv".as("cv"), $"nrm".as("cn")))
+    val scored = vectors.crossJoin(cents)
+      .withColumn("cdot", expr("aggregate(zip_with(qv, cv, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("ccos", $"cdot".cast("double") /
+        sqrt($"nrm".cast("double") * $"cn".cast("double")))
+    // inverted-list assignment: nearest centroid, ties → higher cent_id
+    val assigned = scored.groupBy($"vec_id")
+      .agg(max(struct($"ccos", $"cent_id")).as("best"))
+      .select($"vec_id", $"best.cent_id".as("list_id"))
+    val lists = vectors.join(assigned, "vec_id")
+    val wp = Window.partitionBy($"probe_id").orderBy($"ccos".desc, $"cent_id")
+    val probeLists = scored.filter(probeIds($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"cent_id", $"ccos")
+      .withColumn("prk", row_number().over(wp)).filter($"prk" <= nProbe)
+      .select($"probe_id", $"cent_id".as("list_id"))
+    val p = vectors.filter(probeIds($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"qv".as("pv"), $"nrm".as("pn"))
+      .join(probeLists, "probe_id")
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    lists.join(p, "list_id")
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("dot", expr("aggregate(zip_with(pv, qv, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"probe_id", $"vec_id", $"cos", $"rk")
+  }
+
   /** LSH-bucketed approximate top-k: probes only score corpus vectors in
     * their own hyperplane bucket (equality join on bucket id — no
     * cross join). Output: probe_id, vec_id, cos, rk. */

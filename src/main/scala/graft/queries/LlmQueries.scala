@@ -33,6 +33,8 @@ object LlmQueries {
   private val AnnProbeMax = 10L    // probe set: vec_id < 10
   private val LshPlanes = 4
   private val EmbDim = 64
+  private val IvfCentroids = 16
+  private val IvfProbe = 4
   private val EmbedPlanes = 6      // 64 buckets — scale dial for dedup
   private val EmbedMinCos = 0.4    // fixtures are random vectors (max ~0.51)
 
@@ -94,12 +96,25 @@ object LlmQueries {
         .orderBy("probe_id", "rk")
     }),
 
+    // IVF-style approximate top-k (inverted lists from a deterministic
+    // coarse quantizer; probes search their nProbe nearest lists)
+    "llm_ann_ivf" -> ((s, d) => {
+      val q = VectorOps.quantize(embs(s, d), $"vec_id", $"embedding")
+      VectorOps.ivfKnn(q, _ < AnnProbeMax, AnnK, IvfCentroids, IvfProbe)
+        .orderBy("probe_id", "rk")
+    }),
+
     // embedding-cosine near-dup pairs (LSH buckets, capped, no all-pairs)
     "llm_embed_dedup" -> ((s, d) =>
       VectorOps.cosineDedup(
           VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
           EmbedMinCos, EmbedPlanes, EmbDim, maxBucket = 500)
         .orderBy("vec_a", "vec_b")),
+
+    // constant-size per-doc fingerprint (4 MinHash minima; exchange-free)
+    "llm_fingerprint" -> ((s, d) =>
+      TextAnalysisOps.fingerprint(docs(s, d), $"doc_id", $"text")
+        .orderBy("doc_id")),
 
     // count-weighted character-trigram language ID
     "llm_lang_id" -> ((s, d) =>
@@ -226,6 +241,14 @@ object LlmQueries {
       WITH $ShingleCte, $SigCte
       SELECT * FROM mh ORDER BY doc_id""",
 
+    "llm_fingerprint" -> {
+      val mins = (0 until 4)
+        .map(i => s"min(${DetHash.permSql(i, "h31")}) AS f$i").mkString(", ")
+      s"""
+      WITH $ShingleCte
+      SELECT doc_id, $mins FROM sh GROUP BY doc_id ORDER BY doc_id"""
+    },
+
     "llm_minhash_dedup" -> s"""
       WITH $ShingleCte, $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect
       SELECT * FROM jac WHERE jaccard >= $MinJaccard ORDER BY doc_a, doc_b""",
@@ -333,6 +356,49 @@ object LlmQueries {
       SELECT probe_id, vec_id, cos, rk FROM scored
       WHERE rk <= $AnnK ORDER BY probe_id, rk"""
     },
+
+    "llm_ann_ivf" -> s"""
+      WITH $QuantCte,
+      cent AS (SELECT vec_id AS cent_id, qv AS cv, nrm AS cn FROM qn
+               ORDER BY vec_id LIMIT $IvfCentroids),
+      centu AS (SELECT cent_id, unnest(cv) AS v,
+                unnest(generate_series(1, len(cv))) AS i FROM cent),
+      cdots AS (
+        SELECT uv.vec_id, uc.cent_id, CAST(sum(uv.v * uc.v) AS BIGINT) AS cdot
+        FROM u uv JOIN centu uc ON uc.i = uv.i GROUP BY 1, 2),
+      ccs AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.cdot AS DOUBLE) / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
+        FROM cdots d JOIN qn v ON v.vec_id = d.vec_id
+        JOIN cent c ON c.cent_id = d.cent_id),
+      assigned AS (
+        SELECT vec_id,
+               (max(struct_pack(c := ccos, id := cent_id))).id AS list_id
+        FROM ccs GROUP BY 1),
+      plists AS (
+        SELECT vec_id AS probe_id, cent_id AS list_id FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cent_id) AS prk
+          FROM ccs WHERE vec_id < $AnnProbeMax)
+        WHERE prk <= $IvfProbe),
+      dots AS (
+        SELECT pl.probe_id, av.vec_id, CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+               any_value(pq.nrm) AS pn, any_value(vq.nrm) AS nrm
+        FROM plists pl
+        JOIN assigned av ON av.list_id = pl.list_id AND av.vec_id <> pl.probe_id
+        JOIN qn pq ON pq.vec_id = pl.probe_id
+        JOIN qn vq ON vq.vec_id = av.vec_id
+        JOIN u ua ON ua.vec_id = pl.probe_id
+        JOIN u ub ON ub.vec_id = av.vec_id AND ub.i = ua.i
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT probe_id, vec_id, $CosSql AS cos,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY $CosSql DESC, vec_id) AS INTEGER) AS rk
+        FROM dots)
+      SELECT probe_id, vec_id, cos, rk FROM scored
+      WHERE rk <= $AnnK ORDER BY probe_id, rk""",
 
     "llm_binary_features" -> s"""
       SELECT doc_id AS media_id,

@@ -176,9 +176,28 @@ object RelationalQueries {
           $"r_ts_us", $"r_tb".as("o_orderkey"),
           ($"r_val".cast("double") / 100.0).as("o_totalprice"))
         .orderBy("event_id")
-    }))
+    }),
+
+    // band join (§2.3 beyond-reference): same-brand part pairs within $1
+    // retail price, via bucket replication — an ordinary equi shuffle join
+    // on (brand, price-bucket), never a nested-loop pair generator
+    "rel_band_join" -> ((s, d) =>
+      graft.operators.RangeJoinOps.selfBandJoin(
+          t(s, d, "part"), $"p_brand", $"p_partkey",
+          round($"p_retailprice" * 100).cast("long"), 100L)
+        .orderBy("key", "id_a", "id_b")))
 
   def oracles: Map[String, String] = Map(
+    "rel_band_join" -> """
+      SELECT a.p_brand AS key, a.p_partkey AS id_a, b.p_partkey AS id_b,
+             CAST(round(a.p_retailprice*100) AS BIGINT) AS v_a,
+             CAST(round(b.p_retailprice*100) AS BIGINT) AS v_b
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       AND abs(CAST(round(a.p_retailprice*100) AS BIGINT)
+             - CAST(round(b.p_retailprice*100) AS BIGINT)) <= 100
+      ORDER BY 1, 2, 3""",
+
     "rel_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty,

@@ -86,6 +86,24 @@ object VectorOps {
       .select($"vec_a", $"vec_b", $"cos")
   }
 
+  /** Per-label mean embedding (class centroids) in long form — one row per
+    * (label, dimension index). Sums are exact milli-quantized integers, so
+    * the mean is engine- and partitioning-independent; the groupBy keys
+    * are labels × dims (tiny), so partial aggregation collapses the corpus
+    * map-side and the single shuffle carries only labels × dims rows.
+    * Long form deliberately: re-assembling arrays adds nothing at scale
+    * and the consumer is usually a broadcast join against it anyway.
+    * Output: label, i (1-based), mean, n. */
+  def labelCentroids(df: DataFrame, label: Column, emb: Column): DataFrame =
+    df.select(label.as("label"), posexplode(
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))")))
+      .select($"label", ($"pos" + 1).cast("long").as("i"), $"col".as("v"))
+      .groupBy($"label", $"i")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      .select($"label", $"i",
+        ($"sv".cast("double") / $"n" / 1000.0).as("mean"), $"n")
+      .orderBy($"label", $"i")
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer — the
     * `nCentroids` lowest-id vectors stand in for trained k-means seeds —
     * partitions the corpus into inverted lists (each vector assigned to

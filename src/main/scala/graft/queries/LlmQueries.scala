@@ -116,6 +116,10 @@ object LlmQueries {
       TextAnalysisOps.fingerprint(docs(s, d), $"doc_id", $"text")
         .orderBy("doc_id")),
 
+    // per-label mean embedding (class centroids), exact-integer sums
+    "llm_label_centroids" -> ((s, d) =>
+      VectorOps.labelCentroids(embs(s, d), $"label", $"embedding")),
+
     // count-weighted character-trigram language ID
     "llm_lang_id" -> ((s, d) =>
       TextAnalysisOps.langId(docs(s, d), $"doc_id", $"text", $"lang")
@@ -446,6 +450,16 @@ object LlmQueries {
       WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= $EmbedMinCos
       ORDER BY 1, 2"""
     },
+
+    "llm_label_centroids" -> """
+      WITH q AS (SELECT label, list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+                 FROM embeddings),
+      u AS (SELECT label, unnest(qv) AS v,
+              unnest(generate_series(1, len(qv))) AS i FROM q)
+      SELECT label, i, CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)/count(*)/1000.0 AS mean,
+             count(*) AS n
+      FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "llm_lang_id" -> s"""
       WITH tri AS (

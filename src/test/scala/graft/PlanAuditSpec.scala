@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit over EVERY SparkEntry query — the 100 TB guard
+  * rails as assertions, so a regression that re-introduces an all-pairs
+  * stage or loses parquet pushdown fails CI, not the cluster.
+  *
+  * - No `CartesianProduct` anywhere, ever.
+  * - `BroadcastNestedLoopJoin` only where a bounded probe/centroid set is
+  *   intentionally broadcast against one corpus scan (k·N / C·N work,
+  *   not N²): the brute-force ANN baseline and the IVF assignment pass.
+  * - The time-range queries must reach the parquet scan with a pushed
+  *   `ts` predicate (VERDICT r1 flagged the `unix_timestamp(ts)` form
+  *   that silently defeats row-group pruning). */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries allowed to contain a broadcast nested-loop stage: the small
+    * side is a constant-bounded set by construction. */
+  private val broadcastLoopOk = Set("llm_ann_topk", "llm_ann_ivf")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name: no unbounded pair generation in the physical plan") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian product in $name:\n$plan")
+      if (!broadcastLoopOk(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"nested-loop join in $name:\n$plan")
+    }
+  }
+
+  test("ts_prorated_total pushes the raw ts range into the parquet scan") {
+    val plan = SparkEntry.queries("ts_prorated_total")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts)"), plan)
+  }
+}

@@ -144,11 +144,34 @@ object TimeSeriesQueries {
           Seq("q=maximum", "c=lick", s"s=$S", s"e=$E"),
           java.time.Instant.ofEpochSecond(EEpoch))
         .orderBy("channel")
-    }))
+    }),
+
+    // wide per-channel view (SURVEY §1.5) at the query surface: pivot the
+    // hourly event counts to one column per event type. The channel list
+    // is the fixed schema catalog — the pivot is a plain conditional
+    // aggregation, ONE shuffle on the hour key, no second value-discovery
+    // scan (never use data-dependent pivot at scale).
+    "ts_pivot_hourly" -> ((s, d) =>
+      events(s, d)
+        .groupBy(unix_micros(date_trunc("hour", $"ts")).as("hour_us"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select($"hour_us" +: Seq("click", "error", "purchase", "signup", "view")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("hour_us")))
 
   private val centsSum = "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    "ts_pivot_hourly" -> """
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+             CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+             CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+      FROM events GROUP BY 1 ORDER BY 1""",
+
     "ts_amt" -> s"""
       SELECT event_type AS channel,
              count(*) AS n,

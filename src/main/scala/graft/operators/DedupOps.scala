@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -100,13 +101,17 @@ object DedupOps {
     * buckets capped at [2, maxBucket] — the LSH skew guard that keeps any
     * single key from generating a quadratic task. Output: doc_a < doc_b. */
   def candidatePairs(bands: DataFrame, maxBucket: Int): DataFrame = {
-    val caps = bands.groupBy($"band", $"bkey").count()
-      .filter($"count" >= 2 && $"count" <= maxBucket)
-      .select($"band", $"bkey")
-    val a = bands.join(caps, Seq("band", "bkey")).select($"band", $"bkey", $"doc_id".as("doc_a"))
-    val b = bands.join(caps, Seq("band", "bkey")).select($"band", $"bkey", $"doc_id".as("doc_b"))
-    a.join(b, Seq("band", "bkey")).filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
+    // bucket-size cap via a window count: ONE shuffle on (band, bkey),
+    // whose partitioning both sides of the self-join then reuse (the
+    // groupBy-caps + two-semi-joins shape costs two more exchanges)
+    val w = Window.partitionBy($"band", $"bkey")
+    val capped = bands
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter($"cnt" >= 2 && $"cnt" <= maxBucket)
+      .select($"band", $"bkey", $"doc_id")
+    capped.join(capped.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
+      .filter($"doc_id" < $"doc_b")
+      .select($"doc_id".as("doc_a"), $"doc_b").distinct()
   }
 
   /** True Jaccard over the candidate pairs only (set semantics on hash
@@ -172,15 +177,19 @@ object DedupOps {
       struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("bkey")))
     val bands = fpP.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-    val caps = bands.groupBy($"band", $"bkey").count()
-      .filter($"count" >= 2 && $"count" <= maxBucket).select($"band", $"bkey")
-    val a = bands.join(caps, Seq("band", "bkey"))
-      .select($"band", $"bkey", $"doc_id".as("doc_a"), $"simhash".as("fp_a"))
-    val b = bands.join(caps, Seq("band", "bkey"))
-      .select($"band", $"bkey", $"doc_id".as("doc_b"), $"simhash".as("fp_b"))
-    a.join(b, Seq("band", "bkey")).filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("long").as("hamming"))
+    // window-count cap + partitioning-reusing self-join (see candidatePairs)
+    val w = Window.partitionBy($"band", $"bkey")
+    val capped = bands
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter($"cnt" >= 2 && $"cnt" <= maxBucket)
+      .select($"band", $"bkey", $"doc_id", $"simhash")
+    capped.join(
+        capped.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("simhash", "fp_b"),
+        Seq("band", "bkey"))
+      .filter($"doc_id" < $"doc_b")
+      .select($"doc_id".as("doc_a"), $"doc_b",
+        bit_count($"simhash".bitwiseXOR($"fp_b")).cast("long").as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
   }
@@ -205,12 +214,15 @@ object DedupOps {
       .select($"doc_id", gramArr(5).as("b5"), gramArr(3).as("g3"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = base.select($"doc_id", explode($"b5").as("bkey"))
-    val caps = buckets.groupBy($"bkey").count()
-      .filter($"count" >= 2 && $"count" <= maxBucket).select($"bkey")
-    val a = buckets.join(caps, "bkey").select($"bkey", $"doc_id".as("doc_a"))
-    val b = buckets.join(caps, "bkey").select($"bkey", $"doc_id".as("doc_b"))
-    val cand = a.join(b, "bkey").filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
+    // window-count cap + partitioning-reusing self-join (see candidatePairs)
+    val capped = buckets
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"bkey")))
+      .filter($"cnt" >= 2 && $"cnt" <= maxBucket)
+      .select($"bkey", $"doc_id")
+    val cand = capped
+      .join(capped.withColumnRenamed("doc_id", "doc_b"), "bkey")
+      .filter($"doc_id" < $"doc_b")
+      .select($"doc_id".as("doc_a"), $"doc_b").distinct()
     trueJaccard(cand, base.select($"doc_id", $"g3".as("hs")))
       .filter($"jaccard" >= minJaccard)
   }

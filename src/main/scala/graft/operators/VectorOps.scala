@@ -72,18 +72,21 @@ object VectorOps {
   def cosineDedup(vectors: DataFrame, minCos: Double, planes: Int, dim: Int,
                   maxBucket: Int): DataFrame = {
     val b = vectors.withColumn("bucket", lshBucket(planes, dim))
-    val caps = b.groupBy($"bucket").count()
-      .filter($"count" >= 2 && $"count" <= maxBucket).select($"bucket")
-    val l = b.join(caps, "bucket")
-      .select($"bucket", $"vec_id".as("vec_a"), $"qv".as("va"), $"nrm".as("na"))
-    val r = b.join(caps, "bucket")
-      .select($"bucket", $"vec_id".as("vec_b"), $"qv".as("vb"), $"nrm".as("nb"))
-    l.join(r, Seq("bucket")).filter($"vec_a" < $"vec_b")
-      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+    // bucket-size cap via a window count: one shuffle on bucket, whose
+    // partitioning the self-join reuses (vs. a count aggregate plus two
+    // extra bucket-join exchanges of the full array payloads)
+    val capped = b
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"bucket")))
+      .filter($"cnt" >= 2 && $"cnt" <= maxBucket)
+      .select($"bucket", $"vec_id", $"qv", $"nrm")
+    val r = capped.select($"bucket", $"vec_id".as("vec_b"), $"qv".as("vb"),
+      $"nrm".as("nb"))
+    capped.join(r, Seq("bucket")).filter($"vec_id" < $"vec_b")
+      .withColumn("dot", expr("aggregate(zip_with(qv, vb, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
       .withColumn("cos", $"dot".cast("double") /
-        sqrt($"na".cast("double") * $"nb".cast("double")))
+        sqrt($"nrm".cast("double") * $"nb".cast("double")))
       .filter($"cos" >= minCos)
-      .select($"vec_a", $"vec_b", $"cos")
+      .select($"vec_id".as("vec_a"), $"vec_b", $"cos")
   }
 
   /** Per-label mean embedding (class centroids) in long form — one row per

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.operators.{DedupOps, VectorOps}
+import graft.queries.Tables
+
+/** Scale-trend probe (diagnostics, not the bench): runs the heaviest
+  * operators on 1×, 4×, and 16× synthetic expansions of the sf corpus
+  * (id-offset unions, so dedup structure is preserved per replica) and
+  * prints the timing trend. Sub-linear-or-linear growth is the pass
+  * criterion — a super-linear jump means a pair generator or window is
+  * quadratic in practice, however clean the plan looks. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().appName("scaleprobe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def expand(df: DataFrame, idCol: String, k: Int, idStep: Long): DataFrame =
+      (0 until k).map { r =>
+        df.withColumn(idCol, col(idCol) + lit(r * idStep))
+      }.reduce(_ unionByName _)
+
+    val docs = Tables.table(spark, sf, "documents").cache()
+    val embs = Tables.table(spark, sf, "embeddings").cache()
+    docs.count(); embs.count()
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"    rows=$n%-8d ${s}%.2f s"); s
+    }
+
+    for (k <- Seq(1, 4, 16)) {
+      println(s"== expansion x$k")
+      val d = expand(docs, "doc_id", k, 10000000L)
+      val e = expand(embs, "vec_id", k, 10000000L)
+      println("  minHashDedup")
+      time(DedupOps.minHashDedup(d, $"doc_id", $"text", 0.8).count())
+      println("  simHashPairs")
+      time(DedupOps.simHashPairs(
+        DedupOps.simHash(d, $"doc_id", $"text"), 2).count())
+      println("  cosineDedup")
+      time(VectorOps.cosineDedup(
+        VectorOps.quantize(e, $"vec_id", $"embedding"), 0.4, 6, 64, 500).count())
+      spark.sharedState.cacheManager.clearCache()
+      docs.cache().count(); embs.cache().count()
+    }
+    spark.stop()
+  }
+}

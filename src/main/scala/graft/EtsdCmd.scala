@@ -104,6 +104,7 @@ object EtsdCmd {
     verb.head.toLower match {
       case 'q' =>
         val spark = SparkSession.builder().appName("etsdCmd")
+          .config("spark.sql.extensions", "graft.GraftExtensions")
           .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
           .config("spark.sql.shuffle.partitions", 32)
           .config("spark.ui.enabled", false).getOrCreate()

@@ -53,9 +53,13 @@ object DetHash {
 
   // ---- Spark side ----
 
-  /** 60-bit positive hash of a string column (first 15 hex chars of md5). */
-  def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit positive hash of a string column (first 15 hex chars of md5),
+    * computed by the native codegen'd [[Md5Long60]] expression — same
+    * values as the hex-string SQL chain, none of its allocations. */
+  def h60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Md5Long60(ColumnBridge.expression(c)))
+  }
 
   /** h60 folded below M31 for overflow-free MinHash permutation. */
   def h31(c: Column): Column = h60(c) % M31

@@ -36,9 +36,6 @@ object DedupOps {
   def normTextSql(e: String): String =
     s"regexp_replace(lower(trim($e)), '\\s+', ' ', 'g')"
 
-  /** [[DetHash.h31]] as a SQL lambda body over element variable `v`. */
-  private def h31Lambda(v: String): String =
-    s"cast(conv(substring(md5($v), 1, 15), 16, 10) as bigint) % ${DetHash.M31}"
 
   /** Exact duplicate grouping: md5 over normalized text, keep the lowest
     * doc id per group. Single hash-shuffle; the canonical first dedup pass
@@ -56,14 +53,15 @@ object DedupOps {
     * not depend on the input file layout (a single small parquet file is
     * one partition — and one core doing all the hashing). */
   def shingleHashArrays(docs: DataFrame, id: Column, text: Column,
-                        shingleLen: Int = 5): DataFrame =
+                        shingleLen: Int = 5): DataFrame = {
+    val shingles = transform(
+      sequence(lit(1), greatest(length($"norm") - (shingleLen - 1), lit(1))),
+      i => $"norm".substr(i, lit(shingleLen)))
     docs.select(id.as("doc_id"), normText(text).as("norm"))
       .repartition($"doc_id")
-      .select($"doc_id", expr(
-        s"""array_distinct(transform(
-           |  transform(sequence(1, greatest(length(norm)-${shingleLen - 1}, 1)),
-           |            i -> substring(norm, i, $shingleLen)),
-           |  s -> ${h31Lambda("s")}))""".stripMargin).as("hs"))
+      .select($"doc_id",
+        array_distinct(transform(shingles, s => DetHash.h31(s))).as("hs"))
+  }
 
   /** Exploded (doc_id, h31) view of [[shingleHashArrays]] — the join-shaped
     * form consumed by [[trueJaccard]]. Distinctness is inherited from the
@@ -155,9 +153,8 @@ object DedupOps {
   def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val hs = docs.select(id.as("doc_id"), normText(text).as("norm"))
       .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
-      .select($"doc_id", expr(
-        "transform(split(norm, ' '), " +
-          "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))").as("hs"))
+      .select($"doc_id",
+        transform(split($"norm", " "), w => DetHash.h60(w)).as("hs"))
     val fp = (0 until 32).map { j =>
       val s = expr(s"aggregate(hs, 0L, (acc, h) -> acc + " +
         s"(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END))")
@@ -202,11 +199,9 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
                    minJaccard: Double, maxBucket: Int = 20): DataFrame = {
     def gramArr(n: Int): Column = {
-      val g = (0 until n).map(k => s"element_at(ws, i+$k)")
-        .mkString("concat_ws(' ', ", ", ", ")")
-      expr(s"""array_distinct(transform(
-              |  transform(sequence(1, size(ws)-${n - 1}), i -> $g),
-              |  s -> ${h31Lambda("s")}))""".stripMargin)
+      val grams = transform(sequence(lit(1), size($"ws") - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at($"ws", i + lit(k))): _*))
+      array_distinct(transform(grams, s => DetHash.h31(s)))
     }
     val base = docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
       .filter(size($"ws") >= 5)

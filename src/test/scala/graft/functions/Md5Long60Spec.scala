@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** The native hash must be value-identical to the SQL chain it replaces
+  * (`conv(substring(md5(x),1,15),16,10)`) — the DuckDB oracles still use
+  * the hex-string form, so any divergence breaks every dedup oracle. */
+class Md5Long60Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def sqlChain(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  test("matches the conv/substring/md5 SQL chain on random strings") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(40)), Gen.asciiPrintableStr.map(_.take(40)),
+      Gen.const(""), Gen.const(" "), Gen.identifier))
+    val strings = gen.sample.get
+    val df = strings.toDF("s")
+      .select(DetHash.h60($"s").as("native"), sqlChain($"s").as("chain"))
+    assert(df.filter($"native" =!= $"chain").isEmpty)
+    // h31 folding parity too
+    val df31 = strings.toDF("s")
+      .select(DetHash.h31($"s").as("native"),
+        (sqlChain($"s") % DetHash.M31).as("chain"))
+    assert(df31.filter($"native" =!= $"chain").isEmpty)
+  }
+
+  test("null propagates; values are 60-bit non-negative") {
+    import spark.implicits._
+    val df = Seq(Some("x"), None).toDF("s").select(DetHash.h60($"s").as("h"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    val h = rows.find(!_.isNullAt(0)).get.getLong(0)
+    assert(h >= 0L && h < (1L << 60))
+  }
+
+  test("works inside codegen'd array transform lambdas") {
+    import spark.implicits._
+    val got = Seq("abcdef").toDF("s")
+      .select(transform(split($"s", ""), ch => DetHash.h60(ch)).as("hs"))
+      .select(explode($"hs")).as[Long].collect()
+    val want = Seq("a", "b", "c", "d", "e", "f").map(ch =>
+      spark.range(1).select(sqlChain(lit(ch))).head.getLong(0))
+    assert(got.toSeq == want)
+  }
+
+  test("graft_h60 is registered in SQL via GraftExtensions") {
+    val viaSql = spark.sql("SELECT graft_h60('hello')").head.getLong(0)
+    val viaChain = spark.range(1).select(sqlChain(lit("hello"))).head.getLong(0)
+    assert(viaSql == viaChain)
+  }
+}

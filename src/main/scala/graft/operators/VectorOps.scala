@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.functions.DetHash
+import graft.functions.{DetHash, LongArrayDot}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -32,7 +32,7 @@ object VectorOps {
     df.select(id.as("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))").as("qv"))
       .repartition($"vec_id")
-      .withColumn("nrm", expr("aggregate(transform(qv, x -> x*x), 0L, (a,x) -> a+x)"))
+      .withColumn("nrm", LongArrayDot($"qv", $"qv"))
 
   private def cosCol: Column =
     $"dot".cast("double") / sqrt($"pn".cast("double") * $"nrm".cast("double"))
@@ -45,7 +45,7 @@ object VectorOps {
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
     vectors.crossJoin(broadcast(p))
       .filter($"vec_id" =!= $"probe_id")
-      .withColumn("dot", expr("aggregate(zip_with(pv, qv, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
@@ -58,8 +58,7 @@ object VectorOps {
   def lshBucket(planes: Int, dim: Int): Column = {
     val signs = DetHash.lshSigns(planes, dim)
     (0 until planes).map { pl =>
-      val dot = expr(s"aggregate(zip_with(qv, array(${signs(pl).mkString(",")}), " +
-        "(x,s) -> x*CAST(s AS BIGINT)), 0L, (a,x) -> a+x)")
+      val dot = LongArrayDot($"qv", typedLit(signs(pl).map(_.toLong)))
       when(dot >= 0, lit(1L << pl)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -82,7 +81,7 @@ object VectorOps {
     val r = capped.select($"bucket", $"vec_id".as("vec_b"), $"qv".as("vb"),
       $"nrm".as("nb"))
     capped.join(r, Seq("bucket")).filter($"vec_id" < $"vec_b")
-      .withColumn("dot", expr("aggregate(zip_with(qv, vb, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("dot", LongArrayDot($"qv", $"vb"))
       .withColumn("cos", $"dot".cast("double") /
         sqrt($"nrm".cast("double") * $"nb".cast("double")))
       .filter($"cos" >= minCos)
@@ -124,7 +123,7 @@ object VectorOps {
     val cents = broadcast(vectors.orderBy($"vec_id").limit(nCentroids)
       .select($"vec_id".as("cent_id"), $"qv".as("cv"), $"nrm".as("cn")))
     val scored = vectors.crossJoin(cents)
-      .withColumn("cdot", expr("aggregate(zip_with(qv, cv, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("cdot", LongArrayDot($"qv", $"cv"))
       .withColumn("ccos", $"cdot".cast("double") /
         sqrt($"nrm".cast("double") * $"cn".cast("double")))
     // inverted-list assignment: nearest centroid, ties → higher cent_id
@@ -143,7 +142,7 @@ object VectorOps {
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
     lists.join(p, "list_id")
       .filter($"vec_id" =!= $"probe_id")
-      .withColumn("dot", expr("aggregate(zip_with(pv, qv, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
@@ -161,7 +160,7 @@ object VectorOps {
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
     bucketed.join(p, "bucket")
       .filter($"vec_id" =!= $"probe_id")
-      .withColumn("dot", expr("aggregate(zip_with(pv, qv, (x,y) -> x*y), 0L, (a,x) -> a+x)"))
+      .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)

@@ -56,4 +56,24 @@ class Md5Long60Spec extends AnyFunSuite {
     val viaChain = spark.range(1).select(sqlChain(lit("hello"))).head.getLong(0)
     assert(viaSql == viaChain)
   }
+
+  test("graft_dot matches the aggregate/zip_with lambda and rejects mismatch") {
+    import spark.implicits._
+    val gen = Gen.listOfN(50,
+      Gen.listOfN(16, Gen.chooseNum(-1000000L, 1000000L)))
+    val rows = gen.sample.get.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    val df = rows.toDF("a", "b")
+    val cmp = df.select(
+      LongArrayDot($"a", $"b").as("native"),
+      expr("aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (s,x) -> s+x)").as("chain"))
+    assert(cmp.filter($"native" =!= $"chain").isEmpty)
+    assert(spark.sql("SELECT graft_dot(array(1L,2L), array(3L,4L))")
+      .head.getLong(0) == 11L)
+    val err = intercept[Exception] {
+      Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
+        .select(LongArrayDot($"a", $"b")).collect()
+    }
+    assert(err.getMessage.contains("length mismatch") ||
+      err.getCause.getMessage.contains("length mismatch"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import graft._
+import graft.codec.{EtsdEncoder, Reading}
+import graft.model.EtsdSchema
+import org.apache.spark.sql.functions._
+
+/** Distributed `.tsd` writer — the reverse of [[EtsdSource]]: export a
+  * fixed-cadence long frame into native ETSD files the reference's own
+  * tools (and our reader/CLI) can open. Completes the interchange story:
+  * a reference user can run this engine and still hand `.tsd` files to
+  * existing tooling.
+  *
+  * Layout: one file per `blocksPerFile` consecutive block spans, named by
+  * the span's start epoch — deterministic, so a replayed/retried task
+  * overwrites its own file (idempotent exactly-once under Structured
+  * Streaming's `foreachBatch` too). One file = one task via `groupByKey`
+  * on the span index; group size is bounded by construction
+  * (blocksPerFile × blockIntervals × channels rows), so no task state
+  * grows with the dataset — `blocksPerFile` is the file-size dial.
+  *
+  * Input contract: `(ts, channel, value, valid)` at the schema's cadence;
+  * counter channels carry the ABSOLUTE odometer (the encoder re-derives
+  * stored deltas, registers, and missed-interval backfill exactly like
+  * the daemon's save path). Missing (channel, interval) slots and rows
+  * with `valid=false` encode as the invalid sentinel. */
+object EtsdSink {
+
+  /** Export and return one row per written file: (path, n_blocks).
+    * An action (the returned Dataset must be consumed). */
+  def export(long: DataFrame, schema: EtsdSchema, outDir: String,
+             blocksPerFile: Int = 256): Dataset[(String, Int)] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    require(blocksPerFile >= 1)
+    val names = schema.channels.map(_.name)
+    val chanIdx = names.zipWithIndex.toMap
+    val span = schema.intervalSec.toLong
+    val fileSpan = span * schema.blockIntervals * blocksPerFile
+    val out = outDir
+
+    long.select(unix_timestamp($"ts").as("te"), $"channel", $"value",
+        $"valid")
+      .as[(Long, String, Option[Long], Boolean)]
+      .groupByKey { case (te, _, _, _) => Math.floorDiv(te, fileSpan) }
+      .mapGroups { (fileIdx, it) =>
+        val rows = it.toArray
+        val bySlot = rows.groupBy { case (te, _, _, _) =>
+          Math.floorDiv(te, span)
+        }
+        val slots = bySlot.keys
+        val enc = new EtsdEncoder(schema)
+        (slots.min to slots.max).foreach { slot =>
+          val present = bySlot.getOrElse(slot, Array.empty)
+            .flatMap { case (_, c, v, ok) =>
+              chanIdx.get(c).map(_ -> (v, ok))
+            }.toMap
+          enc.feed(slot * span, names.indices.map { ci =>
+            present.get(ci) match {
+              case Some((Some(v), true)) => Reading(v)
+              case _                     => Reading(0L, status = 1)
+            }
+          }.toIndexedSeq)
+        }
+        val bytes = enc.toFileBytes()
+        val start = fileIdx * fileSpan
+        val path = new Path(out, f"etsd-$start%012d.tsd")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val os = fs.create(path, true) // overwrite: deterministic + idempotent
+        try os.write(bytes) finally os.close()
+        (path.toString, bytes.length / graft.codec.BlockBuffer.BlockSize - 1)
+      }
+  }
+}

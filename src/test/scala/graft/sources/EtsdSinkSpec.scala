@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft._
+import graft.TestSpark
+import graft.model.{ChannelConfig, EtsdSchema, StreamType}
+
+/** Export → read-back round trip through real .tsd files, including
+  * multi-file splitting, invalid-slot encoding, and idempotent rewrite. */
+class EtsdSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = EtsdSchema(Seq(
+    ChannelConfig("Odo", StreamType.FullS, counter = true, register = true),
+    ChannelConfig("Temp", StreamType.HalfS, signed = true)), intervalSec = 10,
+    blockIntervals = 6)
+  // aligned to the 120 s file span (2 blocks × 6 intervals × 10 s), so the
+  // 30 intervals land in exactly three span-aligned files
+  private val t0 = 1700000040L
+
+  private def longFrame(n: Int) = {
+    import spark.implicits._
+    (0 until n).flatMap { k =>
+      val te = t0 + k * 10L
+      Seq((te, "Odo", Some(1000L + 7L * k), true),
+        (te, "Temp", if (k == 5) None else Some(if (k % 2 == 0) -4L else 25L),
+          k != 5)) // slot 5: invalid gauge reading
+    }.toDF("te", "channel", "value", "valid")
+      .select(org.apache.spark.sql.functions.timestamp_seconds($"te").as("ts"),
+        $"channel", $"value", $"valid")
+  }
+
+  test("export splits files, encodes invalids, and reads back exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sink").toString
+    // 30 intervals, 6/block, 2 blocks/file -> files of 12 intervals: 3 files
+    val written = EtsdSink.export(longFrame(30), schema, dir, blocksPerFile = 2)
+      .collect().sortBy(_._1)
+    assert(written.length == 3)
+    assert(written.map(_._2).toSeq == Seq(2, 2, 1)) // last file short (6 iv)
+
+    val back = EtsdSource.read(spark, dir).filter(!$"is_register").cache()
+    // gauge round-trips with signed values; the invalid slot is null
+    val temp = back.filter($"channel" === "Temp").orderBy("ts").collect()
+    assert(temp.length == 30)
+    assert(temp(5).isNullAt(2) && !temp(5).getBoolean(3))
+    assert((0 until 30).filter(_ != 5).forall(k =>
+      temp(k).getLong(2) == (if (k % 2 == 0) -4L else 25L)))
+    // counter: per-file decoder state -> first sample of each FILE is the
+    // baseline (null), all others carry the constant delta 7
+    val odo = back.filter($"channel" === "Odo").orderBy("ts").collect()
+    assert(odo.length == 30)
+    val nullIdx = odo.zipWithIndex.collect { case (r, i) if r.isNullAt(2) => i }
+    assert(nullIdx.toSeq == Seq(0, 12, 24)) // one baseline per file
+    assert(odo.zipWithIndex.filterNot(p => nullIdx.contains(p._2))
+      .forall(_._1.getLong(2) == 7L))
+
+    // registers re-anchor from block 2 of each file
+    val regRows = EtsdSource.read(spark, dir).filter($"is_register").collect()
+    assert(regRows.length == 5) // 2+2+1 blocks, one register slot each
+
+    // idempotent rewrite: byte-identical second export
+    val before = written.map(w => java.nio.file.Paths.get(
+      new java.net.URI(w._1).getPath)).map(Files.readAllBytes)
+    EtsdSink.export(longFrame(30), schema, dir, blocksPerFile = 2).collect()
+    val after = written.map(w => java.nio.file.Paths.get(
+      new java.net.URI(w._1).getPath)).map(Files.readAllBytes)
+    assert(before.zip(after).forall(p => p._1.sameElements(p._2)))
+
+    // the CLI opens the exported files
+    assert(EtsdCmd.loadSchema(dir) == schema)
+  }
+}

@@ -194,6 +194,27 @@ object Ingest {
         ($"s_c".cast("double") / $"n" / 100.0).as("ave"),
         $"vmin", $"vmax", $"l.v".as("last"))
 
+  /** Native `.tsd` mirror of the reading stream: every micro-batch is
+    * exported through [[graft.sources.EtsdSink]] into span-aligned ETSD
+    * files. Deterministic file names make batch replay idempotent, so the
+    * checkpoint gives effectively-once file contents — the reference's
+    * `etsdCommit`+`etsdRotate` write path (etsdSave.c:58-99) with files
+    * the reference's own tools can read. Input rows: `ts_us, channel,
+    * value, valid` at the schema cadence (counters absolute). */
+  def tsdMirror(rows: DataFrame, schema: graft.model.EtsdSchema,
+                outDir: String, checkpointPath: String,
+                blocksPerFile: Int = 256): StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.EtsdSink.export(
+          batch.select(timestamp_micros($"ts_us").as("ts"), $"channel",
+            $"value", $"valid"),
+          schema, outDir, blocksPerFile).collect()
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   /** Tumbling block-window commit (edd.c:354-368, etsdCommit
     * etsdSave.c:58-75): append to parquet partitioned by the block window
     * start, exactly-once via the checkpoint log. Partition-per-block makes

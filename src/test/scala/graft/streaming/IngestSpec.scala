@@ -72,6 +72,30 @@ class IngestSpec extends AnyFunSuite {
       Ingest.simOdometer(60, 2, 10))
   }
 
+  test("tsdMirror streams micro-batches into readable native .tsd files") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = Files.createTempDirectory("tsd_mirror").toString
+    val ckpt = Files.createTempDirectory("tsd_mirror_ckpt").toString
+    val schema = graft.model.EtsdSchema(
+      Seq(graft.model.ChannelConfig("g1", graft.model.StreamType.FullS)),
+      intervalSec = 10, blockIntervals = 6)
+    val base = 1700000040L // span-aligned (6 iv x 10 s, 1 block/file)
+    val mem = MemoryStream[Long]
+    val rows = mem.toDF.select((lit(base) + $"value" * 10).cast("long").as("te"))
+      .select(($"te" * 1000000L).as("ts_us"), lit("g1").as("channel"),
+        ($"te" % 1000L).as("value"), lit(true).as("valid"))
+    val q = Ingest.tsdMirror(rows, schema, out, ckpt, blocksPerFile = 1)
+    mem.addData(0L to 11L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val back = graft.sources.EtsdSource.read(spark, out).filter(!$"is_register")
+      .orderBy("ts").collect()
+    assert(back.length == 12)
+    assert(back.map(_.getLong(2)).toSeq ==
+      (0 to 11).map(k => (base + k * 10) % 1000L))
+  }
+
   test("AC-voltage offset encode/decode (srcECM.c:45-47,238-253)") {
     import spark.implicits._
     val volts = Seq[Option[Long]](Some(0L), Some(900L), Some(1040L), Some(1200L),

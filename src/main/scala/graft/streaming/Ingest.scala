@@ -200,7 +200,14 @@ object Ingest {
     * checkpoint gives effectively-once file contents — the reference's
     * `etsdCommit`+`etsdRotate` write path (etsdSave.c:58-99) with files
     * the reference's own tools can read. Input rows: `ts_us, channel,
-    * value, valid` at the schema cadence (counters absolute). */
+    * value, valid` at the schema cadence (counters absolute).
+    *
+    * CONTRACT: each micro-batch must carry whole file spans — a file is
+    * rewritten from exactly the rows of the batch that produced it, so a
+    * span split across batches would lose its earlier half. This mirrors
+    * the reference daemon, which also commits only complete blocks
+    * (edd.c:354-368): align the trigger to the span (e.g.
+    * `blocksPerFile = 1` + one block per trigger). */
   def tsdMirror(rows: DataFrame, schema: graft.model.EtsdSchema,
                 outDir: String, checkpointPath: String,
                 blocksPerFile: Int = 256): StreamingQuery =

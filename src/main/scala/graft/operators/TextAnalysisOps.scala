@@ -108,6 +108,41 @@ object TextAnalysisOps {
       .select($"doc_id", $"best.cand_lang".as("pred_lang"), $"best.score".as("score"))
   }
 
+  /** Cross-document boilerplate detection (the CCNet-style pass): split
+    * docs into sentences, hash each doc's DISTINCT sentence set (array
+    * form — no corpus-wide distinct exchange), and report sentences
+    * appearing in at least `minDocs` documents. The single shuffle
+    * carries (sentence-hash, doc) pairs with map-side partial counting.
+    * Output: sent_h31, n_docs, first_doc. */
+  def boilerplate(docs: DataFrame, id: Column, text: Column,
+                  minDocs: Long, minChars: Int = 20): DataFrame = {
+    val sents = filter(split(normText(text), "[.!?]+\\s+"),
+      s => length(s) >= minChars)
+    docs.select(id.as("doc_id"),
+        explode(array_distinct(transform(sents, s => DetHash.h31(s))))
+          .as("sent_h31"))
+      .groupBy($"sent_h31")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= minDocs)
+  }
+
+  /** Intra-document repetition (a Gopher-style quality rule): fraction of
+    * duplicated word-3-grams. Entirely narrow — the gram set never leaves
+    * its row. Docs under 3 words are excluded (no trigrams to measure).
+    * Output: doc_id, n_grams, n_distinct, rep_ratio. */
+  def repetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val grams = transform(sequence(lit(1), size($"ws") - 2),
+      i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + lit(1)),
+        element_at($"ws", i + lit(2))))
+    docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", grams.as("gs"))
+      .select($"doc_id", size($"gs").cast("long").as("n_grams"),
+        size(array_distinct($"gs")).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - $"n_distinct".cast("double") / $"n_grams")
+  }
+
   /** Per-doc MinHash fingerprint (first 4 permutation minima over the
     * 5-char shingle set) — a constant-size document sketch usable as a
     * locality-sensitive cache/interchange key. Array-form compute: one

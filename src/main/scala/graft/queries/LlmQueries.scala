@@ -120,6 +120,16 @@ object LlmQueries {
     "llm_label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(embs(s, d), $"label", $"embedding")),
 
+    // cross-doc boilerplate sentences (CCNet-style shared-sentence pass)
+    "llm_boilerplate" -> ((s, d) =>
+      TextAnalysisOps.boilerplate(docs(s, d), $"doc_id", $"text", minDocs = 2)
+        .orderBy("sent_h31")),
+
+    // intra-doc 3-gram repetition ratio (Gopher-style quality rule)
+    "llm_repetition" -> ((s, d) =>
+      TextAnalysisOps.repetition(docs(s, d), $"doc_id", $"text")
+        .orderBy("doc_id")),
+
     // count-weighted character-trigram language ID
     "llm_lang_id" -> ((s, d) =>
       TextAnalysisOps.langId(docs(s, d), $"doc_id", $"text", $"lang")
@@ -460,6 +470,27 @@ object LlmQueries {
       SELECT label, i, CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)/count(*)/1000.0 AS mean,
              count(*) AS n
       FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "llm_boilerplate" -> s"""
+      WITH sent AS (
+        SELECT DISTINCT doc_id, ${h31("s")} AS sent_h31
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(norm, '[.!?]+\\s+')) AS s
+              FROM (SELECT doc_id, $Norm AS norm FROM documents))
+        WHERE length(s) >= 20)
+      SELECT sent_h31, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM sent GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+
+    "llm_repetition" -> """
+      WITH g AS (
+        SELECT doc_id, list_transform(generate_series(1, len(ws)-2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+        FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents)
+        WHERE len(ws) >= 3)
+      SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+             1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)/len(gs) AS rep_ratio
+      FROM g ORDER BY 1""",
 
     "llm_lang_id" -> s"""
       WITH tri AS (

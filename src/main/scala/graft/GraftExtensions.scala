@@ -14,5 +14,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(Md5Long60.registryEntry)
     ext.injectFunction(LongArrayDot.registryEntry)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

@@ -185,9 +185,33 @@ object RelationalQueries {
       graft.operators.RangeJoinOps.selfBandJoin(
           t(s, d, "part"), $"p_brand", $"p_partkey",
           round($"p_retailprice" * 100).cast("long"), 100L)
-        .orderBy("key", "id_a", "id_b")))
+        .orderBy("key", "id_a", "id_b")),
+
+    // the same capability written NAIVELY — plain abs(va-vb) <= 10 with
+    // no equi key, which Spark alone would nested-loop. The injected
+    // graft.plans.BandJoinRewrite optimizer rule turns it into the
+    // bucketed equi join automatically (PlanAuditSpec proves no
+    // nested-loop stage survives in this very query's plan).
+    "rel_band_join_auto" -> ((s, d) => {
+      val p = t(s, d, "part").select($"p_partkey",
+        round($"p_retailprice" * 100).cast("long").as("v"))
+      val a = p.select($"p_partkey".as("id_a"), $"v".as("v_a"))
+      val b = p.select($"p_partkey".as("id_b"), $"v".as("v_b"))
+      a.join(b, abs($"v_a" - $"v_b") <= lit(10L) && $"id_a" < $"id_b")
+        .orderBy("id_a", "id_b")
+    }))
 
   def oracles: Map[String, String] = Map(
+    "rel_band_join_auto" -> """
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             CAST(round(a.p_retailprice*100) AS BIGINT) AS v_a,
+             CAST(round(b.p_retailprice*100) AS BIGINT) AS v_b
+      FROM part a JOIN part b
+        ON abs(CAST(round(a.p_retailprice*100) AS BIGINT)
+             - CAST(round(b.p_retailprice*100) AS BIGINT)) <= 10
+       AND a.p_partkey < b.p_partkey
+      ORDER BY 1, 2""",
+
     "rel_band_join" -> """
       SELECT a.p_brand AS key, a.p_partkey AS id_a, b.p_partkey AS id_b,
              CAST(round(a.p_retailprice*100) AS BIGINT) AS v_a,

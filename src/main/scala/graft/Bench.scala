@@ -34,10 +34,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
-    }.toMap
+    } // keep the name-sorted Seq: stable JSON field order run-to-run
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

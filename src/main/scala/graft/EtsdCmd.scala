@@ -35,9 +35,11 @@ object EtsdCmd {
   private def firstFile(path: String): Path = {
     val p = Paths.get(path)
     if (Files.isDirectory(p)) {
-      Files.list(p).iterator().asScala
+      val s = Files.list(p)
+      try s.iterator().asScala
         .filter(_.toString.endsWith(".tsd")).toSeq.sorted.headOption
         .getOrElse(throw new IllegalArgumentException(s"no .tsd files in $path"))
+      finally s.close()
     } else p
   }
 
@@ -80,11 +82,15 @@ object EtsdCmd {
   /** `LogBlock` hex dump (errorlog.c:139-183): 16 bytes per line, offset +
     * hex + printable ASCII. `sector` 0 = header block. */
   def dumpSector(path: String, sector: Int): String = {
-    val bytes = Files.readAllBytes(firstFile(path))
-    val off = sector * BlockBuffer.BlockSize
-    require(off >= 0 && off + BlockBuffer.BlockSize <= bytes.length,
-      s"sector $sector out of range (file has ${bytes.length / BlockBuffer.BlockSize})")
-    val block = bytes.slice(off, off + BlockBuffer.BlockSize)
+    val f = firstFile(path)
+    val size = Files.size(f)
+    val off = sector.toLong * BlockBuffer.BlockSize
+    require(sector >= 0 && off + BlockBuffer.BlockSize <= size,
+      s"sector $sector out of range (file has ${size / BlockBuffer.BlockSize})")
+    // seek + one 512-byte read — the file may be arbitrarily large
+    val block = new Array[Byte](BlockBuffer.BlockSize)
+    val raf = new java.io.RandomAccessFile(f.toFile, "r")
+    try { raf.seek(off); raf.readFully(block) } finally raf.close()
     val header = if (sector == 0) s"sector 0 (header)" else {
       val b = BlockBuffer(block)
       s"sector $sector ts=${b.timestamp} validIntervals=${b.validIntervals}"

@@ -99,13 +99,18 @@ object DedupOps {
     * buckets capped at [2, maxBucket] — the LSH skew guard that keeps any
     * single key from generating a quadratic task. Output: doc_a < doc_b. */
   def candidatePairs(bands: DataFrame, maxBucket: Int): DataFrame = {
-    // bucket-size cap via a window count: ONE shuffle on (band, bkey),
-    // whose partitioning both sides of the self-join then reuse (the
-    // groupBy-caps + two-semi-joins shape costs two more exchanges)
-    val w = Window.partitionBy($"band", $"bkey")
-    val capped = bands
-      .withColumn("cnt", count(lit(1)).over(w))
-      .filter($"cnt" >= 2 && $"cnt" <= maxBucket)
+    // bucket-size cap via partial aggregation: hot keys are counted
+    // map-side and the tiny caps table broadcasts, so a degenerate
+    // mega-bucket never lands in one task (a window count over the key
+    // would buffer the whole hot bucket in a single WindowExec just to
+    // discard it). The band rows are pinned — three consumers (caps +
+    // both self-join sides), a few small rows per doc; identical-plan
+    // cache dedup in Spark's CacheManager keeps repeated calls bounded.
+    val b = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    val caps = b.groupBy($"band", $"bkey").count()
+      .filter($"count" >= 2 && $"count" <= maxBucket)
+      .select($"band", $"bkey")
+    val capped = b.join(caps, Seq("band", "bkey"))
       .select($"band", $"bkey", $"doc_id")
     capped.join(capped.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
       .filter($"doc_id" < $"doc_b")
@@ -165,20 +170,19 @@ object DedupOps {
 
   /** Near-dup pairs by SimHash: band the 32-bit fingerprint into 4 bytes,
     * bucket-join docs agreeing on any byte (capped), keep pairs within
-    * `maxHamming` bits. `fp` is narrow compute (no exchange Catalyst could
-    * reuse across the three bucket-join branches), so it is pinned here —
-    * one fingerprint pass, three cheap cache reads. */
+    * `maxHamming` bits. */
   def simHashPairs(fp: DataFrame, maxHamming: Int, maxBucket: Int = 50): DataFrame = {
+    // pin the fingerprints (tiny: doc_id + one long) — three consumers
+    // below; identical-plan cache dedup keeps repeated calls bounded
     val fpP = fp.persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("bkey")))
     val bands = fpP.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-    // window-count cap + partitioning-reusing self-join (see candidatePairs)
-    val w = Window.partitionBy($"band", $"bkey")
-    val capped = bands
-      .withColumn("cnt", count(lit(1)).over(w))
-      .filter($"cnt" >= 2 && $"cnt" <= maxBucket)
+    // skew-safe partial-agg cap (see candidatePairs)
+    val caps = bands.groupBy($"band", $"bkey").count()
+      .filter($"count" >= 2 && $"count" <= maxBucket).select($"band", $"bkey")
+    val capped = bands.join(caps, Seq("band", "bkey"))
       .select($"band", $"bkey", $"doc_id", $"simhash")
     capped.join(
         capped.withColumnRenamed("doc_id", "doc_b")
@@ -209,11 +213,11 @@ object DedupOps {
       .select($"doc_id", gramArr(5).as("b5"), gramArr(3).as("g3"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = base.select($"doc_id", explode($"b5").as("bkey"))
-    // window-count cap + partitioning-reusing self-join (see candidatePairs)
-    val capped = buckets
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"bkey")))
-      .filter($"cnt" >= 2 && $"cnt" <= maxBucket)
-      .select($"bkey", $"doc_id")
+    // skew-safe partial-agg cap + single reused capped subtree (see
+    // candidatePairs)
+    val caps = buckets.groupBy($"bkey").count()
+      .filter($"count" >= 2 && $"count" <= maxBucket).select($"bkey")
+    val capped = buckets.join(caps, "bkey")
     val cand = capped
       .join(capped.withColumnRenamed("doc_id", "doc_b"), "bkey")
       .filter($"doc_id" < $"doc_b")

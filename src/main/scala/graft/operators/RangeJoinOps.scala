@@ -17,15 +17,30 @@ import graft._
   * partitions are bucket-sized — bounded by data density, never by n². */
 object RangeJoinOps {
 
+  /** Exact floor-division bucket for integral values: subtract the
+    * non-negative `pmod` remainder first so the integral divide is exact
+    * for negatives and for magnitudes beyond 2^53, where a double
+    * `floor(v / delta)` could round across a bucket edge and silently
+    * DROP a qualifying pair (same construction as
+    * [[graft.plans.BandJoinRewrite]]). */
+  private def bucketOf(v: Column, delta: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Literal, Pmod, Subtract}
+    import org.apache.spark.sql.types.LongType
+    val x = Cast(expression(v), LongType)
+    val d = Literal(delta, LongType)
+    column(IntegralDivide(Subtract(x, Pmod(x, d)), d))
+  }
+
   /** Self band join: unordered pairs of rows agreeing on `key` with
     * `|value_a - value_b| <= delta`, `id_a < id_b`. `delta` must be > 0;
-    * values may be any numeric column (compared exactly — pass an
-    * integer-scaled column for money to keep the pairing deterministic).
+    * values must be integral (compared exactly — pass an integer-scaled
+    * column for money to keep the pairing deterministic).
     * Output: key, id_a, id_b, v_a, v_b. */
   def selfBandJoin(df: DataFrame, key: Column, id: Column, value: Column,
                    delta: Long): DataFrame = {
     val base = df.select(key.as("key"), id.as("id"), value.as("v"))
-      .withColumn("bucket", floor($"v" / delta))
+      .withColumn("bucket", bucketOf($"v", delta))
     // replicate the probe side into (bucket, bucket+1): the partner with
     // the equal-or-higher bucket is always found at one of the two
     val probe = base.select($"key", $"id".as("id_a"), $"v".as("v_a"),
@@ -51,10 +66,10 @@ object RangeJoinOps {
                    iStart: Column, iEnd: Column, maxLen: Long): DataFrame = {
     val p = points.select(pKey.as("key"), pId.as("p_id"), pTs.as("p_ts"))
       .withColumn("bucket",
-        explode(array(floor($"p_ts" / maxLen), floor($"p_ts" / maxLen) - 1)))
+        explode(array(bucketOf($"p_ts", maxLen), bucketOf($"p_ts", maxLen) - 1)))
     val iv = intervals.select(iKey.as("key"), iId.as("i_id"),
         iStart.as("i_start"), iEnd.as("i_end"))
-      .withColumn("bucket", floor($"i_start" / maxLen))
+      .withColumn("bucket", bucketOf($"i_start", maxLen))
     // each interval lives in exactly one bucket and the two point replicas
     // land in distinct buckets, so every matching pair appears once — no
     // dedup pass needed

@@ -28,9 +28,11 @@ object VectorOps {
     * Output: id, qv (array<long>), nrm (long). Spread by id so the k·N
     * scoring scan parallelizes even when the corpus arrives as one small
     * file (one partition otherwise — one core scoring everything). */
+  private def quantizeArr(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
+
   def quantize(df: DataFrame, id: Column, emb: Column): DataFrame =
-    df.select(id.as("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))").as("qv"))
+    df.select(id.as("vec_id"), quantizeArr(emb).as("qv"))
       .repartition($"vec_id")
       .withColumn("nrm", LongArrayDot($"qv", $"qv"))
 
@@ -71,12 +73,13 @@ object VectorOps {
   def cosineDedup(vectors: DataFrame, minCos: Double, planes: Int, dim: Int,
                   maxBucket: Int): DataFrame = {
     val b = vectors.withColumn("bucket", lshBucket(planes, dim))
-    // bucket-size cap via a window count: one shuffle on bucket, whose
-    // partitioning the self-join reuses (vs. a count aggregate plus two
-    // extra bucket-join exchanges of the full array payloads)
-    val capped = b
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"bucket")))
-      .filter($"cnt" >= 2 && $"cnt" <= maxBucket)
+    // skew-safe bucket cap: partial-agg count (hot buckets collapse
+    // map-side, the tiny caps table broadcasts) + one capped subtree
+    // whose join exchange both self-join sides reuse — a window count
+    // here would buffer a whole degenerate bucket in one task
+    val caps = b.groupBy($"bucket").count()
+      .filter($"count" >= 2 && $"count" <= maxBucket).select($"bucket")
+    val capped = b.join(caps, "bucket")
       .select($"bucket", $"vec_id", $"qv", $"nrm")
     val r = capped.select($"bucket", $"vec_id".as("vec_b"), $"qv".as("vb"),
       $"nrm".as("nb"))
@@ -97,8 +100,7 @@ object VectorOps {
     * and the consumer is usually a broadcast join against it anyway.
     * Output: label, i (1-based), mean, n. */
   def labelCentroids(df: DataFrame, label: Column, emb: Column): DataFrame =
-    df.select(label.as("label"), posexplode(
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))")))
+    df.select(label.as("label"), posexplode(quantizeArr(emb)))
       .select($"label", ($"pos" + 1).cast("long").as("i"), $"col".as("v"))
       .groupBy($"label", $"i")
       .agg(sum($"v").as("sv"), count(lit(1)).as("n"))

@@ -57,7 +57,7 @@ object EtsdQueryApi {
     // `begin` = first stored sample (reference seeks block 1,
     // etsdQuery.c:259-261) — one scalar agg, evaluated only when used
     lazy val begin: Instant = Instant.ofEpochSecond(
-      df.agg(min(unix_timestamp($"ts"))).head.getLong(0))
+      df.agg(min(unix_timestamp($"ts"))).head().getLong(0))
     def epoch(lit: String): Long = {
       val b = if (lit.toLowerCase.contains("begin")) begin
               else Instant.EPOCH // unused unless 'begin' appears

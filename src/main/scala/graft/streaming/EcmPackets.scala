@@ -76,10 +76,14 @@ object EcmPackets {
             aux5 = le(buf, i + 56, 4),
             valid = true, reset = acX10 == 0)
           i += PacketLen
-        } else { // checksum failure: emit an invalid marker, resync after it
+        } else {
+          // checksum failure: emit one invalid marker, then resync from
+          // just past the sync bytes — a false sync inside garbage must
+          // not swallow a real packet starting within the failed window
+          // (the reference's byte-wise state machine recovers it too)
           out += EcmReading(recvUs, 0, 0, 0xFF, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
             valid = false, reset = false)
-          i += PacketLen
+          i += Sync.length
         }
       } else i += 1 // garbage byte: scan forward for the sync header
     }

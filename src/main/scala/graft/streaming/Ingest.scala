@@ -206,11 +206,13 @@ object Ingest {
     * rewritten from exactly the rows of the batch that produced it, so a
     * span split across batches would lose its earlier half. This mirrors
     * the reference daemon, which also commits only complete blocks
-    * (edd.c:354-368): align the trigger to the span (e.g.
-    * `blocksPerFile = 1` + one block per trigger). */
+    * (edd.c:354-368). The default `blocksPerFile = 1` makes the span one
+    * block (`blockIntervals × intervalSec` — e.g. 60 s for the default
+    * ECM layout), so any trigger at least that long is safe; raise it
+    * only with a correspondingly longer trigger. */
   def tsdMirror(rows: DataFrame, schema: graft.model.EtsdSchema,
                 outDir: String, checkpointPath: String,
-                blocksPerFile: Int = 256): StreamingQuery =
+                blocksPerFile: Int = 1): StreamingQuery =
     rows.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sources.EtsdSink.export(

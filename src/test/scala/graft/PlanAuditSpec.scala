@@ -15,7 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *   that silently defeats row-group pruning). */
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
   /** Queries allowed to contain a broadcast nested-loop stage: the small
     * side is a constant-bounded set by construction. */

@@ -39,6 +39,13 @@ class EcmPacketsSpec extends AnyFunSuite {
     assert(rs.head.ac_code == 0xFF) // invalid marker
   }
 
+  test("a false sync in garbage does not swallow a real packet behind it") {
+    val falseSync = Array[Byte](0xFE.toByte, 0xFF.toByte, 0x03, 0, 0, 0, 0, 0, 0, 0)
+    val rs = decodeBuffer(1L, falseSync ++ good)
+    assert(rs.map(_.valid) == Seq(false, true)) // marker, then the real packet
+    assert(rs(1).seconds == 10)
+  }
+
   test("zero AC volts marks a source reset (power cycle)") {
     val cycled = encode(3, 0, 0, Seq(0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L))
     val r = decodeBuffer(1L, cycled) match { case Seq(one) => one }

@@ -275,11 +275,14 @@ object TimeSeriesOps {
   /** The planned kitchen-sink single-pass stats struct (`ETSD_KS`,
     * etsdQuery.h:25-55): count, invalid count, min/max/avg/total,
     * time-of-min/max, first/count/conditional-average of over/under
-    * threshold crossings — one `agg` pass, all built-ins.
-    * Timestamps out as epoch micros; averages as exact-integer ratios. */
+    * threshold crossings — one `agg` pass, all built-ins. Invalid
+    * intervals are counted (`errCnt`) but EXCLUDED from every value
+    * statistic, the reference's skip-on-invalid semantics
+    * (etsdQuery.c:320-324). Timestamps out as epoch micros; averages as
+    * exact-integer ratios over the VALID count. */
   def kitchenSink(df: DataFrame, chan: Column, ts: Column, value: Column,
                   invalid: Column, over: Double, under: Double): DataFrame = {
-    val v = value
+    val v = when(!invalid, value) // null for invalid rows → aggs skip them
     val tus = unix_micros(ts)
     df.groupBy(chan.as("channel")).agg(
       count(lit(1)).as("n"),
@@ -287,8 +290,8 @@ object TimeSeriesOps {
       min(v).as("vmin"),
       max(v).as("vmax"),
       sum(cents(v)).as("tot_c"),
-      min(struct(v.as("v"), tus.as("t"))).as("smin"),
-      max(struct(v.as("v"), tus.as("t"))).as("smax"),
+      min(when(v.isNotNull, struct(v.as("v"), tus.as("t")))).as("smin"),
+      max(when(v.isNotNull, struct(v.as("v"), tus.as("t")))).as("smax"),
       count_if(v > over).as("n_over"),
       count_if(v < under).as("n_under"),
       min(when(v > over, tus)).as("first_over_us"),
@@ -297,7 +300,7 @@ object TimeSeriesOps {
       sum(when(v < under, cents(v))).as("under_c"))
     .select($"channel", $"n", $"n_invalid", $"vmin", $"vmax",
       ($"tot_c".cast("double") / 100.0).as("tot"),
-      ($"tot_c".cast("double") / $"n" / 100.0).as("ave"),
+      ($"tot_c".cast("double") / ($"n" - $"n_invalid") / 100.0).as("ave"),
       $"smin.t".as("t_min_us"), $"smax.t".as("t_max_us"),
       $"n_over", $"n_under", $"first_over_us", $"first_under_us",
       ($"over_c".cast("double") / nullif($"n_over", lit(0)) / 100.0).as("ave_over"),

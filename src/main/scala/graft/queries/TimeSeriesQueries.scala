@@ -234,24 +234,30 @@ object TimeSeriesQueries {
       GROUP BY 1 ORDER BY 1""",
 
     "ts_ks" -> s"""
+      WITH e AS (
+        SELECT event_type, ts, props,
+               CASE WHEN json_extract_string(props, '$$.k') = '0' THEN NULL
+                    ELSE value END AS v
+        FROM events)
       SELECT event_type AS channel,
              count(*) AS n,
-             CAST(count_if(json_extract_string(props, '$$.k') = '0') AS BIGINT) AS n_invalid,
-             min(value) AS vmin,
-             max(value) AS vmax,
-             CAST($centsSum AS DOUBLE)/100.0 AS tot,
-             CAST($centsSum AS DOUBLE)/count(*)/100.0 AS ave,
-             (min(struct_pack(v := value, t := epoch_us(ts)))).t AS t_min_us,
-             (max(struct_pack(v := value, t := epoch_us(ts)))).t AS t_max_us,
-             CAST(count_if(value > 200.0) AS BIGINT) AS n_over,
-             CAST(count_if(value < 50.0) AS BIGINT) AS n_under,
-             min(CASE WHEN value > 200.0 THEN epoch_us(ts) END) AS first_over_us,
-             min(CASE WHEN value < 50.0 THEN epoch_us(ts) END) AS first_under_us,
-             CAST(sum(CASE WHEN value > 200.0 THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)
-               / nullif(count_if(value > 200.0), 0) / 100.0 AS ave_over,
-             CAST(sum(CASE WHEN value < 50.0 THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)
-               / nullif(count_if(value < 50.0), 0) / 100.0 AS ave_under
-      FROM events GROUP BY 1 ORDER BY 1""",
+             CAST(count_if(v IS NULL) AS BIGINT) AS n_invalid,
+             min(v) AS vmin,
+             max(v) AS vmax,
+             CAST(CAST(sum(CAST(round(v*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS tot,
+             CAST(CAST(sum(CAST(round(v*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / (count(*) - count_if(v IS NULL)) / 100.0 AS ave,
+             (min(CASE WHEN v IS NOT NULL THEN struct_pack(v := v, t := epoch_us(ts)) END)).t AS t_min_us,
+             (max(CASE WHEN v IS NOT NULL THEN struct_pack(v := v, t := epoch_us(ts)) END)).t AS t_max_us,
+             CAST(count_if(v > 200.0) AS BIGINT) AS n_over,
+             CAST(count_if(v < 50.0) AS BIGINT) AS n_under,
+             min(CASE WHEN v > 200.0 THEN epoch_us(ts) END) AS first_over_us,
+             min(CASE WHEN v < 50.0 THEN epoch_us(ts) END) AS first_under_us,
+             CAST(sum(CASE WHEN v > 200.0 THEN CAST(round(v*100) AS BIGINT) END) AS DOUBLE)
+               / nullif(count_if(v > 200.0), 0) / 100.0 AS ave_over,
+             CAST(sum(CASE WHEN v < 50.0 THEN CAST(round(v*100) AS BIGINT) END) AS DOUBLE)
+               / nullif(count_if(v < 50.0), 0) / 100.0 AS ave_under
+      FROM e GROUP BY 1 ORDER BY 1""",
 
     "ts_gap_fill" -> s"""
       WITH h AS (

@@ -105,7 +105,10 @@ object DedupOps {
     // would buffer the whole hot bucket in a single WindowExec just to
     // discard it). The band rows are pinned — three consumers (caps +
     // both self-join sides), a few small rows per doc; identical-plan
-    // cache dedup in Spark's CacheManager keeps repeated calls bounded.
+    // cache dedup in Spark's CacheManager keeps repeated calls on the
+    // SAME input bounded. Long-lived sessions deduping many distinct
+    // corpora should clear entries between runs (spark.catalog
+    // .clearCache or DataFrame.unpersist on the returned lineage).
     val b = bands.persist(StorageLevel.MEMORY_AND_DISK)
     val caps = b.groupBy($"band", $"bkey").count()
       .filter($"count" >= 2 && $"count" <= maxBucket)

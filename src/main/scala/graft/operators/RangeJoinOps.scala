@@ -17,20 +17,11 @@ import graft._
   * partitions are bucket-sized — bounded by data density, never by n². */
 object RangeJoinOps {
 
-  /** Exact floor-division bucket for integral values: subtract the
-    * non-negative `pmod` remainder first so the integral divide is exact
-    * for negatives and for magnitudes beyond 2^53, where a double
-    * `floor(v / delta)` could round across a bucket edge and silently
-    * DROP a qualifying pair (same construction as
-    * [[graft.plans.BandJoinRewrite]]). */
-  private def bucketOf(v: Column, delta: Long): Column = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Literal, Pmod, Subtract}
-    import org.apache.spark.sql.types.LongType
-    val x = Cast(expression(v), LongType)
-    val d = Literal(delta, LongType)
-    column(IntegralDivide(Subtract(x, Pmod(x, d)), d))
-  }
+  /** Exact floor-division bucket, shared with the optimizer rule —
+    * see [[graft.functions.ExactBucket]] for why neither double `floor`
+    * nor the pmod-subtract form is safe at the extremes. */
+  private def bucketOf(v: Column, delta: Long): Column =
+    graft.functions.ExactBucket.col(v, delta)
 
   /** Self band join: unordered pairs of rows agreeing on `key` with
     * `|value_a - value_b| <= delta`, `id_a < id_b`. `delta` must be > 0;

@@ -282,11 +282,15 @@ object TimeSeriesOps {
     * exact-integer ratios over the VALID count. */
   def kitchenSink(df: DataFrame, chan: Column, ts: Column, value: Column,
                   invalid: Column, over: Double, under: Double): DataFrame = {
-    val v = when(!invalid, value) // null for invalid rows → aggs skip them
+    // a NULL flag means "not invalid" — without the coalesce, three-valued
+    // logic would drop the row from the value stats while n_invalid did
+    // not count it, skewing the average's denominator
+    val inv = coalesce(invalid, lit(false))
+    val v = when(!inv, value) // null for invalid rows → aggs skip them
     val tus = unix_micros(ts)
     df.groupBy(chan.as("channel")).agg(
       count(lit(1)).as("n"),
-      count_if(invalid).as("n_invalid"),
+      count_if(inv).as("n_invalid"),
       min(v).as("vmin"),
       max(v).as("vmax"),
       sum(cents(v)).as("tot_c"),

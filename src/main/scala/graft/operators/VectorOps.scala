@@ -72,11 +72,14 @@ object VectorOps {
     * buckets at higher N). Output: vec_a < vec_b, cos. */
   def cosineDedup(vectors: DataFrame, minCos: Double, planes: Int, dim: Int,
                   maxBucket: Int): DataFrame = {
+    // the bucketed corpus feeds three consumers (caps + both self-join
+    // sides); pin it so the planes× dot-product bucketing runs once —
+    // identical-plan cache dedup bounds repeated calls on the same input
     val b = vectors.withColumn("bucket", lshBucket(planes, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew-safe bucket cap: partial-agg count (hot buckets collapse
-    // map-side, the tiny caps table broadcasts) + one capped subtree
-    // whose join exchange both self-join sides reuse — a window count
-    // here would buffer a whole degenerate bucket in one task
+    // map-side, the tiny caps table broadcasts) — a window count here
+    // would buffer a whole degenerate bucket in one task
     val caps = b.groupBy($"bucket").count()
       .filter($"count" >= 2 && $"count" <= maxBucket).select($"bucket")
     val capped = b.join(caps, "bucket")

@@ -95,14 +95,11 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }.collectFirst { case Some(t) => t }
   }
 
-  /** Exact floor-division bucket for any integral value: subtract the
-    * non-negative `pmod` remainder first, so the integral divide is
-    * exact for negatives too (no float rounding anywhere). */
-  private def bucket(v: Expression, delta: Long): Expression = {
-    val x = Cast(v, LongType)
-    val d = Literal(delta, LongType)
-    IntegralDivide(Subtract(x, Pmod(x, d)), d)
-  }
+  /** Exact floor-division bucket — shared with RangeJoinOps via
+    * [[graft.functions.ExactBucket]] (exact for every long, including
+    * the Long.MinValue neighbourhood; no float rounding anywhere). */
+  private def bucket(v: Expression, delta: Long): Expression =
+    graft.functions.ExactBucket.expr(v, delta)
 
   private def rewrite(j: Join, lv: Expression, rv: Expression,
                       delta: Long): LogicalPlan = {

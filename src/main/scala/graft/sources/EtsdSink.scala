@@ -41,15 +41,7 @@ object EtsdSink {
     val span = schema.intervalSec.toLong
     val fileSpan = span * schema.blockIntervals * blocksPerFile
     val out = outDir
-    // ship the session's hadoop conf to the tasks (a bare Configuration
-    // would drop spark.hadoop.* settings — s3a credentials, default FS)
-    val hadoopProps: Seq[(String, String)] = {
-      val c = spark.sparkContext.hadoopConfiguration
-      val it = c.iterator()
-      val b = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-      b.result()
-    }
+    val hadoopProps = HadoopConfs.props(spark)
 
     long.select(unix_timestamp($"ts").as("te"), $"channel", $"value",
         $"valid")
@@ -77,9 +69,7 @@ object EtsdSink {
         val bytes = enc.toFileBytes()
         val start = fileIdx * fileSpan
         val path = new Path(out, f"etsd-$start%012d.tsd")
-        val conf = new org.apache.hadoop.conf.Configuration()
-        hadoopProps.foreach { case (k, v) => conf.set(k, v) }
-        val fs = path.getFileSystem(conf)
+        val fs = path.getFileSystem(HadoopConfs.build(hadoopProps))
         val os = fs.create(path, true) // overwrite: deterministic + idempotent
         try os.write(bytes) finally os.close()
         (path.toString, bytes.length / graft.codec.BlockBuffer.BlockSize - 1)

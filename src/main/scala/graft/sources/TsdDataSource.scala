@@ -126,15 +126,8 @@ private[sources] class TsdScan(path: String, lo: Long, hi: Long,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // ship the session's hadoop conf (spark.hadoop.* — s3a credentials,
-    // default FS) to the executors; a bare Configuration would drop it
-    val c = SparkSession.active.sessionState.newHadoopConf()
-    val it = c.iterator()
-    val props = Seq.newBuilder[(String, String)]
-    while (it.hasNext) { val e = it.next(); props += e.getKey -> e.getValue }
-    new TsdReaderFactory(props.result())
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsdReaderFactory(HadoopConfs.props(SparkSession.active))
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.empty()
@@ -150,11 +143,7 @@ private[sources] class TsdReaderFactory(hadoopProps: Seq[(String, String)])
 
 private[sources] class TsdPartitionReader(p: TsdInputPartition,
     hadoopProps: Seq[(String, String)]) extends PartitionReader[InternalRow] {
-  private val fs = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    hadoopProps.foreach { case (k, v) => conf.set(k, v) }
-    new Path(p.file).getFileSystem(conf)
-  }
+  private val fs = new Path(p.file).getFileSystem(HadoopConfs.build(hadoopProps))
   private val in = fs.open(new Path(p.file))
   private val schema: EtsdSchema = {
     val hdr = new Array[Byte](BlockBuffer.BlockSize)

@@ -57,12 +57,14 @@ object EcmPackets {
   def decodeBuffer(recvUs: Long, buf: Array[Byte]): Seq[EcmReading] = {
     val out = Seq.newBuilder[EcmReading]
     var i = 0
+    var inFailureBurst = false // one invalid marker per garbage burst
     while (i + PacketLen <= buf.length) {
       if (buf(i) == Sync(0) && buf(i + 1) == Sync(1) && buf(i + 2) == Sync(2)) {
         var sum = 0
         var j = 0
         while (j < PacketLen - 1) { sum = (sum + (buf(i + j) & 0xFF)) & 0xFF; j += 1 }
         if (sum == (buf(i + PacketLen - 1) & 0xFF)) {
+          inFailureBurst = false
           val acX10 = ((buf(i + 3) & 0xFF) << 8) | (buf(i + 4) & 0xFF) // big-endian
           out += EcmReading(recvUs,
             seconds = le(buf, i + 60, 2).toInt,
@@ -77,12 +79,16 @@ object EcmPackets {
             valid = true, reset = acX10 == 0)
           i += PacketLen
         } else {
-          // checksum failure: emit one invalid marker, then resync from
-          // just past the sync bytes — a false sync inside garbage must
-          // not swallow a real packet starting within the failed window
-          // (the reference's byte-wise state machine recovers it too)
-          out += EcmReading(recvUs, 0, 0, 0xFF, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-            valid = false, reset = false)
+          // checksum failure: resync from just past the sync bytes — a
+          // false sync inside garbage must not swallow a real packet
+          // starting within the failed window (the reference's byte-wise
+          // state machine recovers it too). Only the FIRST failure of a
+          // burst emits an invalid marker: repeated false syncs in line
+          // noise would otherwise flood downstream invalid accounting.
+          if (!inFailureBurst)
+            out += EcmReading(recvUs, 0, 0, 0xFF, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+              valid = false, reset = false)
+          inFailureBurst = true
           i += Sync.length
         }
       } else i += 1 // garbage byte: scan forward for the sync header

@@ -206,10 +206,12 @@ object Ingest {
     * rewritten from exactly the rows of the batch that produced it, so a
     * span split across batches would lose its earlier half. This mirrors
     * the reference daemon, which also commits only complete blocks
-    * (edd.c:354-368). The default `blocksPerFile = 1` makes the span one
-    * block (`blockIntervals × intervalSec` — e.g. 60 s for the default
-    * ECM layout), so any trigger at least that long is safe; raise it
-    * only with a correspondingly longer trigger. */
+    * (edd.c:354-368). Spans are epoch-ALIGNED, so batch boundaries must
+    * be aligned too, not merely span-length apart: drive this sink from
+    * a batcher that cuts on span boundaries (e.g. the event-time window
+    * that closes a block) rather than a free-running processing-time
+    * trigger. The default `blocksPerFile = 1` keeps the span one block
+    * (`blockIntervals × intervalSec`). */
   def tsdMirror(rows: DataFrame, schema: graft.model.EtsdSchema,
                 outDir: String, checkpointPath: String,
                 blocksPerFile: Int = 1): StreamingQuery =

@@ -46,6 +46,13 @@ class EcmPacketsSpec extends AnyFunSuite {
     assert(rs(1).seconds == 10)
   }
 
+  test("a garbage burst of repeated syncs emits ONE invalid marker") {
+    val burst = Array.fill(30)(Array[Byte](0xFE.toByte, 0xFF.toByte, 0x03)).flatten
+    val rs = decodeBuffer(1L, burst ++ good)
+    assert(rs.map(_.valid) == Seq(false, true)) // not one marker per sync
+    assert(rs(1).seconds == 10)
+  }
+
   test("zero AC volts marks a source reset (power cycle)") {
     val cycled = encode(3, 0, 0, Seq(0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L))
     val r = decodeBuffer(1L, cycled) match { case Seq(one) => one }

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Retention — the reference's `etsdRotate` (etsdSave.c:80-99) made
+  * concrete: where the daemon renames the live file and starts fresh,
+  * partitioned storage just drops old partitions. Works on both sink
+  * layouts: `block_epoch=<n>` parquet partitions ([[graft.streaming
+  * .Ingest.commitStream]]) and span-named `etsd-<epoch>.tsd` files
+  * ([[EtsdSink]]). Driver-side directory listing only — deletion is a
+  * metadata operation, never a data scan. */
+object Retention {
+
+  /** Delete partitions/files whose epoch LABEL (the span/block start) is
+    * strictly below `cutoff` — i.e. everything that STARTS before the
+    * cutoff. To keep any span containing the cutoff, pass the cutoff
+    * rounded down to a span boundary. Returns the deleted paths. */
+  def dropBlocksBefore(spark: SparkSession, dir: String,
+                       cutoffEpoch: Long): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    val PartRe = "block_epoch=(-?\\d+)".r
+    val TsdRe = "etsd-(\\d+)\\.tsd".r
+    fs.listStatus(root).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      val epoch = name match {
+        case PartRe(e) => Some(e.toLong)
+        case TsdRe(e)  => Some(e.toLong)
+        case _         => None
+      }
+      epoch.filter(_ < cutoffEpoch).map { _ =>
+        fs.delete(st.getPath, true)
+        st.getPath.toString
+      }
+    }
+  }
+}

@@ -73,4 +73,17 @@ class EtsdSinkSpec extends AnyFunSuite {
     // the CLI opens the exported files
     assert(EtsdCmd.loadSchema(dir) == schema)
   }
+
+  test("Retention drops span files below the cutoff (etsdRotate analog)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ret").toString
+    EtsdSink.export(longFrame(30), schema, dir, blocksPerFile = 2).collect()
+    // cutoff at the second span's start: only the first file goes
+    val dropped = Retention.dropBlocksBefore(spark, dir, t0 + 120)
+    assert(dropped.length == 1 && dropped.head.contains("etsd-001700000040"))
+    val left = graft.sources.EtsdSource.read(spark, dir)
+      .filter(!$"is_register").count()
+    assert(left == 36) // (30 - 12 dropped intervals) x 2 channels
+    assert(Retention.dropBlocksBefore(spark, dir, 0L).isEmpty) // no-op
+  }
 }

@@ -351,16 +351,20 @@ object LlmQueries {
       bucket AS (SELECT vec_id,
                CAST(sum(CASE WHEN d >= 0 THEN $buckVal ELSE 0 END) AS BIGINT) AS bucket
                FROM bdot GROUP BY 1),
+      pbuckets AS ( -- multi-probe: own bucket + every Hamming-1 neighbour
+        SELECT vec_id AS probe_id, unnest([bucket,
+          ${(0 until LshPlanes).map(pl => s"xor(bucket, ${1L << pl})").mkString(", ")}]) AS bucket
+        FROM bucket WHERE vec_id < $AnnProbeMax),
       dots AS (
-        SELECT pa.vec_id AS probe_id, pb.vec_id AS vec_id,
+        SELECT pl.probe_id, pb.vec_id AS vec_id,
                CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
                any_value(pa.nrm) AS pn, any_value(pb.nrm) AS nrm
-        FROM qn pa JOIN bucket ba ON ba.vec_id = pa.vec_id
-        JOIN bucket bb ON bb.bucket = ba.bucket
-        JOIN qn pb ON pb.vec_id = bb.vec_id AND pb.vec_id <> pa.vec_id
-        JOIN u ua ON ua.vec_id = pa.vec_id
+        FROM pbuckets pl
+        JOIN bucket bb ON bb.bucket = pl.bucket
+        JOIN qn pa ON pa.vec_id = pl.probe_id
+        JOIN qn pb ON pb.vec_id = bb.vec_id AND pb.vec_id <> pl.probe_id
+        JOIN u ua ON ua.vec_id = pl.probe_id
         JOIN u ub ON ub.vec_id = pb.vec_id AND ub.i = ua.i
-        WHERE pa.vec_id < $AnnProbeMax
         GROUP BY 1, 2),
       scored AS (
         SELECT probe_id, vec_id, $CosSql AS cos,

@@ -38,4 +38,14 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(ts)"), plan)
   }
+
+  test("rel_band_join_auto is actually rewritten (Generate in the plan)") {
+    // the no-nested-loop assertion above would also fail if the rule
+    // stopped firing, but assert the rewrite's fingerprint directly:
+    // the bucket-replication explode only exists if BandJoinRewrite ran
+    val plan = SparkEntry.queries("rel_band_join_auto")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Generate explode"), plan)
+    assert(plan.contains("__graft_band_bucket"), plan)
+  }
 }

@@ -50,7 +50,13 @@ object EtsdQueryApi {
     val verb = TimeSeriesOps.amtVerb(a.verb)
 
     val chanName = a.chan.map { c =>
-      schema.channel(c).getOrElse(
+      // number or name, like the reference CLI (etsdCmd.c:429-438):
+      // all-digits → channel index, else case-insensitive substring
+      val cfg =
+        if (c.nonEmpty && c.forall(_.isDigit))
+          schema.channels.lift(c.toInt)
+        else schema.channel(c)
+      cfg.getOrElse(
         throw new IllegalArgumentException(s"channel '$c' not found")).name
     }
 

@@ -63,6 +63,9 @@ class EtsdSourceSpec extends AnyFunSuite {
     }
     // q=maximum matched by substring; channel 'temp' resolves TempC
     assert(one("q=maximum", "c=temp") == ((n, 20.0)))
+    // channel by NUMBER, like the reference CLI (etsdCmd.c:429-438)
+    assert(one("q=maximum", "c=1") == ((n, 20.0)))
+    intercept[IllegalArgumentException](one("q=max", "c=9"))
     assert(one("q=MINI", "c=temp") == ((n, -5.0)))
     // counter totals are sums of deltas; first sample is invalid -> n-1 rows
     assert(one("q=tot", "c=odo") == ((n - 1, 7.0 * (n - 1))))

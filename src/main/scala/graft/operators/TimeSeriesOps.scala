@@ -281,7 +281,9 @@ object TimeSeriesOps {
     * (etsdQuery.c:320-324). Timestamps out as epoch micros; averages as
     * exact-integer ratios over the VALID count. */
   def kitchenSink(df: DataFrame, chan: Column, ts: Column, value: Column,
-                  invalid: Column, over: Double, under: Double): DataFrame = {
+                  invalid: Column, over: Double, under: Double,
+                  equal: Double = Double.NaN): DataFrame = {
+    val eq = if (equal.isNaN) over else equal // default: crossing the over line
     // a NULL flag means "not invalid" — without the coalesce, three-valued
     // logic would drop the row from the value stats while n_invalid did
     // not count it, skewing the average's denominator
@@ -298,15 +300,19 @@ object TimeSeriesOps {
       max(when(v.isNotNull, struct(v.as("v"), tus.as("t")))).as("smax"),
       count_if(v > over).as("n_over"),
       count_if(v < under).as("n_under"),
+      // equality in exact cents space — doubles compare reliably there
+      count_if(cents(v) === cents(lit(eq))).as("n_equal"),
       min(when(v > over, tus)).as("first_over_us"),
       min(when(v < under, tus)).as("first_under_us"),
+      min(when(cents(v) === cents(lit(eq)), tus)).as("first_equal_us"),
       sum(when(v > over, cents(v))).as("over_c"),
       sum(when(v < under, cents(v))).as("under_c"))
     .select($"channel", $"n", $"n_invalid", $"vmin", $"vmax",
       ($"tot_c".cast("double") / 100.0).as("tot"),
       ($"tot_c".cast("double") / ($"n" - $"n_invalid") / 100.0).as("ave"),
       $"smin.t".as("t_min_us"), $"smax.t".as("t_max_us"),
-      $"n_over", $"n_under", $"first_over_us", $"first_under_us",
+      $"n_over", $"n_under", $"n_equal",
+      $"first_over_us", $"first_under_us", $"first_equal_us",
       ($"over_c".cast("double") / nullif($"n_over", lit(0)) / 100.0).as("ave_over"),
       ($"under_c".cast("double") / nullif($"n_under", lit(0)) / 100.0).as("ave_under"))
   }

@@ -73,7 +73,8 @@ object TimeSeriesQueries {
     // ETSD_KS kitchen-sink single-pass stats (etsdQuery.h:25-55)
     "ts_ks" -> ((s, d) =>
       TimeSeriesOps.kitchenSink(events(s, d), $"event_type", $"ts", $"value",
-          get_json_object($"props", "$.k") === "0", over = 200.0, under = 50.0)
+          get_json_object($"props", "$.k") === "0", over = 200.0, under = 50.0,
+          equal = 100.0)
         .orderBy("channel")),
 
     // missed-interval average backfill (etsdSave.c:394-402,445-459)
@@ -251,8 +252,10 @@ object TimeSeriesQueries {
              (max(CASE WHEN v IS NOT NULL THEN struct_pack(v := v, t := epoch_us(ts)) END)).t AS t_max_us,
              CAST(count_if(v > 200.0) AS BIGINT) AS n_over,
              CAST(count_if(v < 50.0) AS BIGINT) AS n_under,
+             CAST(count_if(CAST(round(v*100) AS BIGINT) = 10000) AS BIGINT) AS n_equal,
              min(CASE WHEN v > 200.0 THEN epoch_us(ts) END) AS first_over_us,
              min(CASE WHEN v < 50.0 THEN epoch_us(ts) END) AS first_under_us,
+             min(CASE WHEN CAST(round(v*100) AS BIGINT) = 10000 THEN epoch_us(ts) END) AS first_equal_us,
              CAST(sum(CASE WHEN v > 200.0 THEN CAST(round(v*100) AS BIGINT) END) AS DOUBLE)
                / nullif(count_if(v > 200.0), 0) / 100.0 AS ave_over,
              CAST(sum(CASE WHEN v < 50.0 THEN CAST(round(v*100) AS BIGINT) END) AS DOUBLE)

@@ -29,10 +29,19 @@ import org.apache.spark.sql.functions._
   * with `valid=false` encode as the invalid sentinel. */
 object EtsdSink {
 
-  /** Export and return one row per written file: (path, n_blocks).
+  /** One row per written file: the file's full planning metadata,
+    * computed from the bytes just written (no re-reads). `toIndexEntry`
+    * feeds the `_graft_index` sidecar. */
+  final case class WrittenFile(path: String, name: String, fileLen: Long,
+      nBlocks: Long, firstTs: Long, lastTs: Long, blockSpanSec: Long) {
+    def toIndexEntry: TsdIndexEntry =
+      TsdIndexEntry(name, fileLen, nBlocks, firstTs, lastTs, blockSpanSec)
+  }
+
+  /** Export and return one row per written file.
     * An action (the returned Dataset must be consumed). */
   def export(long: DataFrame, schema: EtsdSchema, outDir: String,
-             blocksPerFile: Int = 256): Dataset[(String, Int)] = {
+             blocksPerFile: Int = 256): Dataset[WrittenFile] = {
     val spark = long.sparkSession
     import spark.implicits._
     require(blocksPerFile >= 1)
@@ -72,7 +81,26 @@ object EtsdSink {
         val fs = path.getFileSystem(HadoopConfs.build(hadoopProps))
         val os = fs.create(path, true) // overwrite: deterministic + idempotent
         try os.write(bytes) finally os.close()
-        (path.toString, bytes.length / graft.codec.BlockBuffer.BlockSize - 1)
+        val bsz = graft.codec.BlockBuffer.BlockSize
+        val nBlocks = bytes.length / bsz - 1
+        def tsAt(sector: Long): Long =
+          graft.codec.BlockBuffer(
+            bytes.slice((sector * bsz).toInt, (sector * bsz).toInt + bsz)).timestamp
+        WrittenFile(path.toString, path.getName, bytes.length.toLong,
+          nBlocks.toLong, tsAt(1), tsAt(nBlocks.toLong),
+          schema.blockIntervals.toLong * schema.intervalSec)
       }
+  }
+
+  /** Export AND maintain the `_graft_index` sidecar in one pass: runs
+    * the export action, then merges the written files' metadata into the
+    * index from the rows already in hand — the sink-maintained index the
+    * planner reads instead of probing files (see [[TsdIndex]]). Returns
+    * the written-file rows. */
+  def exportIndexed(long: DataFrame, schema: EtsdSchema, outDir: String,
+                    blocksPerFile: Int = 256): Seq[WrittenFile] = {
+    val written = export(long, schema, outDir, blocksPerFile).collect().toSeq
+    TsdIndex.merge(long.sparkSession, outDir, written.map(_.toIndexEntry))
+    written
   }
 }

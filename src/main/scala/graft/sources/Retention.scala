@@ -34,6 +34,18 @@ object Retention {
         fs.delete(st.getPath, true)
         st.getPath.toString
       }
+    } match {
+      case deleted =>
+        // keep the sidecar index in step (stale entries are harmless --
+        // the planner only trusts entries whose file is still listed --
+        // but dropping them keeps the sidecar from growing forever)
+        if (deleted.nonEmpty) TsdIndex.load(fs, root).foreach { cached =>
+          val gone = deleted.map(p => new Path(p).getName).toSet
+          if (gone.exists(cached.contains))
+            TsdIndex.merge(spark, dir, Seq.empty,
+              drop = cached.keySet.intersect(gone))
+        }
+        deleted
     }
   }
 }

@@ -94,43 +94,38 @@ private[sources] class TsdScan(path: String, lo: Long, hi: Long,
   private def hadoopFs(p: Path) =
     p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Surviving index entries after file-level time pruning, computed
+    * once per scan. Planning metadata comes from [[TsdIndex]] — the
+    * sidecar where fresh, one distributed probe job otherwise — so the
+    * driver never reads data-file bytes regardless of file count
+    * (the many-file form of etsdFindBlock's E_BEFORE/E_AFTER checks,
+    * etsdRead.c:300-353). */
+  private lazy val pruned: Seq[(String, TsdIndexEntry)] = {
     val root = new Path(path)
+    val spark = SparkSession.active
     val fs = hadoopFs(root)
-    val files = (if (fs.getFileStatus(root).isDirectory) fs.listStatus(root).toSeq
-                 else Seq(fs.getFileStatus(root)))
-      .filter(f => f.isFile && f.getLen >= 2 * BlockBuffer.BlockSize)
-    files.flatMap { f =>
-      val nBlocks = f.getLen / BlockBuffer.BlockSize - 1 // minus header
-      val in = fs.open(f.getPath)
-      val (schema, firstTs, lastTs) =
-        try {
-          val hdr = new Array[Byte](BlockBuffer.BlockSize)
-          in.readFully(0, hdr)
-          def tsAt(off: Long): Long = { // 4-byte LE block timestamp probe
-            val w = new Array[Byte](4)
-            in.readFully(off, w)
-            java.nio.ByteBuffer.wrap(w)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0).toLong & 0xFFFFFFFFL
-          }
-          (HeaderCodec.decode(hdr), tsAt(BlockBuffer.BlockSize),
-            tsAt(nBlocks * BlockBuffer.BlockSize))
-        } finally in.close()
-      val span = schema.blockIntervals.toLong * schema.intervalSec
-      // file-level prune (etsdFindBlock's E_BEFORE/E_AFTER checks)
-      if (lastTs + span < lo || firstTs > hi) Seq.empty
-      else (1L to nBlocks by blocksPerPartition).map { s =>
-        TsdInputPartition(f.getPath.toString, s,
-          math.min(s + blocksPerPartition - 1, nBlocks), lo, hi)
+    val dir = if (fs.getFileStatus(root).isDirectory) root else root.getParent
+    TsdIndex.forPlanning(spark, fs, root)
+      .filter(e => e.lastTs + e.blockSpanSec >= lo && e.firstTs <= hi)
+      .map(e => (new Path(dir, e.name).toString, e))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    pruned.flatMap { case (file, e) =>
+      (1L to e.nBlocks by blocksPerPartition).map { s =>
+        TsdInputPartition(file, s,
+          math.min(s + blocksPerPartition - 1, e.nBlocks), lo, hi)
       }
     }.toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TsdReaderFactory(HadoopConfs.props(SparkSession.active))
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+    // post-prune bytes from the index: lets AQE/broadcast decisions see
+    // a time-filtered .tsd scan as small when it is
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(pruned.map(_._2.fileLen).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 }

@@ -217,10 +217,12 @@ object Ingest {
                 blocksPerFile: Int = 1): StreamingQuery =
     rows.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.EtsdSink.export(
+        // exportIndexed keeps the _graft_index sidecar current per batch,
+        // so a reader planning over the streamed layout never probes files
+        graft.sources.EtsdSink.exportIndexed(
           batch.select(timestamp_micros($"ts_us").as("ts"), $"channel",
             $"value", $"valid"),
-          schema, outDir, blocksPerFile).collect()
+          schema, outDir, blocksPerFile)
         ()
       }
       .option("checkpointLocation", checkpointPath)

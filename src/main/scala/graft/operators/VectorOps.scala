@@ -111,12 +111,58 @@ object VectorOps {
         ($"sv".cast("double") / $"n" / 1000.0).as("mean"), $"n")
       .orderBy($"label", $"i")
 
-  /** IVF-style approximate top-k: a deterministic coarse quantizer — the
-    * `nCentroids` lowest-id vectors stand in for trained k-means seeds —
-    * partitions the corpus into inverted lists (each vector assigned to
-    * its nearest centroid), and each probe searches only its `nProbe`
-    * nearest lists. The scale path when hyperplane LSH recall is too
-    * coarse: nProbe/nCentroids is the recall-vs-cost dial.
+  /** Lloyd's k-means in DataFrame form, fully deterministic so the
+    * DuckDB oracle reproduces it bit-for-bit: seeds are the `nCentroids`
+    * lowest-id vectors; assignment is the exact-integer cosine argmax
+    * (ties → higher cent_id); the update is the per-dimension
+    * `floor(sum / n)` mean in milli-quantized space (sums stay < 2⁵³, so
+    * the double division is exact); a list that loses all members keeps
+    * its previous centroid.
+    *
+    * Per iteration: one broadcast of C centroids, one map-side N×C
+    * assignment scan, one (cent, dim)-keyed aggregation whose partial
+    * combine collapses the corpus map-side — no all-pairs stage, and the
+    * only driver state is the C centroid rows themselves (bounded by
+    * `nCentroids`, like any k-means driver loop; materializing them per
+    * round also keeps the plan depth constant instead of nesting).
+    * Output: cent_id, cv (array<long>), cn (squared norm). */
+  def trainCentroids(vectors: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var cents: DataFrame = vectors.orderBy($"vec_id").limit(nCentroids)
+      .select($"vec_id".as("cent_id"), $"qv".as("cv"))
+    for (_ <- 0 until iters) {
+      val cur = cents.select($"cent_id", $"cv").as[(Long, Seq[Long])]
+        .collect().toSeq.toDF("cent_id", "cv")
+      val c = broadcast(cur.withColumn("cn", LongArrayDot($"cv", $"cv")))
+      val assigned = vectors.crossJoin(c)
+        .withColumn("cdot", LongArrayDot($"qv", $"cv"))
+        .withColumn("ccos", $"cdot".cast("double") /
+          sqrt($"nrm".cast("double") * $"cn".cast("double")))
+        .groupBy($"vec_id")
+        .agg(max(struct($"ccos", $"cent_id")).as("best"))
+        .select($"vec_id", $"best.cent_id".as("list_id"))
+      val updated = vectors.join(assigned, "vec_id")
+        .select($"list_id".as("cent_id"), posexplode($"qv"))
+        .groupBy($"cent_id", $"pos")
+        .agg(floor(sum($"col").cast("double") / count(lit(1)))
+          .cast("long").as("m"))
+        .groupBy($"cent_id")
+        .agg(sort_array(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"cent_id", transform($"pm", x => x.getField("m")).as("nv"))
+      cents = cur.join(updated, Seq("cent_id"), "left")
+        .select($"cent_id", coalesce($"nv", $"cv").as("cv"))
+    }
+    cents.withColumn("cn", LongArrayDot($"cv", $"cv"))
+  }
+
+  /** IVF-style approximate top-k: a deterministic coarse quantizer —
+    * [[trainCentroids]] (lowest-id seeds refined by `trainIters` Lloyd's
+    * rounds) — partitions the corpus into inverted lists (each vector
+    * assigned to its nearest centroid), and each probe searches only its
+    * `nProbe` nearest lists. The scale path when hyperplane LSH recall
+    * is too coarse: nProbe/nCentroids/trainIters are the recall-vs-cost
+    * dials.
     *
     * Shuffle audit: centroids are broadcast; the assignment scan is
     * N×C map-side work with its argmax co-partitioned on vec_id (no
@@ -124,9 +170,9 @@ object VectorOps {
     * list-id join, whose partitions are the inverted lists themselves.
     * Output: probe_id, vec_id, cos, rk (1-based). */
   def ivfKnn(vectors: DataFrame, probeIds: Column => Column, k: Int,
-             nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = broadcast(vectors.orderBy($"vec_id").limit(nCentroids)
-      .select($"vec_id".as("cent_id"), $"qv".as("cv"), $"nrm".as("cn")))
+             nCentroids: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+    val cents = broadcast(trainCentroids(vectors, nCentroids, trainIters)
+      .select($"cent_id", $"cv", $"cn"))
     val scored = vectors.crossJoin(cents)
       .withColumn("cdot", LongArrayDot($"qv", $"cv"))
       .withColumn("ccos", $"cdot".cast("double") /

@@ -35,6 +35,7 @@ object LlmQueries {
   private val EmbDim = 64
   private val IvfCentroids = 16
   private val IvfProbe = 4
+  private val IvfIters = 2         // Lloyd's rounds refining the seeds
   private val EmbedPlanes = 6      // 64 buckets — scale dial for dedup
   private val EmbedMinCos = 0.4    // fixtures are random vectors (max ~0.51)
 
@@ -96,11 +97,13 @@ object LlmQueries {
         .orderBy("probe_id", "rk")
     }),
 
-    // IVF-style approximate top-k (inverted lists from a deterministic
-    // coarse quantizer; probes search their nProbe nearest lists)
+    // IVF-style approximate top-k (inverted lists from a Lloyd's-trained
+    // deterministic coarse quantizer; probes search their nProbe nearest
+    // lists)
     "llm_ann_ivf" -> ((s, d) => {
       val q = VectorOps.quantize(embs(s, d), $"vec_id", $"embedding")
-      VectorOps.ivfKnn(q, _ < AnnProbeMax, AnnK, IvfCentroids, IvfProbe)
+      VectorOps.ivfKnn(q, _ < AnnProbeMax, AnnK, IvfCentroids, IvfProbe,
+          IvfIters)
         .orderBy("probe_id", "rk")
     }),
 
@@ -212,6 +215,43 @@ object LlmQueries {
 
   private val CosSql =
     "CAST(dot AS DOUBLE) / sqrt(CAST(pn AS DOUBLE) * CAST(nrm AS DOUBLE))"
+
+  /** Unrolled Lloyd's iterations mirroring VectorOps.trainCentroids:
+    * seeds = lowest-id vectors (centu0); each round assigns every vector
+    * to its exact-integer-cosine argmax centroid (ties → higher cent_id)
+    * and re-centers as the per-dimension floor mean; a centroid whose
+    * list empties keeps its previous coordinates (the LEFT JOIN +
+    * coalesce). Produces `centu<iters>` in unnested (cent_id, v, i)
+    * form. */
+  private def ivfTrainCtes(iters: Int): String = {
+    val sb = new StringBuilder(s"""
+      centu0 AS (SELECT cent_id, unnest(cv) AS v,
+                 unnest(generate_series(1, len(cv))) AS i
+                 FROM (SELECT vec_id AS cent_id, qv AS cv FROM qn
+                       ORDER BY vec_id LIMIT $IvfCentroids))""")
+    for (k <- 0 until iters) sb ++= s""",
+      tcn$k AS (SELECT cent_id, CAST(sum(v * v) AS BIGINT) AS cn
+                FROM centu$k GROUP BY 1),
+      tdot$k AS (SELECT uv.vec_id, uc.cent_id,
+                 CAST(sum(uv.v * uc.v) AS BIGINT) AS cdot
+                 FROM u uv JOIN centu$k uc ON uc.i = uv.i GROUP BY 1, 2),
+      tccs$k AS (SELECT d.vec_id, d.cent_id,
+                 CAST(d.cdot AS DOUBLE) /
+                   sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
+                 FROM tdot$k d JOIN qn q ON q.vec_id = d.vec_id
+                 JOIN tcn$k c ON c.cent_id = d.cent_id),
+      tasg$k AS (SELECT vec_id,
+                 (max(struct_pack(c := ccos, id := cent_id))).id AS list_id
+                 FROM tccs$k GROUP BY 1),
+      tnew$k AS (SELECT a.list_id AS cent_id, uv.i,
+                 CAST(floor(CAST(sum(uv.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+                 FROM tasg$k a JOIN u uv ON uv.vec_id = a.vec_id
+                 GROUP BY 1, 2),
+      centu${k + 1} AS (SELECT c.cent_id, coalesce(n.v, c.v) AS v, c.i
+                 FROM centu$k c LEFT JOIN tnew$k n
+                 ON n.cent_id = c.cent_id AND n.i = c.i)"""
+    sb.toString
+  }
 
   def oracles: Map[String, String] = Map(
     "llm_text_stats" -> s"""
@@ -377,18 +417,17 @@ object LlmQueries {
 
     "llm_ann_ivf" -> s"""
       WITH $QuantCte,
-      cent AS (SELECT vec_id AS cent_id, qv AS cv, nrm AS cn FROM qn
-               ORDER BY vec_id LIMIT $IvfCentroids),
-      centu AS (SELECT cent_id, unnest(cv) AS v,
-                unnest(generate_series(1, len(cv))) AS i FROM cent),
+      ${ivfTrainCtes(IvfIters)},
+      cn AS (SELECT cent_id, CAST(sum(v * v) AS BIGINT) AS cn
+             FROM centu$IvfIters GROUP BY 1),
       cdots AS (
         SELECT uv.vec_id, uc.cent_id, CAST(sum(uv.v * uc.v) AS BIGINT) AS cdot
-        FROM u uv JOIN centu uc ON uc.i = uv.i GROUP BY 1, 2),
+        FROM u uv JOIN centu$IvfIters uc ON uc.i = uv.i GROUP BY 1, 2),
       ccs AS (
         SELECT d.vec_id, d.cent_id,
                CAST(d.cdot AS DOUBLE) / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
         FROM cdots d JOIN qn v ON v.vec_id = d.vec_id
-        JOIN cent c ON c.cent_id = d.cent_id),
+        JOIN cn c ON c.cent_id = d.cent_id),
       assigned AS (
         SELECT vec_id,
                (max(struct_pack(c := ccos, id := cent_id))).id AS list_id

@@ -26,13 +26,22 @@ class AnnRecallSpec extends AnyFunSuite {
       .cache()
     val brute = pairs(VectorOps.bruteKnn(q, q.filter($"vec_id" < 10), 5))
     val lsh = pairs(VectorOps.lshKnn(q, _ < 10, 5, planes = 4, dim = 64))
-    val ivf = pairs(VectorOps.ivfKnn(q, _ < 10, 5, nCentroids = 16, nProbe = 4))
+    val ivf0 = pairs(VectorOps.ivfKnn(q, _ < 10, 5, nCentroids = 16, nProbe = 4))
+    val ivf2 = pairs(VectorOps.ivfKnn(q, _ < 10, 5, nCentroids = 16, nProbe = 4,
+      trainIters = 2))
     assert(brute.nonEmpty)
     val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
-    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
+    val ivf0Recall = ivf0.intersect(brute).size.toDouble / brute.size
+    val ivf2Recall = ivf2.intersect(brute).size.toDouble / brute.size
+    info(s"recall: lsh=$lshRecall ivf(seeds)=$ivf0Recall ivf(lloyd2)=$ivf2Recall")
     // sf0.01 reference points: single-probe LSH was 0.14; multi-probe
-    // 0.40; IVF 0.92 (random near-orthogonal vectors — the hard case)
+    // 0.40; IVF 0.92 seeds / 0.90 after 2 Lloyd's rounds — training buys
+    // balanced lists, not recall, on random near-orthogonal vectors (the
+    // hard case: every centroid is roughly equidistant from everything)
     assert(lshRecall >= 0.25, s"LSH recall regressed: $lshRecall")
-    assert(ivfRecall >= 0.75, s"IVF recall regressed: $ivfRecall")
+    assert(ivf0Recall >= 0.7, s"IVF seed recall regressed: $ivf0Recall")
+    assert(ivf2Recall >= 0.7, s"IVF trained recall regressed: $ivf2Recall")
+    assert(ivf2Recall >= ivf0Recall - 0.1,
+      s"training should not cost recall: $ivf0Recall -> $ivf2Recall")
   }
 }

@@ -279,10 +279,13 @@ object TimeSeriesOps {
     * intervals are counted (`errCnt`) but EXCLUDED from every value
     * statistic, the reference's skip-on-invalid semantics
     * (etsdQuery.c:320-324). Timestamps out as epoch micros; averages as
-    * exact-integer ratios over the VALID count. */
+    * exact-integer ratios over the VALID count. `intervalSec` feeds the
+    * struct's per-second triple (etsdQuery.h:40-42: `min/max/ave` per
+    * second alongside the per-interval `iMin/iMax/iAve`): each
+    * per-interval figure divided by the sampling interval. */
   def kitchenSink(df: DataFrame, chan: Column, ts: Column, value: Column,
                   invalid: Column, over: Double, under: Double,
-                  equal: Double = Double.NaN): DataFrame = {
+                  equal: Double = Double.NaN, intervalSec: Long = 1L): DataFrame = {
     val eq = if (equal.isNaN) over else equal // default: crossing the over line
     // a NULL flag means "not invalid" — without the coalesce, three-valued
     // logic would drop the row from the value stats while n_invalid did
@@ -310,6 +313,11 @@ object TimeSeriesOps {
     .select($"channel", $"n", $"n_invalid", $"vmin", $"vmax",
       ($"tot_c".cast("double") / 100.0).as("tot"),
       ($"tot_c".cast("double") / ($"n" - $"n_invalid") / 100.0).as("ave"),
+      // per-second triple (etsdQuery.h:40-42): interval stats ÷ interval
+      ($"vmin" / lit(intervalSec.toDouble)).as("min_ps"),
+      ($"vmax" / lit(intervalSec.toDouble)).as("max_ps"),
+      ($"tot_c".cast("double") / ($"n" - $"n_invalid") / 100.0 /
+        lit(intervalSec.toDouble)).as("ave_ps"),
       $"smin.t".as("t_min_us"), $"smax.t".as("t_max_us"),
       $"n_over", $"n_under", $"n_equal",
       $"first_over_us", $"first_under_us", $"first_equal_us",
@@ -356,10 +364,15 @@ object TimeSeriesOps {
         (floor(unix_timestamp(ts) / intervalSec) * intervalSec).cast("long").as("bucket"))
       .agg(sum(cents(value)).as("s_c"))
       .withColumn("prev", lag($"bucket", 1).over(w))
-      .withColumn("missed",
+      .withColumn("gap",
         when($"prev".isNull, lit(0L))
           // buckets are exact multiples of intervalSec → exact long division
           .otherwise((($"bucket" - $"prev") / intervalSec).cast("long") - 1))
+      // give-up cap (etsdSave.c:450-453, mirrored by the encoder and
+      // counterDeltas): past 255 missed intervals the baseline is
+      // abandoned — the bucket re-enters unaveraged with NO backfill,
+      // instead of one row exploding into millions of fill rows
+      .withColumn("missed", when($"gap" > 255L, lit(0L)).otherwise($"gap"))
       .select($"channel", $"bucket", $"s_c", $"missed",
         explode(sequence(lit(0L), $"missed")).as("i"))
       .select($"channel",

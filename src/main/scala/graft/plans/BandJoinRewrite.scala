@@ -26,18 +26,35 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * - y)`) splits cleanly across the two sides, and every type involved
   * is integral (exact floor-div bucketing — no float rounding can
   * misbucket a boundary pair). Idempotent by construction: the rewritten
-  * join HAS an equi conjunct. Inject via `graft.GraftExtensions`. */
+  * join HAS an equi conjunct. Inject via `graft.GraftExtensions`.
+  *
+  * KNOWN DIVERGENCE (non-ANSI mode only): if `x - y` overflows Long (or
+  * the column's native width), the naive BroadcastNestedLoopJoin
+  * evaluates the predicate on the WRAPPED difference — a pair like
+  * (Long.MaxValue, Long.MinValue + k) wraps into the band and would be
+  * emitted — while the bucketed plan puts such a pair in distant buckets
+  * and drops it. This only affects pairs whose true difference exceeds
+  * 2⁶³ (data spanning more than half the integer line), where the
+  * wrapped "match" is itself an arithmetic artifact, so the bucketed
+  * answer is arguably the less wrong one; under ANSI mode both plans
+  * throw on the overflow and there is no divergence. Set
+  * `spark.graft.bandJoinRewrite.enabled=false` to keep the naive plan
+  * when wrapped matches must be preserved. */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BucketCol = "__graft_band_bucket"
+  val EnabledKey = "spark.graft.bandJoinRewrite.enabled"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        if !hasEquiConjunct(cond, left, right) =>
-      bandConjunct(cond, left, right) match {
-        case Some((lv, rv, delta)) => rewrite(j, lv, rv, delta)
-        case None => j
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(EnabledKey, "true") != "true") return plan
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !hasEquiConjunct(cond, left, right) =>
+        bandConjunct(cond, left, right) match {
+          case Some((lv, rv, delta)) => rewrite(j, lv, rv, delta)
+          case None => j
+        }
+    }
   }
 
   private def sideOf(e: Expression, left: LogicalPlan,

@@ -54,7 +54,9 @@ object EtsdQueryApi {
       // all-digits → channel index, else case-insensitive substring
       val cfg =
         if (c.nonEmpty && c.forall(_.isDigit))
-          schema.channels.lift(c.toInt)
+          // toIntOption: a 10+-digit numeral overflows Int — fall through
+          // to the uniform channel-not-found error, not NumberFormatException
+          c.toIntOption.flatMap(schema.channels.lift)
         else schema.channel(c)
       cfg.getOrElse(
         throw new IllegalArgumentException(s"channel '$c' not found")).name

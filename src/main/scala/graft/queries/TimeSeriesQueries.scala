@@ -74,7 +74,7 @@ object TimeSeriesQueries {
     "ts_ks" -> ((s, d) =>
       TimeSeriesOps.kitchenSink(events(s, d), $"event_type", $"ts", $"value",
           get_json_object($"props", "$.k") === "0", over = 200.0, under = 50.0,
-          equal = 100.0)
+          equal = 100.0, intervalSec = 3600L)
         .orderBy("channel")),
 
     // missed-interval average backfill (etsdSave.c:394-402,445-459)
@@ -248,6 +248,10 @@ object TimeSeriesQueries {
              CAST(CAST(sum(CAST(round(v*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS tot,
              CAST(CAST(sum(CAST(round(v*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
                / (count(*) - count_if(v IS NULL)) / 100.0 AS ave,
+             min(v) / 3600.0 AS min_ps,
+             max(v) / 3600.0 AS max_ps,
+             CAST(CAST(sum(CAST(round(v*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / (count(*) - count_if(v IS NULL)) / 100.0 / 3600.0 AS ave_ps,
              (min(CASE WHEN v IS NOT NULL THEN struct_pack(v := v, t := epoch_us(ts)) END)).t AS t_min_us,
              (max(CASE WHEN v IS NOT NULL THEN struct_pack(v := v, t := epoch_us(ts)) END)).t AS t_max_us,
              CAST(count_if(v > 200.0) AS BIGINT) AS n_over,
@@ -268,10 +272,14 @@ object TimeSeriesQueries {
                ((epoch_us(ts)//1000000)//3600)*3600 AS bucket,
                $centsSum AS s_c
         FROM events GROUP BY 1, 2),
-      g AS (
+      g0 AS (
         SELECT channel, bucket, s_c,
-               coalesce((bucket - lag(bucket) OVER (PARTITION BY channel ORDER BY bucket))//3600 - 1, 0) AS missed
+               coalesce((bucket - lag(bucket) OVER (PARTITION BY channel ORDER BY bucket))//3600 - 1, 0) AS gap
         FROM h),
+      g AS ( -- give-up past 255 missed (etsdSave.c:450-453): no backfill
+        SELECT channel, bucket, s_c,
+               CASE WHEN gap > 255 THEN 0 ELSE gap END AS missed
+        FROM g0),
       x AS (
         SELECT channel, bucket, s_c, missed,
                unnest(generate_series(0, missed)) AS i

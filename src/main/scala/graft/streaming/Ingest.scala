@@ -40,31 +40,36 @@ object Ingest {
     ("cnt1", 2, 10), ("cnt2", 5, 20), ("cnt3", 3, 30),
     ("cnt4", 7, 40), ("cnt5", 10, 50))
 
-  /** Per-interval counter increment, interval `j` (1-based). */
-  def simIncrement(j: Long, k: Int, amp: Int): Long =
-    math.floor((math.sin(j.toDouble / k) + 1.0) * amp).toLong
+  /** Per-interval counter increment, interval `j` (1-based): a sawtooth
+    * `(j mod k) · amp` — wave-like but with an exact integer partial sum,
+    * so the odometer is O(1) per tick (no per-row re-summation that would
+    * make a long-running demo stream decay). */
+  def simIncrement(j: Long, k: Int, amp: Int): Long = (j % k) * amp
 
-  /** Closed-form odometer after `n` intervals — the test oracle. */
+  /** Odometer after `n` intervals, as the definitional sum — the test
+    * oracle the closed form in [[simTransform]] must reproduce. */
   def simOdometer(n: Long, k: Int, amp: Int): Long =
     (1L to n).map(simIncrement(_, k, amp)).sum
 
   /** Transform a stream of interval ticks (`n` ≥ 1, `ts`) into the
     * 6-channel reading stream of one simulated source. `statusEvery`
     * injects an invalid tick every k-th interval (status 1), mirroring a
-    * checksum/timeout failure. The odometer is evaluated with the
-    * `aggregate` higher-order function — pure codegen'd expressions, no
-    * UDF; O(n) per row is fine for a generator (a real source reports its
-    * own absolute readings). */
+    * checksum/timeout failure. The odometer uses the sawtooth's closed
+    * form — every full cycle of k ticks adds `k(k-1)/2 · amp`, the tail
+    * adds `r(r+1)/2 · amp` — pure integer codegen'd expressions with O(1)
+    * work per row regardless of stream age (a real source reports its
+    * own absolute readings; only this generator needs the trick). */
   def simTransform(ticks: DataFrame, sourceId: Int,
                    statusEvery: Option[Int] = None): DataFrame = {
     val status = statusEvery
       .map(k => when($"n" % k === 0, lit(1)).otherwise(lit(0)))
       .getOrElse(lit(0))
     val chans = SimChans.map { case (name, k, amp) =>
-      val odo = when($"n" >= 1, expr(
-        s"""aggregate(sequence(1L, n), 0L,
-            (acc, j) -> acc + CAST(floor((sin(CAST(j AS DOUBLE)/$k)+1.0)*$amp) AS BIGINT))"""))
-        .otherwise(lit(0L))
+      // q whole cycles à k(k-1)/2, tail residues 1..r à r(r+1)/2 (even
+      // product → the DIV 2 is exact); all-integral, no double anywhere
+      val odo = expr(
+        s"((n DIV $k) * ${k.toLong * (k - 1) / 2} + " +
+        s"((n % $k) * ((n % $k) + 1)) DIV 2) * $amp").cast("long")
       struct(lit(s"src${sourceId}_$name").as("channel"),
         odo.as("reading"), lit(true).as("counter"))
     } :+ struct(lit(s"src${sourceId}_volts").as("channel"),
@@ -118,7 +123,14 @@ object Ingest {
           var s = state.getOption.getOrElse(ChanState(0L, 0, hasLast = false))
           val out = Seq.newBuilder[DeltaRow]
           it.toSeq.sortBy(_.ts_us).foreach { r =>
-            if (r.status == 2) s = ChanState(0L, 0, hasLast = false)
+            if (r.status == 2) {
+              // a reset interval still yields a stored (invalid) sample on
+              // the block-encoder path (EtsdEncoder.saveChan) — emit the
+              // matching invalid row here so both ingest paths agree on
+              // row count and invalid accounting
+              out += DeltaRow(r.ts_us, channel, None, 0)
+              s = ChanState(0L, 0, hasLast = false)
+            }
             else if (r.status != 0) {
               out += DeltaRow(r.ts_us, channel, None, s.missed)
               val m = s.missed + 1

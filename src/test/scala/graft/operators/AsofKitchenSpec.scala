@@ -46,18 +46,21 @@ class AsofKitchenSpec extends AnyFunSuite {
       .toDF("ch", "t", "v", "bad")
       .select($"ch", timestamp_micros($"t" * 1000000L).as("ts"), $"v", $"bad")
     val r = TimeSeriesOps.kitchenSink(rows, $"ch", $"ts", $"v", $"bad",
-      over = 20.0, under = 5.0, equal = 20.0).collect()(0)
+      over = 20.0, under = 5.0, equal = 20.0, intervalSec = 10L).collect()(0)
     assert(r.getLong(1) == 6 && r.getLong(2) == 1)       // n, n_invalid
     // the invalid 0.0 row is excluded from every value stat
     // (reference skip-on-invalid, etsdQuery.c:320-324)
-    assert(r.getLong(9) == 1 && r.getLong(10) == 1)      // n_over, n_under
-    assert(r.getLong(11) == 1)                           // n_equal: the 20.0 row
-    assert(r.getLong(12) == 3000000L)                    // first_over at t=3
-    assert(r.getLong(13) == 5000000L)                    // first_under at t=5
-    assert(r.getLong(14) == 2000000L)                    // first_equal at t=2
-    assert(r.getDouble(15) == 20.01)                     // ave_over
-    assert(r.getDouble(16) == 4.99)                      // ave_under
-    assert(r.getLong(7) == 5000000L && r.getLong(8) == 3000000L) // t_min/t_max
+    assert(r.getLong(12) == 1 && r.getLong(13) == 1)     // n_over, n_under
+    assert(r.getLong(14) == 1)                           // n_equal: the 20.0 row
+    assert(r.getLong(15) == 3000000L)                    // first_over at t=3
+    assert(r.getLong(16) == 5000000L)                    // first_under at t=5
+    assert(r.getLong(17) == 2000000L)                    // first_equal at t=2
+    assert(r.getDouble(18) == 20.01)                     // ave_over
+    assert(r.getDouble(19) == 4.99)                      // ave_under
+    assert(r.getLong(10) == 5000000L && r.getLong(11) == 3000000L) // t_min/t_max
     assert(r.getDouble(3) == 4.99 && r.getDouble(4) == 20.01)    // vmin/vmax
+    // per-second triple (etsdQuery.h:40-42): interval stats / intervalSec
+    assert(r.getDouble(7) == 4.99 / 10 && r.getDouble(8) == 20.01 / 10)
+    assert(math.abs(r.getDouble(9) - r.getDouble(6) / 10) < 1e-12)
   }
 }

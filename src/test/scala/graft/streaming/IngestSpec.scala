@@ -72,6 +72,20 @@ class IngestSpec extends AnyFunSuite {
       Ingest.simOdometer(60, 2, 10))
   }
 
+  test("simTransform closed-form odometer equals the definitional sum") {
+    import spark.implicits._
+    val ticks = (1L to 300L).toDF("n")
+      .select($"n", timestamp_seconds(lit(t0) + $"n" * 10).as("ts"))
+    val got = Ingest.simTransform(ticks, 0).filter($"counter")
+      .select($"channel", $"ts_us", $"reading")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (c, rs) => c -> rs.sortBy(_._2).map(_._3).toSeq }
+    for ((name, k, amp) <- Ingest.SimChans) {
+      val want = (1L to 300L).map(Ingest.simOdometer(_, k, amp))
+      assert(got(s"src0_$name") == want, s"closed form diverges for $name")
+    }
+  }
+
   test("tsdMirror streams micro-batches into readable native .tsd files") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -167,9 +181,11 @@ class IngestSpec extends AnyFunSuite {
 
     val got = spark.table("deltas").as[DeltaRow].collect().sortBy(_.ts_us)
     assert(got.map(_.delta).toSeq == Seq(None, Some(50L), None, None,
-      Some((250L - 150L) / 3), None))
-    assert(got.map(_.missed).toSeq == Seq(0, 0, 0, 1, 2, 0))
-    // give-up + reset semantics: ts 6 (reset) emits nothing, ts 7 re-baselines
+      Some((250L - 150L) / 3), None, None))
+    assert(got.map(_.missed).toSeq == Seq(0, 0, 0, 1, 2, 0, 0))
+    // reset semantics: ts 6 (reset) emits an invalid row — same row count
+    // as the block-encoder path (EtsdEncoder.saveChan stores the sentinel
+    // for the reset interval) — then ts 7 re-baselines with no delta
     assert(got.last.ts_us == 7 * 1000000L && got.last.delta.isEmpty)
   }
 }

@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
-import graft.codec.{BlockBuffer, HeaderCodec}
-import graft.model.EtsdSchema
+import graft.codec.{BlockBuffer, HeaderCodec, Layout}
+import graft.model.{ChannelConfig, EtsdSchema, StreamType}
 import graft.queries.EtsdQueryApi
 import graft.sources.EtsdSource
 
@@ -58,6 +58,117 @@ object EtsdCmd {
     HeaderCodec.decode(header)
   }
 
+  /** One `Name:Type[:E<n>|:M<n>][:flags]` channel spec (createETSD,
+    * etsdCmd.c:75-88,199-291). Defaults mirror the reference: counter with
+    * a saved register (`destination |= 96`), source plugin 1 chan 0
+    * (`source = 64`). Flags, applied in order:
+    *   - `E<n>` — source plugin 0, channel n; `M<n>` — shared-memory
+    *     source (plugin 2), channel n (etsdCmd.c:252-256,272-274)
+    *   - `G` — gauge: counter + register off (etsdCmd.c:258-263)
+    *   - `I` — signed offset encoding (etsdCmd.c:265-268)
+    *   - `r`/`R` — mirror to the external output (EDO, etsdCmd.c:276-278)
+    *   - `s` (lowercase) — counter WITHOUT a register; `S` (uppercase) —
+    *     gauge WITH a register (etsdCmd.c:280-291; the one case-sensitive
+    *     pair in the grammar)
+    * Type 13 (DoubleS) forces counter + register off (etsdCmd.c:293-297);
+    * type 14 (float) is reserved/unimplemented in the reference
+    * (README.md:45) and rejected here. */
+  def parseChannelSpec(spec: String): ChannelConfig = {
+    val parts = spec.split(":", -1)
+    require(parts.length >= 2, s"channel spec '$spec' needs Name:Type")
+    val name = parts(0)
+    require(ChannelConfig.nameOk(name),
+      s"bad channel name '$name' (alphanumeric/underscore, <=19 chars)")
+    val code = parts(1).toIntOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"bad stream type '${parts(1)}' in '$spec'"))
+    require(code != 14, "stream type 14 (float) is reserved (README.md:45)")
+    val st = StreamType.fromCode(code)
+    var counter = true; var register = true
+    var signed = false; var edo = false
+    var sourceId = 1; var sourceChan = 0
+    parts.drop(2).filter(_.nonEmpty).foreach { f =>
+      f.head match {
+        case 'e' | 'E' => sourceId = 0; sourceChan = f.tail.toInt
+        case 'm' | 'M' => sourceId = 2; sourceChan = f.tail.toInt
+        case 'g' | 'G' => counter = false; register = false
+        case 'i' | 'I' => signed = true
+        case 'r' | 'R' => edo = true
+        case 's'       => if (counter) register = false
+        case 'S'       => if (!counter) register = true
+        case c => throw new IllegalArgumentException(s"unknown flag '$c' in '$spec'")
+      }
+    }
+    if (st == StreamType.DoubleS) { counter = false; register = false }
+    ChannelConfig(name, st, counter, register, signed, edo, sourceId, sourceChan)
+  }
+
+  /** `T=10s|5m|1h` interval literal (etsdCmd.c:133-148). */
+  def parseIntervalSec(v: String): Int = {
+    val (num, mult) = v.last.toLower match {
+      case 'm' => (v.dropRight(1), 60)
+      case 'h' => (v.dropRight(1), 3600)
+      case 's' => (v.dropRight(1), 1)
+      case _   => (v, 1)
+    }
+    num.toInt * mult
+  }
+
+  /** Build the schema a `create` invocation describes: sort channels into
+    * storage order (descending stream width, etsdCmd.c:93,167-185) and
+    * derive `blockIntervals` from 512-byte capacity — the reference's
+    * `(BLOCKSIZE-8-xData-registers*4)/(streams/4.0)` capped at 127
+    * (etsdCmd.c:295-299). We search downward from 127 using [[Layout]]'s
+    * own capacity rule, so the derived geometry is exactly what the
+    * writer/reader address (including the even-interval constraint for
+    * nibble-granular types the reference's truncating save4 mishandles,
+    * etsdSave.c:214). */
+  def createSchema(args: Seq[String]): EtsdSchema = {
+    var intervalSec = 10; var uid = 0; var xData = 0
+    val specs = Seq.newBuilder[ChannelConfig]
+    args.foreach { t =>
+      t.split("=", 2) match {
+        case Array(k, v) if k.length == 1 => k.head.toLower match {
+          case 't' => intervalSec = parseIntervalSec(v)
+          case 'u' => uid = v.toInt & 3 // 2 bits (etsdCmd.c:150-152)
+          case 'x' => xData = v.toInt
+          case o => throw new IllegalArgumentException(s"unknown option '$o='")
+        }
+        case _ => specs += parseChannelSpec(t)
+      }
+    }
+    val sorted = Layout.sortChannels(specs.result())
+    require(sorted.nonEmpty, "create needs at least one channel spec")
+    val fit = (127 to 1 by -1).iterator.flatMap { bi =>
+      scala.util.Try {
+        val s = EtsdSchema(sorted, intervalSec, bi, uid, xData)
+        new Layout(s) // capacity + alignment check (etsdCmd.c:295-299)
+        s
+      }.toOption
+    }.nextOption()
+    fit.getOrElse(throw new IllegalArgumentException(
+      "channels exceed 512-byte block capacity (etsdCmd.c:186-189)"))
+  }
+
+  /** `create` verb: write the header block of a fresh (empty) `.tsd` file
+    * (createETSD, etsdCmd.c:301-318). Returns the derived schema; the
+    * summary line mirrors the reference's printf (etsdCmd.c:301). */
+  def create(path: String, args: Seq[String]): EtsdSchema = {
+    val schema = createSchema(args)
+    Files.write(Paths.get(path), HeaderCodec.encode(schema))
+    schema
+  }
+
+  /** The create summary printf (etsdCmd.c:301). */
+  def createSummary(schema: EtsdSchema): String = {
+    val layout = new Layout(schema)
+    val bytesPerInterval = layout.totalQs / 4.0 +
+      (if (layout.extCount > 0) layout.extCount / 4.0 else 0.0)
+    f" Saving ${layout.registers}%d registers | channels = ${schema.channels.size}%d | " +
+    f"intervals = ${schema.blockIntervals}%d | interval time = ${schema.intervalSec}%d seconds | " +
+    f"bytes per interval = $bytesPerInterval%.2f"
+  }
+
   /** `examinETSD` (etsdCmd.c:549-613): block geometry + one line per
     * channel with stream type and flag letters (C=counter G=gauge
     * R=register S=signed E=edo). */
@@ -105,9 +216,12 @@ object EtsdCmd {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: EtsdCmd query|examine|dump <path> [args]")
+    require(args.length >= 2,
+      "usage: EtsdCmd create|query|examine|dump <path> [args]")
     val (verb, path, rest) = (args(0), args(1), args.drop(2).toSeq)
     verb.head.toLower match {
+      case 'c' =>
+        println(createSummary(create(path, rest)))
       case 'q' =>
         val spark = SparkSession.builder().appName("etsdCmd")
           .config("spark.sql.extensions", "graft.GraftExtensions")

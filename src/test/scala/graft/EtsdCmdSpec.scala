@@ -55,6 +55,66 @@ class EtsdCmdSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EtsdCmd.dumpSector(dir, 9))
   }
 
+  test("create reproduces the golden reference fixture's header schema") {
+    // the exact spec the reference's own createETSD was driven with for
+    // the golden fixture (INTERCHANGE.md: five 16-bit Full counters with
+    // registers at source chans 5-9, one Half gauge at chan 11, u=1 T=2)
+    val args = Seq("u=1", "T=2",
+      "cnt1:8:E5:r", "cnt2:8:E6:r", "cnt3:8:E7:r", "cnt4:8:E8:r",
+      "cnt5:8:E9:r", "volts:4:E11:G")
+    val created = EtsdCmd.createSchema(args)
+    val golden = EtsdCmd.loadSchema(
+      getClass.getResource("/reference-written.tsd").getPath)
+    assert(created == golden) // incl. derived blockIntervals = 44
+    assert(EtsdCmd.createSummary(created).contains("intervals = 44"))
+  }
+
+  test("create -> examine -> append -> query round-trips") {
+    val dir = Files.createTempDirectory("create").toString
+    val f = s"$dir/new.tsd"
+    val created = EtsdCmd.create(f, Seq("T=10s",
+      "Mains:8:E1", "AuxTemp:4:E3:G:I"))
+    // examine reads back what create wrote (header-only file: 0 blocks)
+    val out = EtsdCmd.examine(EtsdCmd.loadSchema(f), Files.size(Paths.get(f)))
+    assert(out.contains("interval 10s") && out.contains("0 data blocks"))
+    assert(out.contains("Mains") && out.contains("CR"))
+    assert(out.contains("AuxTemp") && out.contains("GS")) // gauge + signed
+    // append data blocks through the encoder under the created schema,
+    // then query through the CLI path (EtsdQueryApi over EtsdSource)
+    val enc = new EtsdEncoder(created)
+    (0 until 12).foreach { k =>
+      enc.feed(1700000000L + k * 10L,
+        IndexedSeq(Reading(100L + 7L * k), Reading(k - 3L)))
+    }
+    val header = Files.readAllBytes(Paths.get(f))
+    Files.write(Paths.get(f),
+      header ++ enc.blocks().reduce(_ ++ _))
+    val spark = TestSpark.spark
+    val df = graft.sources.EtsdSource.read(spark, f)
+    val got = graft.queries.EtsdQueryApi.query(df, created,
+        Seq("q=tot", "c=aux"), java.time.Instant.ofEpochSecond(1700010000L))
+      .collect()
+    assert(got.length == 1 && got(0).getString(0) == "AuxTemp")
+    assert(got(0).getDouble(2) == (0 until 12).map(_ - 3).sum.toDouble)
+  }
+
+  test("parseChannelSpec flag grammar matches createETSD") {
+    val c = EtsdCmd.parseChannelSpec("Grid:9:E2:r:s")
+    assert(c.counter && !c.register && c.edo && c.sourceChan == 2)
+    val g = EtsdCmd.parseChannelSpec("Temp:5:M7:G:S:I")
+    assert(!g.counter && g.register && g.signed && g.sourceId == 2 &&
+      g.sourceChan == 7)
+    // type 13 forces counter/register off even without G (etsdCmd.c:293-297)
+    val d = EtsdCmd.parseChannelSpec("Wide:13:E0")
+    assert(!d.counter && !d.register)
+    intercept[IllegalArgumentException](EtsdCmd.parseChannelSpec("Bad:14:E0"))
+    intercept[IllegalArgumentException](EtsdCmd.parseChannelSpec("Bad name:8"))
+    assert(EtsdCmd.parseIntervalSec("5m") == 300 &&
+      EtsdCmd.parseIntervalSec("1h") == 3600 &&
+      EtsdCmd.parseIntervalSec("10s") == 10 &&
+      EtsdCmd.parseIntervalSec("45") == 45)
+  }
+
   test("main dispatches on first letter like etsdCmd.c:618-663") {
     val dir = writeTsd()
     EtsdCmd.main(Array("examine", dir)) // prints; must not throw

@@ -24,7 +24,8 @@ final case class Sample(tsEpoch: Long, chan: Int, value: Option[Long], isRegiste
   * averaged delta; register channels snapshot the last absolute reading at
   * each block start (edd.c:371-382).
   */
-final class EtsdEncoder(val schema: EtsdSchema) {
+final class EtsdEncoder(val schema: EtsdSchema,
+    xDataFn: Long => Option[Array[Byte]] = _ => None) {
   val layout = new Layout(schema)
   val codec = new BlockCodec(layout)
   private val n = schema.channels.size
@@ -91,8 +92,16 @@ final class EtsdEncoder(val schema: EtsdSchema) {
     }
   }
 
-  /** Close the current (possibly short) block. */
+  /** Close the current (possibly short) block. The daemon writes xData
+    * once per block just before commit (xdRead → etsdCommit,
+    * edd.c:354-368); `xDataFn` is queried with the block's timestamp. */
   def commit(): Unit = if (buf != null) {
+    if (schema.xDataSize > 0) xDataFn(buf.timestamp).foreach { b =>
+      require(b.length <= schema.xDataSize,
+        s"xData ${b.length} B exceeds schema xDataSize ${schema.xDataSize}")
+      var i = 0
+      while (i < b.length) { codec.writeXData(buf, i, b(i) & 0xFF); i += 1 }
+    }
     buf.setData(2, layout.headerEcho | interV) // valid-interval count (etsdSave.c:59)
     out += buf.bytes
     buf = null
@@ -142,6 +151,13 @@ object EtsdDecoder {
     }
     out.toSeq
   }
+
+  /** Per-block opaque xData bytes (etsd.h:102-103; saveXData
+    * etsdSave.c:138-145, readBlockData etsdRead.h:29). Empty array when
+    * the schema reserves no xData region. */
+  def blockXData(layout: Layout, bytes: Array[Byte]): Array[Byte] =
+    if (layout.schema.xDataSize == 0) Array.emptyByteArray
+    else bytes.slice(layout.xDataStart, layout.xDataStart + layout.schema.xDataSize)
 
   /** Whole-file decode: header + every 512-byte data block. */
   def decodeFile(bytes: Array[Byte]): (EtsdSchema, Seq[Sample]) = {

@@ -39,9 +39,17 @@ object EtsdSink {
   }
 
   /** Export and return one row per written file.
-    * An action (the returned Dataset must be consumed). */
+    * An action (the returned Dataset must be consumed).
+    *
+    * `xData`: optional per-block side frame `(block_epoch: Long,
+    * xdata: Binary)` — the plugin-written opaque region (etsd.h:102-103,
+    * saveXData etsdSave.c:138-145). Keyed by the block's start epoch;
+    * co-grouped with the data rows on the same file-span key, so the
+    * side frame adds one shuffle and no driver state. Ignored unless
+    * `schema.xDataSize > 0`. */
   def export(long: DataFrame, schema: EtsdSchema, outDir: String,
-             blocksPerFile: Int = 256): Dataset[WrittenFile] = {
+             blocksPerFile: Int = 256,
+             xData: Option[DataFrame] = None): Dataset[WrittenFile] = {
     val spark = long.sparkSession
     import spark.implicits._
     require(blocksPerFile >= 1)
@@ -52,17 +60,25 @@ object EtsdSink {
     val out = outDir
     val hadoopProps = HadoopConfs.props(spark)
 
-    long.select(unix_timestamp($"ts").as("te"), $"channel", $"value",
-        $"valid")
+    val keyedLong = long.select(unix_timestamp($"ts").as("te"), $"channel",
+        $"value", $"valid")
       .as[(Long, String, Option[Long], Boolean)]
       .groupByKey { case (te, _, _, _) => Math.floorDiv(te, fileSpan) }
-      .mapGroups { (fileIdx, it) =>
+    val keyedXd = xData.filter(_ => schema.xDataSize > 0)
+      .getOrElse(spark.emptyDataset[(Long, Array[Byte])]
+        .toDF("block_epoch", "xdata"))
+      .select($"block_epoch", $"xdata").as[(Long, Array[Byte])]
+      .groupByKey { case (be, _) => Math.floorDiv(be, fileSpan) }
+
+    keyedLong.cogroup(keyedXd) { (fileIdx, it, xit) =>
+      if (it.isEmpty) Iterator.empty else {
+        val xd = xit.map { case (be, b) => be -> b }.toMap
         val rows = it.toArray
         val bySlot = rows.groupBy { case (te, _, _, _) =>
           Math.floorDiv(te, span)
         }
         val slots = bySlot.keys
-        val enc = new EtsdEncoder(schema)
+        val enc = new EtsdEncoder(schema, xd.get)
         (slots.min to slots.max).foreach { slot =>
           val present = bySlot.getOrElse(slot, Array.empty)
             .flatMap { case (_, c, v, ok) =>
@@ -86,10 +102,11 @@ object EtsdSink {
         def tsAt(sector: Long): Long =
           graft.codec.BlockBuffer(
             bytes.slice((sector * bsz).toInt, (sector * bsz).toInt + bsz)).timestamp
-        WrittenFile(path.toString, path.getName, bytes.length.toLong,
-          nBlocks.toLong, tsAt(1), tsAt(nBlocks.toLong),
-          schema.blockIntervals.toLong * schema.intervalSec)
+        Iterator.single(WrittenFile(path.toString, path.getName,
+          bytes.length.toLong, nBlocks.toLong, tsAt(1), tsAt(nBlocks.toLong),
+          schema.blockIntervals.toLong * schema.intervalSec))
       }
+    }
   }
 
   /** Export AND maintain the `_graft_index` sidecar in one pass: runs

@@ -77,6 +77,30 @@ object EtsdSource {
       }.toDF("path", "sector", "ts_epoch", "valid_intervals")
   }
 
+  /** Per-block xData side table (SURVEY.md §1.5: the opaque per-block
+    * byte region, etsd.h:102-103, becomes a `BinaryType` side table):
+    * one row per data block, `(path, sector, block_epoch, xdata)`.
+    * Files whose schema reserves no xData region contribute no rows. */
+  def xData(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val schema = HeaderCodec.decode(bytes.take(BlockBuffer.BlockSize))
+        if (schema.xDataSize == 0) Iterator.empty
+        else {
+          val layout = new Layout(schema)
+          (BlockBuffer.BlockSize until bytes.length by BlockBuffer.BlockSize)
+            .iterator.map { off =>
+              val block = bytes.slice(off, off + BlockBuffer.BlockSize)
+              (p, (off / BlockBuffer.BlockSize).toLong,
+                BlockBuffer(block).timestamp,
+                EtsdDecoder.blockXData(layout, block))
+            }
+        }
+      }.toDF("path", "sector", "block_epoch", "xdata")
+  }
+
   /** Distributed encode→decode round-trip of a fixed-cadence grid through
     * real 512-byte ETSD blocks — the oracle-checked proof that the codec
     * is the identity on stored values. Input: one row per

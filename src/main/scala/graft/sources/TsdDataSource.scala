@@ -34,24 +34,39 @@ import graft.model.EtsdSchema
   */
 class TsdDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EtsdSchema.LongSchema
+    if (options.getBoolean("xdata", false)) TsdDataSource.XDataSchema
+    else EtsdSchema.LongSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new TsdTable(properties.asScala.toMap)
 }
 
+object TsdDataSource {
+  /** Per-block side-table schema for `option("xdata", true)` reads
+    * (SURVEY.md §1.5: the opaque per-block region, etsd.h:102-103, as a
+    * `BinaryType` side table). */
+  val XDataSchema: StructType = new StructType()
+    .add("block_epoch", org.apache.spark.sql.types.LongType, false)
+    .add("sector", org.apache.spark.sql.types.LongType, false)
+    .add("xdata", org.apache.spark.sql.types.BinaryType, false)
+}
+
 private[sources] class TsdTable(props: Map[String, String])
     extends Table with SupportsRead {
+  private def xdata = props.get("xdata").exists(_.toBoolean)
   override def name(): String = s"tsd(${props.getOrElse("path", "")})"
-  override def schema(): StructType = EtsdSchema.LongSchema
+  override def schema(): StructType =
+    if (xdata) TsdDataSource.XDataSchema else EtsdSchema.LongSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsdScanBuilder(options.get("path"),
-      options.getLong("blocksPerPartition", 2048))
+      options.getLong("blocksPerPartition", 2048),
+      options.getBoolean("xdata", false))
 }
 
-private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long)
+private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long,
+                                      xdata: Boolean)
     extends ScanBuilder with SupportsPushDownFilters {
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
@@ -62,30 +77,42 @@ private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long)
     case i: java.time.Instant  => Some(i.getEpochSecond)
     case _ => None
   }
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: java.lang.Long    => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case _ => None
+  }
+  // time column of the active mode: `ts` (timestamp) on the long view,
+  // `block_epoch` (epoch-second long) on the xData side table
+  private def bound(col: String, v: Any): Option[Long] =
+    if (xdata) { if (col == "block_epoch") longOf(v) else None }
+    else { if (col == "ts") epochOf(v) else None }
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     val used = filters.filter {
-      case sources.GreaterThan("ts", v)        => epochOf(v).exists { e => lo = lo.max(e); true }
-      case sources.GreaterThanOrEqual("ts", v) => epochOf(v).exists { e => lo = lo.max(e); true }
-      case sources.LessThan("ts", v)           => epochOf(v).exists { e => hi = hi.min(e); true }
-      case sources.LessThanOrEqual("ts", v)    => epochOf(v).exists { e => hi = hi.min(e); true }
-      case sources.EqualTo("ts", v)            => epochOf(v).exists { e => lo = lo.max(e); hi = hi.min(e); true }
+      case sources.GreaterThan(c, v)        => bound(c, v).exists { e => lo = lo.max(e); true }
+      case sources.GreaterThanOrEqual(c, v) => bound(c, v).exists { e => lo = lo.max(e); true }
+      case sources.LessThan(c, v)           => bound(c, v).exists { e => hi = hi.min(e); true }
+      case sources.LessThanOrEqual(c, v)    => bound(c, v).exists { e => hi = hi.min(e); true }
+      case sources.EqualTo(c, v)            => bound(c, v).exists { e => lo = lo.max(e); hi = hi.min(e); true }
       case _ => false
     }
     pushed = used
     filters // block pruning is coarse: Spark must re-apply everything
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
-  override def build(): Scan = new TsdScan(path, lo, hi, blocksPerPartition)
+  override def build(): Scan = new TsdScan(path, lo, hi, blocksPerPartition, xdata)
 }
 
 private[sources] case class TsdInputPartition(file: String, startSector: Long,
     endSector: Long, lo: Long, hi: Long) extends InputPartition
 
 private[sources] class TsdScan(path: String, lo: Long, hi: Long,
-                               blocksPerPartition: Long)
+                               blocksPerPartition: Long,
+                               xdata: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = EtsdSchema.LongSchema
+  override def readSchema(): StructType =
+    if (xdata) TsdDataSource.XDataSchema else EtsdSchema.LongSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"TsdScan path=$path tsRange=[${if (lo == Long.MinValue) "-inf" else lo}, " +
@@ -119,7 +146,7 @@ private[sources] class TsdScan(path: String, lo: Long, hi: Long,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsdReaderFactory(HadoopConfs.props(SparkSession.active))
+    new TsdReaderFactory(HadoopConfs.props(SparkSession.active), xdata)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // post-prune bytes from the index: lets AQE/broadcast decisions see
@@ -130,10 +157,45 @@ private[sources] class TsdScan(path: String, lo: Long, hi: Long,
   }
 }
 
-private[sources] class TsdReaderFactory(hadoopProps: Seq[(String, String)])
+private[sources] class TsdReaderFactory(hadoopProps: Seq[(String, String)],
+                                        xdata: Boolean)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new TsdPartitionReader(p.asInstanceOf[TsdInputPartition], hadoopProps)
+    if (xdata) new TsdXDataPartitionReader(p.asInstanceOf[TsdInputPartition], hadoopProps)
+    else new TsdPartitionReader(p.asInstanceOf[TsdInputPartition], hadoopProps)
+}
+
+/** xData-mode reader: one row per surviving block, no sample decode —
+  * just the 4-byte timestamp check and an `xDataSize`-byte slice. */
+private[sources] class TsdXDataPartitionReader(p: TsdInputPartition,
+    hadoopProps: Seq[(String, String)]) extends PartitionReader[InternalRow] {
+  private val fs = new Path(p.file).getFileSystem(HadoopConfs.build(hadoopProps))
+  private val in = fs.open(new Path(p.file))
+  private val schema: EtsdSchema = {
+    val hdr = new Array[Byte](BlockBuffer.BlockSize)
+    in.readFully(0, hdr)
+    HeaderCodec.decode(hdr)
+  }
+  private val layout = new graft.codec.Layout(schema)
+  private val span = schema.blockIntervals.toLong * schema.intervalSec
+  private var sector = p.startSector
+  private var cur: InternalRow = null
+
+  override def next(): Boolean = {
+    cur = null
+    while (cur == null && sector <= p.endSector && schema.xDataSize > 0) {
+      val buf = new Array[Byte](BlockBuffer.BlockSize)
+      in.readFully(sector * BlockBuffer.BlockSize, buf)
+      val ts = BlockBuffer(buf).timestamp
+      if (ts + span >= p.lo && ts <= p.hi)
+        cur = InternalRow(ts, sector, EtsdDecoder.blockXData(layout, buf))
+      sector += 1
+    }
+    cur != null
+  }
+
+  override def get(): InternalRow = cur
+  override def close(): Unit = in.close()
 }
 
 private[sources] class TsdPartitionReader(p: TsdInputPartition,

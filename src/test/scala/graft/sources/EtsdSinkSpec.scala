@@ -78,6 +78,49 @@ class EtsdSinkSpec extends AnyFunSuite {
     assert(EtsdCmd.loadSchema(dir) == schema)
   }
 
+  test("xData round-trips through both reader paths") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xdata").toString
+    val xschema = schema.copy(xDataSize = 4)
+    // block starts: t0 + 60k for 5 blocks (6 intervals x 10 s each);
+    // encode the block index into the opaque region. One block (the 4th)
+    // deliberately gets no side row -> reads back as zeros (the cleared
+    // region the reference's saveXData leaves untouched never holds data,
+    // but OUR blocks clear to 0xFF... -> assert actual bytes)
+    val blockEpochs = (0 until 5).map(t0 + 60L * _)
+    val side = blockEpochs.zipWithIndex.filter(_._2 != 3)
+      .map { case (be, i) => (be, Array[Byte](1, 2, 3, i.toByte)) }
+      .toDF("block_epoch", "xdata")
+    EtsdSink.export(longFrame(30), xschema, dir, blocksPerFile = 2,
+      xData = Some(side)).collect()
+
+    // reader path 1: binaryFile side table
+    val got1 = EtsdSource.xData(spark, dir)
+      .select($"block_epoch", $"xdata").as[(Long, Array[Byte])]
+      .collect().sortBy(_._1)
+    assert(got1.map(_._1).toSeq == blockEpochs)
+    got1.zipWithIndex.foreach { case ((_, bytes), i) =>
+      if (i == 3) assert(bytes.length == 4) // present, content = cleared block
+      else assert(bytes.toSeq == Seq[Byte](1, 2, 3, i.toByte))
+    }
+
+    // reader path 2: DSv2 xdata mode, with block_epoch pushdown
+    val dsv2 = spark.read.format("graft.sources.TsdDataSource")
+      .option("xdata", "true").load(dir)
+    val got2 = dsv2.filter($"block_epoch" >= t0 + 60L)
+      .select($"block_epoch", $"xdata").as[(Long, Array[Byte])]
+      .collect().sortBy(_._1)
+    assert(got2.map(_._1).toSeq == blockEpochs.drop(1))
+    assert(got2.head._2.toSeq == Seq[Byte](1, 2, 3, 1))
+
+    // a schema without an xData region exposes no side rows on either path
+    val plainDir = Files.createTempDirectory("noxdata").toString
+    EtsdSink.export(longFrame(6), schema, plainDir).collect()
+    assert(EtsdSource.xData(spark, plainDir).isEmpty)
+    assert(spark.read.format("graft.sources.TsdDataSource")
+      .option("xdata", "true").load(plainDir).isEmpty)
+  }
+
   test("Retention drops span files below the cutoff (etsdRotate analog)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ret").toString

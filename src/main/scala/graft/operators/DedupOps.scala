@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft._
 import graft.functions.DetHash
@@ -104,12 +103,9 @@ object DedupOps {
     // mega-bucket never lands in one task (a window count over the key
     // would buffer the whole hot bucket in a single WindowExec just to
     // discard it). The band rows are pinned — three consumers (caps +
-    // both self-join sides), a few small rows per doc; identical-plan
-    // cache dedup in Spark's CacheManager keeps repeated calls on the
-    // SAME input bounded. Long-lived sessions deduping many distinct
-    // corpora should clear entries between runs (spark.catalog
-    // .clearCache or DataFrame.unpersist on the returned lineage).
-    val b = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides), a few small rows per doc; the caller
+    // releases via Pins.releaseAll()/Pins.scoped at its query boundary.
+    val b = Pins.pin(bands)
     val caps = b.groupBy($"band", $"bkey").count()
       .filter($"count" >= 2 && $"count" <= maxBucket)
       .select($"band", $"bkey")
@@ -147,8 +143,7 @@ object DedupOps {
     * Everything before the band bucket join is exchange-free. */
   def minHashDedup(docs: DataFrame, id: Column, text: Column,
                    minJaccard: Double, maxBucket: Int = 20): DataFrame = {
-    val base = shingleHashArrays(docs, id, text)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = Pins.pin(shingleHashArrays(docs, id, text))
     val cand = candidatePairs(bandRows(minHashSignatures(base)), maxBucket)
     trueJaccard(cand, base).filter($"jaccard" >= minJaccard)
   }
@@ -177,7 +172,7 @@ object DedupOps {
   def simHashPairs(fp: DataFrame, maxHamming: Int, maxBucket: Int = 50): DataFrame = {
     // pin the fingerprints (tiny: doc_id + one long) — three consumers
     // below; identical-plan cache dedup keeps repeated calls bounded
-    val fpP = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    val fpP = Pins.pin(fp)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("bkey")))
     val bands = fpP.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
@@ -210,11 +205,11 @@ object DedupOps {
         i => concat_ws(" ", (0 until n).map(k => element_at($"ws", i + lit(k))): _*))
       array_distinct(transform(grams, s => DetHash.h31(s)))
     }
-    val base = docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
+    val base0 = docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
       .filter(size($"ws") >= 5)
       .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
       .select($"doc_id", gramArr(5).as("b5"), gramArr(3).as("g3"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = Pins.pin(base0)
     val buckets = base.select($"doc_id", explode($"b5").as("bkey"))
     // skew-safe partial-agg cap + single reused capped subtree (see
     // candidatePairs)

@@ -91,8 +91,7 @@ object TextAnalysisOps {
              profileSize: Int = 40): DataFrame = {
     // the trigram explode is the corpus-sized scan and feeds both the
     // profile build and the scoring join — materialize it once
-    val tri = trigrams(docs, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = Pins.pin(trigrams(docs, id, text))
     val labeled = docs.select(id.as("doc_id"), lang.as("lang"))
     val profile = tri.join(labeled, "doc_id")
       .groupBy($"lang", $"tri").agg(count(lit(1)).as("cnt"))

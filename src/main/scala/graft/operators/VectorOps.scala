@@ -75,8 +75,7 @@ object VectorOps {
     // the bucketed corpus feeds three consumers (caps + both self-join
     // sides); pin it so the planes× dot-product bucketing runs once —
     // identical-plan cache dedup bounds repeated calls on the same input
-    val b = vectors.withColumn("bucket", lshBucket(planes, dim))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = Pins.pin(vectors.withColumn("bucket", lshBucket(planes, dim)))
     // skew-safe bucket cap: partial-agg count (hot buckets collapse
     // map-side, the tiny caps table broadcasts) — a window count here
     // would buffer a whole degenerate bucket in one task

@@ -22,10 +22,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TimeSeriesQueries.defs ++ RelationalQueries.defs ++ LlmQueries.defs
+    TimeSeriesQueries.defs ++ RelationalQueries.defs ++ LlmQueries.defs ++
+      StreamingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TimeSeriesQueries.oracles ++ RelationalQueries.oracles ++ LlmQueries.oracles
+    TimeSeriesQueries.oracles ++ RelationalQueries.oracles ++
+      LlmQueries.oracles ++ StreamingQueries.oracles
 }

@@ -148,6 +148,63 @@ object DedupOps {
     trueJaccard(cand, base).filter($"jaccard" >= minJaccard)
   }
 
+  /** Connected components over near-dup pairs — the final assignment step
+    * of a dedup pipeline: every document in a duplicate cluster maps to
+    * the cluster's minimum doc id (the keeper), so "drop non-keepers"
+    * removes each cluster down to one survivor even when A~B and B~C but
+    * A!~C (the transitive closure the pairwise threshold misses).
+    *
+    * BSP min-label propagation: labels start as self; each round joins
+    * the edge list (both directions) to the current labels and takes the
+    * per-node min — one equi-join + partial-agg shuffle per round,
+    * converging in O(component diameter) rounds. Near-dup components are
+    * shallow (a handful of hops), and only docs that appear in a pair
+    * participate — the corpus itself is never touched, so the iteration
+    * cost is bounded by the duplicate set, not the 100 TB input. Rounds
+    * stop at the first fixpoint; if `maxIter` is hit first the labels are
+    * still a sound upper approximation (some clusters split), and the
+    * bound is logged to stderr rather than silently returned.
+    *
+    * Output: (doc_id, cluster_id, is_keeper), docs in ≥1 pair only
+    * (isolated docs are their own implicit singleton cluster). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = Pins.pin(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+    // eager localCheckpoint per round: iterative plans double their
+    // lineage every iteration (each round embeds the previous round's
+    // plan in the join, the union, AND the convergence probe) — without
+    // truncation the logical plan is exponential in the round count and
+    // Catalyst itself OOMs before any data moves. A reliable checkpoint
+    // dir would be the cluster-production variant; executor-local blocks
+    // are the right cost here.
+    var labels = edges.select($"src".as("doc_id"))
+      .distinct()
+      .select($"doc_id", $"doc_id".as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = edges.join(labels,
+          edges("src") === labels("doc_id"))
+        .select(edges("dst").as("doc_id"), $"cluster_id")
+      val next = labels.unionByName(msgs)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), $"n.doc_id" === $"o.doc_id")
+        .filter($"n.cluster_id" =!= $"o.cluster_id")
+        .isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(s"[dupClusters] maxIter=$maxIter hit before " +
+        "fixpoint — some clusters may be split")
+    labels.select($"doc_id", $"cluster_id",
+      ($"doc_id" === $"cluster_id").as("is_keeper"))
+  }
+
   /** 32-bit SimHash fingerprint per doc over whitespace tokens (multiset):
     * bit j of the fingerprint is the sign of sum over tokens of
     * (2*bit_j(h60(token)) - 1). The token-hash array is built once per doc

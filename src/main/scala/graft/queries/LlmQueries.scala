@@ -72,6 +72,13 @@ object LlmQueries {
       DedupOps.minHashDedup(docs(s, d), $"doc_id", $"text", MinJaccard)
         .orderBy("doc_a", "doc_b")),
 
+    // transitive closure of the near-dup pairs: min-label connected
+    // components turn pairwise matches into per-doc keeper assignments
+    "llm_dup_clusters" -> ((s, d) =>
+      DedupOps.dupClusters(
+          DedupOps.minHashDedup(docs(s, d), $"doc_id", $"text", MinJaccard))
+        .orderBy("doc_id")),
+
     // SimHash near-dup pairs (byte-banded bucket join, Hamming ≤ 2)
     "llm_simhash_pairs" -> ((s, d) =>
       DedupOps.simHashPairs(
@@ -306,6 +313,23 @@ object LlmQueries {
     "llm_minhash_dedup" -> s"""
       WITH $ShingleCte, $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect
       SELECT * FROM jac WHERE jaccard >= $MinJaccard ORDER BY doc_a, doc_b""",
+
+    // same pair pipeline, then min-reachable-label per node: the
+    // recursive walk propagates every label along undirected edges, so
+    // min(lbl) per node = the component's minimum doc id
+    "llm_dup_clusters" -> s"""
+      WITH RECURSIVE $ShingleCte, $SigCte, $BandCte, ${candCte(20)},
+      $JaccardSelect,
+      pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $MinJaccard),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, lbl) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, walk.lbl FROM walk JOIN e ON walk.node = e.a)
+      SELECT node AS doc_id, min(lbl) AS cluster_id,
+             node = min(lbl) AS is_keeper
+      FROM walk GROUP BY node ORDER BY 1""",
 
     "llm_simhash_pairs" -> {
       val ssum = (0 until 32)

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft._
+import graft.TestSpark
+
+/** Brute-force golden for the connected-components keeper assignment:
+  * transitive chains collapse to one cluster under the min label even
+  * when the endpoints' pairwise similarity never crossed the threshold. */
+class DedupClustersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dupClusters: chains, separate components, min-label keepers") {
+    // component 1: 1-5-3 chain + 3-7 (diameter 3: label 1 must hop twice)
+    // component 2: 10-12
+    // component 3: 20-21, 21-22, 20-22 (triangle)
+    val pairs = Seq((5L, 1L), (3L, 5L), (3L, 7L), (10L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.dupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val want = Seq(
+      (1L, 1L, true), (3L, 1L, false), (5L, 1L, false), (7L, 1L, false),
+      (10L, 10L, true), (12L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false))
+    assert(got.toSeq == want)
+    Pins.releaseAll()
+  }
+
+  test("dupClusters: a long path still converges within maxIter") {
+    // path 0-1-2-...-8: diameter 8, needs 8 propagation rounds
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupClusters(pairs, maxIter = 10)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.forall(_._2 == 0L))
+    assert(got.count(_._3) == 1)
+    Pins.releaseAll()
+  }
+}

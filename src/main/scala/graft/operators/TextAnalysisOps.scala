@@ -51,6 +51,54 @@ object TextAnalysisOps {
 
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** Deterministic train/val/test assignment: the split is a pure
+    * function of the doc id (md5-derived bucket in [0,100) → train below
+    * `trainPct`, then val below `trainPct + valPct`, else test). No
+    * sampling state, no shuffle — a narrow projection — and the same doc
+    * lands in the same split on every engine, partitioning, and
+    * incremental re-run (the property that keeps eval sets
+    * leak-free as a 100 TB corpus grows: new docs never move old ones).
+    * The salt keeps the split independent of other id-derived hashes. */
+  def withSplit(docs: DataFrame, id: Column, trainPct: Int = 80,
+                valPct: Int = 10, salt: String = "split:"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val bucket = DetHash.h60(concat(lit(salt), id.cast("string"))) % 100
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** SQL fragment of [[withSplit]]'s bucket for the DuckDB oracle. */
+  def splitBucketSql(idExpr: String, salt: String = "split:"): String =
+    s"${DetHash.h60Sql(s"'$salt' || CAST($idExpr AS VARCHAR)")} % 100"
+
+  /** Per-doc top-`k` salient terms by a deterministic tf-idf-style
+    * weight. The idf factor is the exact integer ratio `1e6 / df`
+    * (document frequency), so `weight_ppm = tf * 1_000_000 / df` ranks
+    * identically to tf·(N/df) — same monotone ordering, zero floating
+    * point, bit-equal across engines. Plan shape at scale: one shuffle
+    * to (doc, term) for tf, a vocabulary-sized partial agg for df that
+    * joins back (AQE broadcasts it — vocab ≪ corpus), and a window rank
+    * partitioned by doc; ties break lexicographically.
+    * Output: doc_id, term, tf, df, weight_ppm, rk (rk ≤ k). */
+  def tfIdfTopTerms(docs: DataFrame, id: Column, text: Column,
+                    k: Int = 3): DataFrame = {
+    val terms = docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .select($"doc_id", explode(split($"norm", " ")).as("term"))
+      .filter(length($"term") > 0)
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"weight_ppm".desc, $"term")
+    tf.join(df, "term")
+      .select($"doc_id", $"term", $"tf", $"df",
+        expr("tf * 1000000 DIV df").as("weight_ppm")) // exact int division
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
   /** Per-doc quality features + one combined score: length, punctuation
     * density, stopword ratio, mean word length. Output: doc_id, n_chars,
     * n_tokens, n_punct, n_stop, quality. */

@@ -72,6 +72,20 @@ object LlmQueries {
       DedupOps.minHashDedup(docs(s, d), $"doc_id", $"text", MinJaccard)
         .orderBy("doc_a", "doc_b")),
 
+    // deterministic stratified train/val/test split: per-(lang, split)
+    // corpus accounting — the split is a pure hash of the doc id, so
+    // growing the corpus never moves an old doc across splits
+    "llm_split" -> ((s, d) =>
+      TextAnalysisOps.withSplit(docs(s, d), $"doc_id")
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy("lang", "split")),
+
+    // per-doc top-3 salient terms by deterministic integer tf-idf
+    "llm_tfidf" -> ((s, d) =>
+      TextAnalysisOps.tfIdfTopTerms(docs(s, d), $"doc_id", $"text")
+        .orderBy("doc_id", "rk")),
+
     // transitive closure of the near-dup pairs: min-label connected
     // components turn pairwise matches into per-doc keeper assignments
     "llm_dup_clusters" -> ((s, d) =>
@@ -313,6 +327,35 @@ object LlmQueries {
     "llm_minhash_dedup" -> s"""
       WITH $ShingleCte, $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect
       SELECT * FROM jac WHERE jaccard >= $MinJaccard ORDER BY doc_a, doc_b""",
+
+    "llm_split" -> s"""
+      WITH b AS (
+        SELECT lang, n_chars,
+               ${TextAnalysisOps.splitBucketSql("doc_id")} AS bucket
+        FROM documents)
+      SELECT lang,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "llm_tfidf" -> s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split($Norm, ' ')) AS term
+        FROM documents),
+      t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+      d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+      w AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                   CAST((t.tf * 1000000) // d.df AS BIGINT) AS weight_ppm
+            FROM t JOIN d USING (term)),
+      r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY doc_id ORDER BY weight_ppm DESC, term) AS BIGINT) AS rk
+            FROM w)
+      SELECT doc_id, term, tf, df, weight_ppm, rk
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
 
     // same pair pipeline, then min-reachable-label per node: the
     // recursive walk propagates every label along undirected edges, so

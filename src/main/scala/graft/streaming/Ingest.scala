@@ -240,6 +240,29 @@ object Ingest {
       .option("checkpointLocation", checkpointPath)
       .start()
 
+  /** Event-time block aggregation with bounded lateness — the event-time
+    * form of the daemon's block close (edd.c:354-368): tumbling
+    * `blockSec` windows per channel, finalized exactly once (Append
+    * output) when the watermark passes the window end. The reference
+    * samples live and cannot accept late data at all (SURVEY.md §2.10
+    * "Late data: none"); here a sample up to `maxLateness` behind the
+    * stream's max event time still lands in its block, and anything
+    * later is dropped by the watermark — a strictly stronger contract
+    * made explicit. State is one aggregate row per open (window,
+    * channel): bounded by lateness × channels, not stream length.
+    * Output: block_epoch, channel, n, n_invalid, total. */
+  def blockAggregate(rows: DataFrame, blockSec: Long,
+                     maxLateness: String): DataFrame =
+    rows.select(timestamp_micros($"ts_us").as("ts"), $"channel", $"value",
+        $"valid")
+      .withWatermark("ts", maxLateness)
+      .groupBy(window($"ts", s"$blockSec seconds").as("w"), $"channel")
+      .agg(count(lit(1)).as("n"),
+        count(when(!$"valid", lit(1))).as("n_invalid"),
+        sum(when($"valid", $"value")).as("total"))
+      .select(unix_timestamp($"w.start").as("block_epoch"), $"channel",
+        $"n", $"n_invalid", $"total")
+
   /** Tumbling block-window commit (edd.c:354-368, etsdCommit
     * etsdSave.c:58-75): append to parquet partitioned by the block window
     * start, exactly-once via the checkpoint log. Partition-per-block makes

@@ -160,6 +160,35 @@ class IngestSpec extends AnyFunSuite {
     assert(merged.count() == batch.count())
   }
 
+  test("blockAggregate: watermark admits bounded lateness, drops the rest") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (ts_sec, value)
+    val rows = mem.toDF().toDF("t", "v")
+      .select(($"t" * 1000000L).as("ts_us"), lit("c").as("channel"),
+        $"v".as("value"), lit(true).as("valid"))
+    val q = Ingest.blockAggregate(rows, blockSec = 60L, maxLateness = "30 seconds")
+      .writeStream.format("memory").queryName("blocks")
+      .outputMode("append").start()
+    // batch 1: two rows in window [0,60), one in [60,120) -> wm = 70-30 = 40
+    mem.addData((10L, 1L), (20L, 2L), (70L, 10L))
+    q.processAllAvailable()
+    // batch 2: ts=50 is LATE but above the 40 s watermark -> admitted into
+    // its (still open) window; ts=100 pushes wm to 70 -> window 0 closes
+    mem.addData((50L, 4L), (100L, 20L))
+    q.processAllAvailable()
+    // batch 3: ts=30 is below the watermark -> dropped entirely;
+    // ts=160 pushes wm to 130 >= 120 -> window 1 closes
+    mem.addData((30L, 100L), (160L, 40L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("blocks")
+      .select($"block_epoch", $"n", $"total").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // window 0 includes the admitted late row (1+2+4), NOT the dropped 100
+    assert(got.toSeq == Seq((0L, 3L, 7L), (60L, 2L, 30L)))
+  }
+
   test("counterDeltas: LastReading/MissedUpdate state across batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -48,6 +48,12 @@ object ScaleProbe {
       println("  cosineDedup")
       time(VectorOps.cosineDedup(
         VectorOps.quantize(e, $"vec_id", $"embedding"), 0.4, 6, 64, 500).count())
+      println("  dupClusters(minHashDedup)")
+      time(DedupOps.dupClusters(
+        DedupOps.minHashDedup(d, $"doc_id", $"text", 0.8)).count())
+      println("  tfIdfTopTerms")
+      time(graft.operators.TextAnalysisOps
+        .tfIdfTopTerms(d, $"doc_id", $"text").count())
       spark.sharedState.cacheManager.clearCache()
       docs.cache().count(); embs.cache().count()
     }

@@ -44,6 +44,20 @@ object DedupOps {
       .groupBy($"text_hash")
       .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** Streaming form of [[exactDedup]] for an arriving document stream:
+    * keeps the FIRST occurrence of each normalized-text hash and drops
+    * later copies, with state bounded by the watermark — a duplicate
+    * arriving within `maxLateness` of the original is dropped, one
+    * arriving later may pass (the price of bounded state; batch
+    * [[exactDedup]] over the landed output is the exact backstop).
+    * Input needs an event-time column `ts`; output is the input rows
+    * minus the near-in-time duplicates, plus the hash column. */
+  def streamingExactDedup(docs: DataFrame, text: Column,
+                          maxLateness: String): DataFrame =
+    docs.withColumn("text_hash", md5(normText(text)))
+      .withWatermark("ts", maxLateness)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Per-doc DISTINCT 5-char-shingle 31-bit hash set, as an array column —
     * one narrow pass, no exchange. Output: doc_id, hs array<long>.
     *

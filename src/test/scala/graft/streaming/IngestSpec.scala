@@ -189,6 +189,29 @@ class IngestSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 3L, 7L), (60L, 2L, 30L)))
   }
 
+  test("streamingExactDedup drops in-watermark duplicates, state bounded") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)] // (ts_sec, doc_id, text)
+    val docs = mem.toDF().toDF("t", "doc_id", "text")
+      .select(timestamp_seconds($"t").as("ts"), $"doc_id", $"text")
+    val q = graft.operators.DedupOps
+      .streamingExactDedup(docs, $"text", maxLateness = "60 seconds")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    // batch 1: A twice (dup within batch), B once
+    mem.addData((10L, 1L, "Alpha  doc"), (20L, 2L, "alpha doc"), (30L, 3L, "beta"))
+    q.processAllAvailable()
+    // batch 2: another copy of A within the watermark -> dropped;
+    // C is new -> kept
+    mem.addData((40L, 4L, "ALPHA DOC"), (50L, 5L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup").select($"doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L)) // first copy of each distinct text only
+  }
+
   test("counterDeltas: LastReading/MissedUpdate state across batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

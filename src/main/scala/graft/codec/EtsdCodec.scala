@@ -123,8 +123,15 @@ object EtsdDecoder {
     * etsdRead.c:181-287, minus its precedence bugs). Counter rows carry the
     * stored delta; cross-block absolute reconstruction is a separate
     * (distributable) step, anchored at the register rows. Sample k's time
-    * is `blockTime + k·intervalTime` (etsdQuery.c:239,311). */
-  def decodeBlock(schema: EtsdSchema, bytes: Array[Byte]): Seq[Sample] = {
+    * is `blockTime + k·intervalTime` (etsdQuery.c:239,311).
+    *
+    * `keep` skips whole channels without touching their bit regions —
+    * the reference's primary query mode reads ONE channel's stream per
+    * block (etsdQuery.c:304-371), and a pushed channel predicate makes a
+    * C-channel file cost 1/C the decode CPU here too (addressing is
+    * precomputed in [[Layout]], so skipping is free). */
+  def decodeBlock(schema: EtsdSchema, bytes: Array[Byte],
+                  keep: Int => Boolean = _ => true): Seq[Sample] = {
     val layout = new Layout(schema)
     val codec = new BlockCodec(layout)
     val buf = BlockBuffer(bytes)
@@ -132,7 +139,7 @@ object EtsdDecoder {
     val nIv = math.min(buf.validIntervals, schema.blockIntervals)
     val out = ArrayBuffer.empty[Sample]
     schema.channels.zipWithIndex.foreach { case (cfg, c) =>
-      if (cfg.streamType != StreamType.DontSave) {
+      if (cfg.streamType != StreamType.DontSave && keep(c)) {
         if (cfg.register) {
           val v = codec.readRegister(buf, c)
           out += Sample(ts, c, if (v == 0xFFFFFFFFL) None else Some(v), isRegister = true)

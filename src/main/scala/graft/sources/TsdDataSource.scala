@@ -70,7 +70,14 @@ private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long,
     extends ScanBuilder with SupportsPushDownFilters {
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
+  private var chans: Option[Set[String]] = None // channel pruning (long mode)
   private var pushed = Array.empty[sources.Filter]
+
+  private def narrowChans(names: Iterable[String]): Boolean = {
+    val set = names.toSet
+    chans = Some(chans.fold(set)(_ intersect set))
+    true
+  }
 
   private def epochOf(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => Some(t.getTime / 1000L)
@@ -90,6 +97,13 @@ private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long,
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     val used = filters.filter {
+      // channel pruning: skip non-matching channels' bit regions at
+      // decode (the reference's read-one-channel scan, etsdQuery.c:304).
+      // Must precede the generic cases — pattern matching is first-win.
+      case sources.EqualTo("channel", v: String) if !xdata => narrowChans(Seq(v))
+      case sources.In("channel", vs) if !xdata &&
+          vs.forall(_.isInstanceOf[String]) =>
+        narrowChans(vs.map(_.asInstanceOf[String]))
       case sources.GreaterThan(c, v)        => bound(c, v).exists { e => lo = lo.max(e); true }
       case sources.GreaterThanOrEqual(c, v) => bound(c, v).exists { e => lo = lo.max(e); true }
       case sources.LessThan(c, v)           => bound(c, v).exists { e => hi = hi.min(e); true }
@@ -101,22 +115,26 @@ private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long,
     filters // block pruning is coarse: Spark must re-apply everything
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
-  override def build(): Scan = new TsdScan(path, lo, hi, blocksPerPartition, xdata)
+  override def build(): Scan =
+    new TsdScan(path, lo, hi, blocksPerPartition, xdata, chans)
 }
 
 private[sources] case class TsdInputPartition(file: String, startSector: Long,
-    endSector: Long, lo: Long, hi: Long) extends InputPartition
+    endSector: Long, lo: Long, hi: Long,
+    chans: Option[Seq[String]] = None) extends InputPartition
 
 private[sources] class TsdScan(path: String, lo: Long, hi: Long,
                                blocksPerPartition: Long,
-                               xdata: Boolean = false)
+                               xdata: Boolean = false,
+                               chans: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType =
     if (xdata) TsdDataSource.XDataSchema else EtsdSchema.LongSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"TsdScan path=$path tsRange=[${if (lo == Long.MinValue) "-inf" else lo}, " +
-      s"${if (hi == Long.MaxValue) "+inf" else hi}]"
+      s"${if (hi == Long.MaxValue) "+inf" else hi}]" +
+      chans.fold("")(cs => s" chans=${cs.toSeq.sorted.mkString(",")}")
 
   private def hadoopFs(p: Path) =
     p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
@@ -141,7 +159,8 @@ private[sources] class TsdScan(path: String, lo: Long, hi: Long,
     pruned.flatMap { case (file, e) =>
       (1L to e.nBlocks by blocksPerPartition).map { s =>
         TsdInputPartition(file, s,
-          math.min(s + blocksPerPartition - 1, e.nBlocks), lo, hi)
+          math.min(s + blocksPerPartition - 1, e.nBlocks), lo, hi,
+          chans.map(_.toSeq.sorted))
       }
     }.toArray
 
@@ -209,6 +228,15 @@ private[sources] class TsdPartitionReader(p: TsdInputPartition,
   }
   private val span = schema.blockIntervals.toLong * schema.intervalSec
   private val names = schema.channels.map(c => UTF8String.fromString(c.name))
+  // pushed channel set -> per-file index predicate; channels absent from
+  // this file's schema simply never match
+  private val keep: Int => Boolean = p.chans match {
+    case None => _ => true
+    case Some(cs) =>
+      val set = cs.toSet
+      val byIdx = schema.channels.map(c => set.contains(c.name)).toArray
+      byIdx(_)
+  }
   private var sector = p.startSector
   private var rows: Iterator[graft.codec.Sample] = Iterator.empty
   private var cur: graft.codec.Sample = null
@@ -220,7 +248,7 @@ private[sources] class TsdPartitionReader(p: TsdInputPartition,
       val ts = BlockBuffer(buf).timestamp
       // per-block prune: 4-byte timestamp check before any decode
       if (ts + span >= p.lo && ts <= p.hi)
-        rows = EtsdDecoder.decodeBlock(schema, buf).iterator
+        rows = EtsdDecoder.decodeBlock(schema, buf, keep).iterator
       sector += 1
     }
     if (rows.hasNext) { cur = rows.next(); true } else false

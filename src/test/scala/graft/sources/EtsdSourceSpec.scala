@@ -126,6 +126,23 @@ class EtsdSourceSpec extends AnyFunSuite {
     assert(v2.count() == EtsdSource.read(spark, tsdPath).count())
   }
 
+  test("DSv2 channel pushdown: decode skips non-selected channels") {
+    import spark.implicits._
+    val dir = tsdPath
+    val v2 = spark.read.format("graft.sources.TsdDataSource").load(dir)
+    // equality and IN forms both reach the scan builder
+    val one = v2.filter($"channel" === "TempC")
+    val scanDesc = one.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("chans=TempC"), scanDesc)
+    // pruned read == full read filtered (decode skip is value-invisible)
+    val full = spark.read.format("graft.sources.TsdDataSource").load(dir)
+      .collect().filter(_.getString(1) == "TempC")
+    assert(one.collect().toSet == full.toSet)
+    val both = v2.filter($"channel".isin("TempC", "OdoMain", "NoSuchChan"))
+    assert(both.count() == v2.count()) // the two real channels = everything
+    assert(v2.filter($"channel" === "NoSuchChan").isEmpty)
+  }
+
   test("wide pivots the long form to one column per channel") {
     val long = EtsdSource.read(spark, tsdPath)
     val w = EtsdSource.wide(long, schema).collect()

@@ -200,18 +200,29 @@ object VectorOps {
   }
 
   /** Multi-probe LSH approximate top-k: each probe scores corpus vectors
-    * in its own hyperplane bucket AND every Hamming-1 neighbour bucket
-    * (one flipped sign bit — the standard multi-probe trick: near
-    * neighbours that straddle a single hyperplane are recovered at the
-    * cost of `planes`× more candidate rows, still an equality join, no
-    * cross join). Recall on the random fixture: 0.14 single-probe →
-    * ~0.5 multi-probe; the planes count stays the bucket-size dial.
+    * in its own hyperplane bucket AND every bucket within `probeRadius`
+    * flipped sign bits (the standard multi-probe trick: near neighbours
+    * that straddle one — or, at radius 2, two — hyperplanes are
+    * recovered at the cost of more candidate rows, still an equality
+    * join, no cross join). Probe count per query: 1 + planes (+
+    * planes·(planes−1)/2 at radius 2) — the recall-vs-cost dial
+    * alongside the planes count, which stays the bucket-size dial.
+    * Recall on the hard random fixture: 0.14 radius-0 → ~0.4 radius-1 →
+    * ~0.8 radius-2 (pinned in AnnRecallSpec).
     * Output: probe_id, vec_id, cos, rk. */
   def lshKnn(vectors: DataFrame, probeIds: Column => Column, k: Int,
-             planes: Int, dim: Int): DataFrame = {
+             planes: Int, dim: Int, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius 0-2")
     val bucketed = vectors.withColumn("bucket", lshBucket(planes, dim))
-    val probeBuckets = array(($"bucket" +:
-      (0 until planes).map(pl => $"bucket".bitwiseXOR(lit(1L << pl)))): _*)
+    val flips: Seq[Column] = Seq($"bucket") ++
+      (if (probeRadius >= 1)
+        (0 until planes).map(pl => $"bucket".bitwiseXOR(lit(1L << pl)))
+      else Nil) ++
+      (if (probeRadius >= 2)
+        for { a <- 0 until planes; b <- a + 1 until planes }
+          yield $"bucket".bitwiseXOR(lit((1L << a) | (1L << b)))
+      else Nil)
+    val probeBuckets = array(flips: _*)
     val p = bucketed.filter(probeIds($"vec_id"))
       .select(explode(probeBuckets).as("bucket"),
         $"vec_id".as("probe_id"), $"qv".as("pv"), $"nrm".as("pn"))

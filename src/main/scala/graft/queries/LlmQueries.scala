@@ -114,7 +114,8 @@ object LlmQueries {
     // LSH-bucketed approximate top-k (hyperplane-sign equality join)
     "llm_ann_lsh" -> ((s, d) => {
       val q = VectorOps.quantize(embs(s, d), $"vec_id", $"embedding")
-      VectorOps.lshKnn(q, _ < AnnProbeMax, AnnK, LshPlanes, EmbDim)
+      VectorOps.lshKnn(q, _ < AnnProbeMax, AnnK, LshPlanes, EmbDim,
+          probeRadius = 2)
         .orderBy("probe_id", "rk")
     }),
 
@@ -458,9 +459,12 @@ object LlmQueries {
       bucket AS (SELECT vec_id,
                CAST(sum(CASE WHEN d >= 0 THEN $buckVal ELSE 0 END) AS BIGINT) AS bucket
                FROM bdot GROUP BY 1),
-      pbuckets AS ( -- multi-probe: own bucket + every Hamming-1 neighbour
+      pbuckets AS ( -- multi-probe radius 2: own bucket + every Hamming-1
+                    -- and Hamming-2 neighbour (two flipped sign bits)
         SELECT vec_id AS probe_id, unnest([bucket,
-          ${(0 until LshPlanes).map(pl => s"xor(bucket, ${1L << pl})").mkString(", ")}]) AS bucket
+          ${(0 until LshPlanes).map(pl => s"xor(bucket, ${1L << pl})").mkString(", ")},
+          ${(for { a <- 0 until LshPlanes; b <- a + 1 until LshPlanes }
+              yield s"xor(bucket, ${(1L << a) | (1L << b)})").mkString(", ")}]) AS bucket
         FROM bucket WHERE vec_id < $AnnProbeMax),
       dots AS (
         SELECT pl.probe_id, pb.vec_id AS vec_id,

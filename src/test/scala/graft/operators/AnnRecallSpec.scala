@@ -26,19 +26,27 @@ class AnnRecallSpec extends AnyFunSuite {
       .cache()
     val brute = pairs(VectorOps.bruteKnn(q, q.filter($"vec_id" < 10), 5))
     val lsh = pairs(VectorOps.lshKnn(q, _ < 10, 5, planes = 4, dim = 64))
+    val lsh2 = pairs(VectorOps.lshKnn(q, _ < 10, 5, planes = 4, dim = 64,
+      probeRadius = 2))
     val ivf0 = pairs(VectorOps.ivfKnn(q, _ < 10, 5, nCentroids = 16, nProbe = 4))
     val ivf2 = pairs(VectorOps.ivfKnn(q, _ < 10, 5, nCentroids = 16, nProbe = 4,
       trainIters = 2))
     assert(brute.nonEmpty)
     val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
+    val lsh2Recall = lsh2.intersect(brute).size.toDouble / brute.size
     val ivf0Recall = ivf0.intersect(brute).size.toDouble / brute.size
     val ivf2Recall = ivf2.intersect(brute).size.toDouble / brute.size
-    info(s"recall: lsh=$lshRecall ivf(seeds)=$ivf0Recall ivf(lloyd2)=$ivf2Recall")
-    // sf0.01 reference points: single-probe LSH was 0.14; multi-probe
-    // 0.40; IVF 0.92 seeds / 0.90 after 2 Lloyd's rounds — training buys
-    // balanced lists, not recall, on random near-orthogonal vectors (the
-    // hard case: every centroid is roughly equidistant from everything)
+    info(s"recall: lsh=$lshRecall lsh(r2)=$lsh2Recall " +
+      s"ivf(seeds)=$ivf0Recall ivf(lloyd2)=$ivf2Recall")
+    // sf0.01 reference points: single-probe LSH was 0.14; radius-1
+    // multi-probe 0.40; radius-2 recovers neighbours straddling two
+    // hyperplanes; IVF 0.92 seeds / 0.90 after 2 Lloyd's rounds —
+    // training buys balanced lists, not recall, on random
+    // near-orthogonal vectors (the hard case: every centroid is roughly
+    // equidistant from everything)
     assert(lshRecall >= 0.25, s"LSH recall regressed: $lshRecall")
+    assert(lsh2Recall >= 0.7, s"radius-2 LSH recall regressed: $lsh2Recall")
+    assert(lsh2Recall >= lshRecall, "wider probe must not lose pairs")
     assert(ivf0Recall >= 0.7, s"IVF seed recall regressed: $ivf0Recall")
     assert(ivf2Recall >= 0.7, s"IVF trained recall regressed: $ivf2Recall")
     assert(ivf2Recall >= ivf0Recall - 0.1,

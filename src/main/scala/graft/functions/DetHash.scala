@@ -22,6 +22,10 @@ object DetHash {
   /** 61-bit modulus used to fold the 60-bit hash into 31-bit space for
     * overflow-free affine MinHash permutations. */
   val M31 = 1000000007L
+  /** Polynomial-combine multiplier for hash-of-hashes keys (n-gram
+    * bucket composition); paired with a fold mod [[M31]] per step so the
+    * running value stays below 2⁶³ on both engines. */
+  val CombineC = 1000003L
   /** Mersenne prime 2^31-1 — the MinHash permutation modulus. */
   val P31 = 2147483647L
 

@@ -271,15 +271,30 @@ object DedupOps {
     * jaccard. */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
                    minJaccard: Double, maxBucket: Int = 20): DataFrame = {
-    def gramArr(n: Int): Column = {
-      val grams = transform(sequence(lit(1), size($"ws") - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at($"ws", i + lit(k))): _*))
-      array_distinct(transform(grams, s => DetHash.h31(s)))
+    // ONE md5 pass: positional 3-gram hashes. The 5-gram bucket key is
+    // the exact-integer combine of its 3 constituent (overlapping)
+    // 3-grams — a word 5-gram is determined by 3-grams at i, i+1, i+2 —
+    // so bucketing power is equivalent while the corpus-sized hash work
+    // halves (the 5-gram md5-over-string pass is gone). The combine
+    // stays below 2⁶³ by folding mod M31 at each step, mirrored exactly
+    // in the oracle.
+    val gram3 = (i: Column) => concat_ws(" ", element_at($"ws", i),
+      element_at($"ws", i + lit(1)), element_at($"ws", i + lit(2)))
+    val b5key = (i: Column) => {
+      val g = (o: Int) => element_at($"g3p", i + lit(o))
+      ((((g(0) * DetHash.CombineC + g(1)) % DetHash.M31) * DetHash.CombineC)
+        + g(2)) % DetHash.M31
     }
     val base0 = docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
       .filter(size($"ws") >= 5)
       .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
-      .select($"doc_id", gramArr(5).as("b5"), gramArr(3).as("g3"))
+      .select($"doc_id",
+        transform(sequence(lit(1), size($"ws") - 2),
+          i => DetHash.h31(gram3(i))).as("g3p"))
+      .select($"doc_id",
+        array_distinct(transform(sequence(lit(1), size($"g3p") - 2), b5key))
+          .as("b5"),
+        array_distinct($"g3p").as("g3"))
     val base = Pins.pin(base0)
     val buckets = base.select($"doc_id", explode($"b5").as("bkey"))
     // skew-safe partial-agg cap + single reused capped subtree (see

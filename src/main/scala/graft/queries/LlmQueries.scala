@@ -404,18 +404,23 @@ object LlmQueries {
 
     "llm_ngram_jaccard" -> {
       def gram(n: Int) = (1 until n).foldLeft("ws[i]")((acc, k) => s"$acc || ' ' || ws[i+$k]")
+      val c = DetHash.CombineC
+      val m = DetHash.M31
       s"""
       WITH words AS (
         SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
         WHERE len(string_split($Norm, ' ')) >= 5),
-      bucket5 AS (
-        SELECT DISTINCT doc_id, ${h31("g")} AS bkey
-        FROM (SELECT doc_id, unnest(list_transform(
-                generate_series(1, len(ws)-4), i -> ${gram(5)})) AS g FROM words)),
+      g3p AS ( -- positional 3-gram hashes, the single md5 pass
+        SELECT doc_id, list_transform(generate_series(1, len(ws)-2),
+                 i -> ${h31(gram(3))}) AS g
+        FROM words),
+      bucket5 AS ( -- 5-gram key = combine of its 3 constituent 3-grams
+        SELECT DISTINCT doc_id,
+               ((((g[i] * $c + g[i+1]) % $m) * $c) + g[i+2]) % $m AS bkey
+        FROM (SELECT doc_id, g, unnest(generate_series(1, len(g)-2)) AS i
+              FROM g3p)),
       sh AS (
-        SELECT DISTINCT doc_id, ${h31("g")} AS h31
-        FROM (SELECT doc_id, unnest(list_transform(
-                generate_series(1, len(ws)-2), i -> ${gram(3)})) AS g FROM words)),
+        SELECT DISTINCT doc_id, unnest(g) AS h31 FROM g3p),
       caps AS (SELECT bkey FROM bucket5 GROUP BY 1
                HAVING count(*) >= 2 AND count(*) <= 20),
       cand AS (

@@ -10,7 +10,6 @@ import org.apache.spark.sql.SparkSession
 import graft.codec.{BlockBuffer, HeaderCodec, Layout}
 import graft.model.{ChannelConfig, EtsdSchema, StreamType}
 import graft.queries.EtsdQueryApi
-import graft.sources.EtsdSource
 
 /** CLI entry point mirroring the reference's `etsdCmd` verbs
   * (usage etsdCmd.c:457-461; dispatch etsdCmd.c:618-663):
@@ -230,7 +229,11 @@ object EtsdCmd {
           .config("spark.ui.enabled", false).getOrCreate()
         try {
           val schema = loadSchema(path)
-          val df = EtsdSource.read(spark, path)
+          // DSv2 scan: plans from the _graft_index sidecar (or one
+          // distributed probe job) and pushes the channel + time range
+          // into the block decode — the CLI stays O(selected data) on a
+          // many-file layout, like the reference's etsdFindBlock seek
+          val df = spark.read.format("graft.sources.TsdDataSource").load(path)
           EtsdQueryApi.query(df, schema, rest, Instant.now())
             .orderBy("channel").collect()
             .foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getDouble(2)}"))

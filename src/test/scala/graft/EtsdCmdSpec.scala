@@ -90,7 +90,8 @@ class EtsdCmdSpec extends AnyFunSuite {
     Files.write(Paths.get(f),
       header ++ enc.blocks().reduce(_ ++ _))
     val spark = TestSpark.spark
-    val df = graft.sources.EtsdSource.read(spark, f)
+    // the same DSv2 path the CLI main drives (channel pushdown fires)
+    val df = spark.read.format("graft.sources.TsdDataSource").load(f)
     val got = graft.queries.EtsdQueryApi.query(df, created,
         Seq("q=tot", "c=aux"), java.time.Instant.ofEpochSecond(1700010000L))
       .collect()

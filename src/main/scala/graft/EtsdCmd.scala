@@ -158,6 +158,32 @@ object EtsdCmd {
     schema
   }
 
+  /** The `rrdtool create` command for a schema's EDO-mirrored channels —
+    * the reference's createETSD rrd path (etsdCmd.c:75-79,320-343: with
+    * an rrd argument it builds/prints an rrdtool create so the user can
+    * stand up the mirror DB; its `buildRRD` is referenced but absent
+    * from the tree, so the shape follows the documented examples,
+    * `ECM-1240 storage format 2.txt:136-148`): one DS per EDO channel
+    * (COUNTER/GAUGE by the channel flag, heartbeat = 1.2×step, max =
+    * the stream type's storable bound) + the documented "auto" RRA
+    * ladder. The mirror itself is [[graft.streaming.Ingest.edoMirror]];
+    * this emits the interop string for users keeping real RRDtool. */
+  def rrdCreateString(schema: EtsdSchema, rrdPath: String): String = {
+    val step = schema.intervalSec
+    val heartbeat = step + (step + 4) / 5 // 1.2x, ceil (doc: step 10 -> 12)
+    val ds = schema.channels.filter(_.edo).map { c =>
+      val kind = if (c.counter) "COUNTER" else "GAUGE"
+      s"DS:${c.name}:$kind:$heartbeat:0:${c.streamType.maxValid}"
+    }
+    require(ds.nonEmpty, "no EDO-flagged channels to mirror (r flag)")
+    // the documented default ladder (`ECM-1240 storage format 2.txt:126-134`)
+    val rra = Seq("RRA:LAST:0.8:1:8700", "RRA:AVERAGE:0.65:6:2900",
+      "RRA:AVERAGE:0.65:45:1350", "RRA:AVERAGE:0.65:180:1500",
+      "RRA:MAX:0.65:180:1500", "RRA:MIN:0.65:180:1500",
+      "RRA:AVERAGE:0.65:2160:1500")
+    (s"rrdtool create $rrdPath --step $step" +: (ds ++ rra)).mkString(" ")
+  }
+
   /** The create summary printf (etsdCmd.c:301). */
   def createSummary(schema: EtsdSchema): String = {
     val layout = new Layout(schema)
@@ -220,7 +246,14 @@ object EtsdCmd {
     val (verb, path, rest) = (args(0), args(1), args.drop(2).toSeq)
     verb.head.toLower match {
       case 'c' =>
-        println(createSummary(create(path, rest)))
+        // optional rrd target right after the .tsd path (etsdCmd.c:124-130:
+        // an arg with '/' or '.rrd' is the mirror file, not an option)
+        val (rrd, cargs) = rest.headOption
+          .filter(a => a.contains("/") || a.toLowerCase.contains(".rrd"))
+          .map(a => (Some(a), rest.tail)).getOrElse((None, rest))
+        val schema = create(path, cargs)
+        println(createSummary(schema))
+        rrd.foreach(r => println(rrdCreateString(schema, r)))
       case 'q' =>
         val spark = SparkSession.builder().appName("etsdCmd")
           .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -99,6 +99,21 @@ class EtsdCmdSpec extends AnyFunSuite {
     assert(got(0).getDouble(2) == (0 until 12).map(_ - 3).sum.toDouble)
   }
 
+  test("rrdCreateString emits DS per EDO channel + the documented ladder") {
+    val s = EtsdCmd.createSchema(Seq("T=10",
+      "Mains:8:E1:r", "Volts:4:E11:G:r", "Hidden:4:E2:G"))
+    val cmd = EtsdCmd.rrdCreateString(s, "/var/rrd/g.rrd")
+    assert(cmd.startsWith("rrdtool create /var/rrd/g.rrd --step 10 "))
+    assert(cmd.contains("DS:Mains:COUNTER:12:0:65534"))
+    assert(cmd.contains("DS:Volts:GAUGE:12:0:254"))
+    assert(!cmd.contains("Hidden")) // non-EDO channels are not mirrored
+    assert(cmd.contains("RRA:LAST:0.8:1:8700") &&
+      cmd.endsWith("RRA:AVERAGE:0.65:2160:1500"))
+    // no EDO channels -> explicit error, like an empty DS list would be
+    intercept[IllegalArgumentException](EtsdCmd.rrdCreateString(
+      EtsdCmd.createSchema(Seq("Solo:8:E0")), "x.rrd"))
+  }
+
   test("parseChannelSpec flag grammar matches createETSD") {
     val c = EtsdCmd.parseChannelSpec("Grid:9:E2:r:s")
     assert(c.counter && !c.register && c.edo && c.sourceChan == 2)

@@ -53,6 +53,20 @@ class BandJoinRewriteSpec extends AnyFunSuite {
              if math.abs(lv - rv) <= 100 && lid < rid } yield 1).size)
   }
 
+  test("spark.graft.bandJoinRewrite.enabled=false keeps the naive plan") {
+    val l = lRows.toDF("lid", "lv")
+    val r = rRowsOpt.toDF("rid", "rv")
+    spark.conf.set(BandJoinRewrite.EnabledKey, "false")
+    try {
+      val joined = l.join(r, abs($"lv" - $"rv") <= 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), s"flag ignored:\n$plan")
+      val want = (for { (_, lv) <- lRows; (_, rvo) <- rRowsOpt; rv <- rvo
+                        if math.abs(lv - rv) <= 100 } yield 1).size
+      assert(joined.count() == want) // same answer, naive plan
+    } finally spark.conf.set(BandJoinRewrite.EnabledKey, "true")
+  }
+
   test("does not fire when an equi key already exists, or on doubles") {
     val l = Seq((1L, 1L, 0.5)).toDF("k", "lid", "lv")
     val r = Seq((1L, 2L, 0.6)).toDF("k", "rid", "rv")

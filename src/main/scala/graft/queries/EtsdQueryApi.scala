@@ -64,8 +64,12 @@ object EtsdQueryApi {
 
     // `begin` = first stored sample (reference seeks block 1,
     // etsdQuery.c:259-261) — one scalar agg, evaluated only when used
-    lazy val begin: Instant = Instant.ofEpochSecond(
-      df.agg(min(unix_timestamp($"ts"))).head().getLong(0))
+    lazy val begin: Instant = {
+      val r = df.agg(min(unix_timestamp($"ts"))).head()
+      if (r.isNullAt(0)) // empty file: the reference's read error path
+        throw new IllegalArgumentException("no data blocks in file")
+      Instant.ofEpochSecond(r.getLong(0))
+    }
     def epoch(lit: String): Long = {
       val b = if (lit.toLowerCase.contains("begin")) begin
               else Instant.EPOCH // unused unless 'begin' appears

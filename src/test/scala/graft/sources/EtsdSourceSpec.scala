@@ -85,6 +85,17 @@ class EtsdSourceSpec extends AnyFunSuite {
     assert(idx.map(_.getInt(3)).toSeq == Seq(6, 6, 3)) // last block short
   }
 
+  test("EtsdQueryApi reports an empty file instead of an opaque NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(java.sql.Timestamp, String, Option[Long], Boolean, Boolean)]
+      .toDF("ts", "channel", "value", "valid", "is_register")
+    val e = intercept[IllegalArgumentException] {
+      EtsdQueryApi.query(empty, schema, Seq("q=tot"),
+        Instant.ofEpochSecond(t0)).collect()
+    }
+    assert(e.getMessage.contains("no data"))
+  }
+
   test("EtsdQueryApi rejects unknown channels and bad args") {
     val df = EtsdSource.read(spark, tsdPath)
     val now = Instant.ofEpochSecond(t0)

@@ -73,6 +73,32 @@ object TextAnalysisOps {
   def splitBucketSql(idExpr: String, salt: String = "split:"): String =
     s"${DetHash.h60Sql(s"'$salt' || CAST($idExpr AS VARCHAR)")} % 100"
 
+  /** Sequence packing for pretraining — the concat-then-chunk shape:
+    * within each shard, documents concatenate in doc-id order and the
+    * token stream is cut every `budget` tokens, so each doc lands at
+    * `(start_seq, start_offset)` and may span sequence boundaries
+    * (exactly GPT-style packing; no bin-packing state needed, the
+    * placement is a pure prefix sum). Sharding is a deterministic salted
+    * id hash, so the layout is reproducible AND the window runs
+    * per-shard — parallelism never collapses to one global sort, which
+    * is what makes this survive a 100 TB corpus (shard count is the
+    * parallelism dial; a global pack order is a single-task window).
+    * Output: doc_id, shard, n_tokens, start_seq, start_offset. */
+  def packSequences(docs: DataFrame, id: Column, text: Column,
+                    budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val base = docs.select(id.as("doc_id"),
+        wsTokens(normText(text)).as("n_tokens"))
+      .withColumn("shard",
+        DetHash.h60(concat(lit("pack:"), $"doc_id".cast("string"))) % shards)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+    base.withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"shard", $"n_tokens",
+        expr(s"(cum - n_tokens) DIV $budget").as("start_seq"),
+        expr(s"(cum - n_tokens) % $budget").as("start_offset"))
+  }
+
   /** Per-doc top-`k` salient terms by a deterministic tf-idf-style
     * weight. The idf factor is the exact integer ratio `1e6 / df`
     * (document frequency), so `weight_ppm = tf * 1_000_000 / df` ranks

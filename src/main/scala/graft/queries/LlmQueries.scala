@@ -86,6 +86,13 @@ object LlmQueries {
       TextAnalysisOps.tfIdfTopTerms(docs(s, d), $"doc_id", $"text")
         .orderBy("doc_id", "rk")),
 
+    // concat-then-chunk sequence packing: per-shard prefix sum places
+    // every doc at (start_seq, start_offset) in 2048-token sequences
+    "llm_pack" -> ((s, d) =>
+      TextAnalysisOps.packSequences(docs(s, d), $"doc_id", $"text",
+          budget = 2048L, shards = 8)
+        .orderBy("doc_id")),
+
     // transitive closure of the near-dup pairs: min-label connected
     // components turn pairwise matches into per-doc keeper assignments
     "llm_dup_clusters" -> ((s, d) =>
@@ -341,6 +348,23 @@ object LlmQueries {
              count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "llm_pack" -> s"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST($WsTok AS BIGINT) AS n_tokens,
+               ${DetHash.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        FROM (SELECT doc_id, $Norm AS norm FROM documents)),
+      c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum
+        FROM b)
+      SELECT doc_id, shard, n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
+             CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset
+      FROM c ORDER BY doc_id""",
 
     "llm_tfidf" -> s"""
       WITH terms AS (

@@ -269,15 +269,16 @@ object DedupOps {
     * hash sets. Both gram sets are built as arrays in ONE narrow pass over
     * the corpus and persisted together. Output: doc_a, doc_b, n_common,
     * jaccard. */
-  def ngramJaccard(docs: DataFrame, id: Column, text: Column,
-                   minJaccard: Double, maxBucket: Int = 20): DataFrame = {
-    // ONE md5 pass: positional 3-gram hashes. The 5-gram bucket key is
-    // the exact-integer combine of its 3 constituent (overlapping)
-    // 3-grams — a word 5-gram is determined by 3-grams at i, i+1, i+2 —
-    // so bucketing power is equivalent while the corpus-sized hash work
-    // halves (the 5-gram md5-over-string pass is gone). The combine
-    // stays below 2⁶³ by folding mod M31 at each step, mirrored exactly
-    // in the oracle.
+  /** Per-doc word-gram hash arrays, ONE md5 pass: positional 3-gram
+    * hashes; the 5-gram bucket key is the exact-integer combine of its 3
+    * constituent (overlapping) 3-grams — a word 5-gram is determined by
+    * 3-grams at i, i+1, i+2 — so bucketing power is equivalent while the
+    * corpus-sized hash work halves (no 5-gram md5-over-string pass).
+    * The combine stays below 2⁶³ by folding mod M31 at each step,
+    * mirrored exactly in the oracles.
+    * Output: doc_id, b5 (distinct 5-gram keys), g3 (distinct 3-gram
+    * hashes). Shared by [[ngramJaccard]] and [[contamination]]. */
+  def gramArrays(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val gram3 = (i: Column) => concat_ws(" ", element_at($"ws", i),
       element_at($"ws", i + lit(1)), element_at($"ws", i + lit(2)))
     val b5key = (i: Column) => {
@@ -285,7 +286,7 @@ object DedupOps {
       ((((g(0) * DetHash.CombineC + g(1)) % DetHash.M31) * DetHash.CombineC)
         + g(2)) % DetHash.M31
     }
-    val base0 = docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
+    docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
       .filter(size($"ws") >= 5)
       .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
       .select($"doc_id",
@@ -295,7 +296,11 @@ object DedupOps {
         array_distinct(transform(sequence(lit(1), size($"g3p") - 2), b5key))
           .as("b5"),
         array_distinct($"g3p").as("g3"))
-    val base = Pins.pin(base0)
+  }
+
+  def ngramJaccard(docs: DataFrame, id: Column, text: Column,
+                   minJaccard: Double, maxBucket: Int = 20): DataFrame = {
+    val base = Pins.pin(gramArrays(docs, id, text))
     val buckets = base.select($"doc_id", explode($"b5").as("bkey"))
     // skew-safe partial-agg cap + single reused capped subtree (see
     // candidatePairs)
@@ -307,6 +312,38 @@ object DedupOps {
       .filter($"doc_id" < $"doc_b")
       .select($"doc_id".as("doc_a"), $"doc_b").distinct()
     trueJaccard(cand, base.select($"doc_id", $"g3".as("hs")))
+      .filter($"jaccard" >= minJaccard)
+  }
+
+  /** Eval-set contamination detection — the decontamination pass of a
+    * training pipeline: n-gram Jaccard pairs BETWEEN a training corpus
+    * and a held-out eval corpus, so an eval document leaking into
+    * training surfaces with its train-side source. Same capped-bucket
+    * shape as [[ngramJaccard]] with the self-join replaced by a
+    * train×eval equality join on shared 5-gram keys; the cap is taken on
+    * the TRAIN side (the big one — a boilerplate 5-gram shared by half
+    * the corpus must not explode the probe). The eval side is typically
+    * tiny and broadcasts under AQE.
+    * Output: train_id, eval_id, n_common, jaccard. */
+  def contamination(train: DataFrame, evalDocs: DataFrame,
+                    id: Column, text: Column, minJaccard: Double,
+                    maxBucket: Int = 50): DataFrame = {
+    val t = Pins.pin(gramArrays(train, id, text))
+    val e = Pins.pin(gramArrays(evalDocs, id, text))
+    val tb = t.select($"doc_id".as("train_id"), explode($"b5").as("bkey"))
+    val eb = e.select($"doc_id".as("eval_id"), explode($"b5").as("bkey"))
+    val caps = tb.groupBy($"bkey").count()
+      .filter($"count" <= maxBucket).select($"bkey")
+    val cand = tb.join(caps, "bkey").join(eb, "bkey")
+      .select($"train_id", $"eval_id").distinct()
+    cand
+      .join(t.select($"doc_id".as("train_id"), $"g3".as("hs_a")), "train_id")
+      .join(e.select($"doc_id".as("eval_id"), $"g3".as("hs_b")), "eval_id")
+      .select($"train_id", $"eval_id",
+        size(array_intersect($"hs_a", $"hs_b")).cast("long").as("n_common"),
+        (size($"hs_a") + size($"hs_b")).as("sz_ab"))
+      .select($"train_id", $"eval_id", $"n_common",
+        ($"n_common".cast("double") / ($"sz_ab" - $"n_common")).as("jaccard"))
       .filter($"jaccard" >= minJaccard)
   }
 }

@@ -100,6 +100,16 @@ object LlmQueries {
           DedupOps.minHashDedup(docs(s, d), $"doc_id", $"text", MinJaccard))
         .orderBy("doc_id")),
 
+    // eval-set contamination: n-gram overlap between the train+val
+    // portion and the held-out test split (decontamination pass)
+    "llm_contamination" -> ((s, d) => {
+      val sp = TextAnalysisOps.withSplit(docs(s, d), $"doc_id")
+      DedupOps.contamination(
+          sp.filter($"split" =!= "test"), sp.filter($"split" === "test"),
+          $"doc_id", $"text", minJaccard = 0.5)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // SimHash near-dup pairs (byte-banded bucket join, Hamming ≤ 2)
     "llm_simhash_pairs" -> ((s, d) =>
       DedupOps.simHashPairs(
@@ -348,6 +358,50 @@ object LlmQueries {
              count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "llm_contamination" -> {
+      def gram(n: Int) = (1 until n).foldLeft("ws[i]")((acc, k) => s"$acc || ' ' || ws[i+$k]")
+      val c = DetHash.CombineC
+      val m = DetHash.M31
+      s"""
+      WITH d AS (
+        SELECT doc_id, $Norm AS norm,
+               ${TextAnalysisOps.splitBucketSql("doc_id")} AS bucket
+        FROM documents),
+      words AS (
+        SELECT doc_id, bucket, string_split(norm, ' ') AS ws FROM d
+        WHERE len(string_split(norm, ' ')) >= 5),
+      g3p AS (
+        SELECT doc_id, bucket, list_transform(generate_series(1, len(ws)-2),
+                 i -> ${h31(gram(3))}) AS g
+        FROM words),
+      b5 AS (
+        SELECT DISTINCT doc_id, bucket,
+               ((((g[i] * $c + g[i+1]) % $m) * $c) + g[i+2]) % $m AS bkey
+        FROM (SELECT doc_id, bucket, g, unnest(generate_series(1, len(g)-2)) AS i
+              FROM g3p)),
+      tb AS (SELECT doc_id AS train_id, bkey FROM b5 WHERE bucket < 90),
+      eb AS (SELECT doc_id AS eval_id,  bkey FROM b5 WHERE bucket >= 90),
+      caps AS (SELECT bkey FROM tb GROUP BY 1 HAVING count(*) <= 50),
+      cand AS (
+        SELECT DISTINCT train_id, eval_id
+        FROM tb JOIN caps USING (bkey) JOIN eb USING (bkey)),
+      sh3 AS (SELECT DISTINCT doc_id, unnest(g) AS h31 FROM g3p),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh3 GROUP BY 1),
+      inter AS (
+        SELECT c.train_id, c.eval_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN sh3 a ON a.doc_id = c.train_id
+        JOIN sh3 b ON b.doc_id = c.eval_id AND b.h31 = a.h31
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT train_id, eval_id, n_common,
+               CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = train_id
+        JOIN sizes sb ON sb.doc_id = eval_id)
+      SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY train_id, eval_id"""
+    },
 
     "llm_pack" -> s"""
       WITH b AS (

@@ -91,8 +91,13 @@ object TextAnalysisOps {
         wsTokens(normText(text)).as("n_tokens"))
       .withColumn("shard",
         DetHash.h60(concat(lit("pack:"), $"doc_id".cast("string"))) % shards)
+    // explicit ROWS frame: the default RANGE frame makes same-doc_id
+    // peers share one cum (each would include BOTH rows' tokens),
+    // diverging from the oracle's ROWS window on a dirty pre-dedup corpus
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     base.withColumn("cum", sum($"n_tokens").over(w))
       .select($"doc_id", $"shard", $"n_tokens",
         expr(s"(cum - n_tokens) DIV $budget").as("start_seq"),

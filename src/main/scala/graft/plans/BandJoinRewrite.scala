@@ -46,7 +46,9 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val EnabledKey = "spark.graft.bandJoinRewrite.enabled"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString(EnabledKey, "true") != "true") return plan
+    // parseBoolean: accept TRUE/True like every other Spark boolean conf
+    if (!java.lang.Boolean.parseBoolean(
+        conf.getConfString(EnabledKey, "true"))) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if !hasEquiConjunct(cond, left, right) =>

@@ -29,13 +29,25 @@ import org.apache.spark.sql.functions._
   * with `valid=false` encode as the invalid sentinel. */
 object EtsdSink {
 
+  /** Total lexicographic order on byte arrays (unsigned), shorter-prefix
+    * first — the deterministic tie-break for duplicate xData rows. */
+  private val ByteLexOrdering: Ordering[Array[Byte]] = (a, b) => {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (r == 0 && i < n) { r = (a(i) & 0xFF) - (b(i) & 0xFF); i += 1 }
+    if (r != 0) r else a.length - b.length
+  }
+
   /** One row per written file: the file's full planning metadata,
     * computed from the bytes just written (no re-reads). `toIndexEntry`
     * feeds the `_graft_index` sidecar. */
   final case class WrittenFile(path: String, name: String, fileLen: Long,
-      nBlocks: Long, firstTs: Long, lastTs: Long, blockSpanSec: Long) {
+      nBlocks: Long, firstTs: Long, lastTs: Long, blockSpanSec: Long,
+      modTime: Long = 0L) {
     def toIndexEntry: TsdIndexEntry =
-      TsdIndexEntry(name, fileLen, nBlocks, firstTs, lastTs, blockSpanSec)
+      TsdIndexEntry(name, fileLen, nBlocks, firstTs, lastTs, blockSpanSec,
+        modTime)
   }
 
   /** Export and return one row per written file.
@@ -72,7 +84,12 @@ object EtsdSink {
 
     keyedLong.cogroup(keyedXd) { (fileIdx, it, xit) =>
       if (it.isEmpty) Iterator.empty else {
-        val xd = xit.map { case (be, b) => be -> b }.toMap
+        // duplicate side rows for one block resolve deterministically
+        // (lexicographically smallest bytes win) — an at-least-once
+        // upstream must not break the byte-identical-rewrite contract
+        val xd = xit.toSeq.groupBy(_._1).map { case (be, vs) =>
+          be -> vs.map(_._2).min(ByteLexOrdering)
+        }
         val rows = it.toArray
         val bySlot = rows.groupBy { case (te, _, _, _) =>
           Math.floorDiv(te, span)
@@ -102,9 +119,12 @@ object EtsdSink {
         def tsAt(sector: Long): Long =
           graft.codec.BlockBuffer(
             bytes.slice((sector * bsz).toInt, (sector * bsz).toInt + bsz)).timestamp
+        // one status RPC per written file: the sidecar's freshness check
+        // compares (len, modTime), so the entry must carry the real mtime
+        val mod = fs.getFileStatus(path).getModificationTime
         Iterator.single(WrittenFile(path.toString, path.getName,
           bytes.length.toLong, nBlocks.toLong, tsAt(1), tsAt(nBlocks.toLong),
-          schema.blockIntervals.toLong * schema.intervalSec))
+          schema.blockIntervals.toLong * schema.intervalSec, mod))
       }
     }
   }

@@ -13,9 +13,10 @@ import graft.codec.{BlockBuffer, HeaderCodec}
   * opening it — the many-file generalization of the reference's
   * `etsdFindBlock` first/last-sector probes (etsdRead.c:300-353).
   *
-  * `fileLen` pins freshness: an entry is only trusted if the current
-  * file length matches, so a file that grew (streaming append/rotation)
-  * is re-probed rather than under-planned.
+  * `fileLen` + `modTime` pin freshness: an entry is only trusted if the
+  * current file length AND modification time match, so a file that grew
+  * (streaming append/rotation) or was rewritten in place at the same
+  * length (shifted slot range) is re-probed rather than mis-pruned.
   */
 final case class TsdIndexEntry(
     name: String,      // file name within the directory (not full path)
@@ -23,7 +24,8 @@ final case class TsdIndexEntry(
     nBlocks: Long,     // data blocks (file blocks minus header)
     firstTs: Long,     // epoch of first data block
     lastTs: Long,      // epoch of last data block
-    blockSpanSec: Long // blockIntervals * intervalSec from the header
+    blockSpanSec: Long, // blockIntervals * intervalSec from the header
+    modTime: Long = 0L // file modification time at probe/write
 )
 
 /** Build, persist, and load the sidecar block index (`_graft_index`).
@@ -39,7 +41,7 @@ final case class TsdIndexEntry(
   */
 object TsdIndex {
   val FileName = "_graft_index"
-  private val Header = "graft-tsd-index\tv1"
+  private val Header = "graft-tsd-index\tv2"
 
   /** Planning-path instrumentation (test observability, driver-side
     * only): how files got their planning metadata in the most recent
@@ -60,7 +62,8 @@ object TsdIndex {
 
   /** Probe one file: header decode + first/last block-timestamp reads
     * (3 x 512 B). Runs on an EXECUTOR when called from [[build]]. */
-  def probe(fs: FileSystem, path: Path, len: Long): TsdIndexEntry = {
+  def probe(fs: FileSystem, path: Path, len: Long,
+            modTime: Long = 0L): TsdIndexEntry = {
     val nBlocks = len / BlockBuffer.BlockSize - 1
     val in = fs.open(path)
     try {
@@ -75,7 +78,7 @@ object TsdIndex {
       }
       TsdIndexEntry(path.getName, len, nBlocks,
         tsAt(BlockBuffer.BlockSize), tsAt(nBlocks * BlockBuffer.BlockSize),
-        schema.blockIntervals.toLong * schema.intervalSec)
+        schema.blockIntervals.toLong * schema.intervalSec, modTime)
     } finally in.close()
   }
 
@@ -83,17 +86,18 @@ object TsdIndex {
     * pairs; executors do the 3-read probes in parallel; only the tiny
     * entry list (one row per file) returns to the driver. */
   def probeDistributed(spark: SparkSession, dir: Path,
-                       files: Seq[(String, Long)]): Seq[TsdIndexEntry] = {
+                       files: Seq[(String, Long, Long)]): Seq[TsdIndexEntry] = {
     if (files.isEmpty) return Seq.empty
     val hadoopProps = HadoopConfs.props(spark)
     val dirStr = dir.toString
     val parallelism = math.min(files.size,
       spark.sparkContext.defaultParallelism * 4).max(1)
-    spark.sparkContext.parallelize(files, parallelism).map { case (name, len) =>
-      val p = new Path(dirStr, name)
-      val fs = p.getFileSystem(HadoopConfs.build(hadoopProps))
-      probe(fs, p, len)
-    }.collect().toSeq
+    spark.sparkContext.parallelize(files, parallelism)
+      .map { case (name, len, mod) =>
+        val p = new Path(dirStr, name)
+        val fs = p.getFileSystem(HadoopConfs.build(hadoopProps))
+        probe(fs, p, len, mod)
+      }.collect().toSeq
   }
 
   /** Build the full index for a directory (distributed) and write the
@@ -105,7 +109,7 @@ object TsdIndex {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(root).filter(isDataFile)
-      .map(f => (f.getPath.getName, f.getLen)).toSeq
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSeq
     val entries = probeDistributed(spark, root, files)
     writeSidecar(fs, root, entries)
     entries
@@ -127,14 +131,23 @@ object TsdIndex {
   private def writeSidecar(fs: FileSystem, dir: Path,
                            entries: Seq[TsdIndexEntry]): Unit = {
     val body = (Header +: entries.sortBy(_.name).map(e =>
-      s"${e.name}\t${e.fileLen}\t${e.nBlocks}\t${e.firstTs}\t${e.lastTs}\t${e.blockSpanSec}"))
+      s"${e.name}\t${e.fileLen}\t${e.nBlocks}\t${e.firstTs}\t${e.lastTs}\t${e.blockSpanSec}\t${e.modTime}"))
       .mkString("", "\n", "\n")
-    val tmp = new Path(dir, s".${FileName}.tmp")
+    // unique tmp per writer: concurrent merges (a streaming batch racing
+    // Retention) must not clobber each other's half-written tmp. The
+    // sidecar is a CACHE — if the final rename loses a race, the write
+    // is skipped (cost: a re-probe on the next plan), never thrown.
+    val tmp = new Path(dir,
+      s".${FileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val os = fs.create(tmp, true)
     try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
     val dest = new Path(dir, FileName)
     fs.delete(dest, false)
-    require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      System.err.println(s"[TsdIndex] lost sidecar write race on $dest " +
+        "(cache skipped; next plan re-probes)")
+    }
   }
 
   /** Load the sidecar if present: one small driver-side read. */
@@ -154,7 +167,7 @@ object TsdIndex {
     Some(lines.tail.map { l =>
       val f = l.split('\t')
       f(0) -> TsdIndexEntry(f(0), f(1).toLong, f(2).toLong, f(3).toLong,
-        f(4).toLong, f(5).toLong)
+        f(4).toLong, f(5).toLong, f(6).toLong)
     }.toMap)
   }
 
@@ -167,19 +180,23 @@ object TsdIndex {
                   root: Path): Seq[TsdIndexEntry] = {
     val st = fs.getFileStatus(root)
     if (!st.isDirectory) {
-      // single-file load: one probe, via the job for uniformity
+      // single-file load: one probe, via the job for uniformity. Same
+      // min-length guard as isDataFile — a header-only file (fresh
+      // `create`) plans zero blocks instead of probing past EOF.
+      if (st.getLen < 2L * BlockBuffer.BlockSize) return Seq.empty
       PlanStats.probedFiles.addAndGet(1)
       return probeDistributed(spark, root.getParent,
-        Seq((root.getName, st.getLen)))
+        Seq((root.getName, st.getLen, st.getModificationTime)))
     }
     val files = fs.listStatus(root).filter(isDataFile)
-      .map(f => (f.getPath.getName, f.getLen)).toSeq
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSeq
     val cached = load(fs, root).getOrElse(Map.empty)
-    val (hit, miss) = files.partition { case (n, len) =>
-      cached.get(n).exists(_.fileLen == len)
+    val (hit, miss) = files.partition { case (n, len, mod) =>
+      cached.get(n).exists(e => e.fileLen == len && e.modTime == mod)
     }
     PlanStats.indexedFiles.addAndGet(hit.size)
     PlanStats.probedFiles.addAndGet(miss.size)
-    hit.map { case (n, _) => cached(n) } ++ probeDistributed(spark, root, miss)
+    hit.map { case (n, _, _) => cached(n) } ++
+      probeDistributed(spark, root, miss)
   }
 }

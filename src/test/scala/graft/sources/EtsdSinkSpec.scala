@@ -121,6 +121,21 @@ class EtsdSinkSpec extends AnyFunSuite {
       .option("xdata", "true").load(plainDir).isEmpty)
   }
 
+  test("duplicate xData side rows resolve to the lexicographically smallest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xdup").toString
+    val xschema = schema.copy(xDataSize = 2)
+    // an at-least-once upstream retries a side row: the pick must be
+    // deterministic or re-exports stop being byte-identical
+    val side = Seq((t0, Array[Byte](9, 9)), (t0, Array[Byte](1, 2)),
+      (t0, Array[Byte](5, 5))).toDF("block_epoch", "xdata")
+    EtsdSink.export(longFrame(6), xschema, dir, blocksPerFile = 1,
+      xData = Some(side)).collect()
+    val got = EtsdSource.xData(spark, dir)
+      .select($"xdata").as[Array[Byte]].collect()
+    assert(got.head.toSeq == Seq[Byte](1, 2))
+  }
+
   test("Retention drops span files below the cutoff (etsdRotate analog)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ret").toString

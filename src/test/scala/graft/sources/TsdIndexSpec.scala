@@ -100,6 +100,53 @@ class TsdIndexSpec extends AnyFunSuite {
     assert(TsdIndex.PlanStats.probedFiles.get() == 0)
   }
 
+  test("header-only single file plans zero blocks instead of probing past EOF") {
+    val dir = Files.createTempDirectory("hdr").toString
+    val f = s"$dir/new.tsd"
+    graft.EtsdCmd.create(f, Seq("T=10", "Mains:8:E1")) // 512-byte header only
+    val df = spark.read.format("graft.sources.TsdDataSource").load(f)
+    assert(df.count() == 0) // no EOFException from a first-block probe
+  }
+
+  test("same-length rewrite with a shifted time range is re-probed, not trusted") {
+    import spark.implicits._
+    val n = 4
+    val dir = layout(n, indexed = true)
+    // rewrite span 0 at the SAME byte length but with all-new block times:
+    // only the modTime betrays the change
+    val newT0 = t0 + 40 // span 10's slots — timestamps differ, length equal
+    val rows = (0 until 4).map { k => (newT0 + k, "G", Some(9L), true) }
+      .toDF("te", "channel", "value", "valid")
+      .select(org.apache.spark.sql.functions.timestamp_seconds($"te").as("ts"),
+        $"channel", $"value", $"valid")
+    val firstFile = java.nio.file.Paths.get(dir, f"etsd-$t0%012d.tsd")
+    val before = Files.readAllBytes(firstFile)
+    EtsdSink.export(rows, schema, dir, blocksPerFile = 1).collect()
+    val written = java.nio.file.Paths.get(dir, f"etsd-$newT0%012d.tsd")
+    Files.write(firstFile, Files.readAllBytes(written)) // same-length overwrite
+    Files.delete(written)
+    // the raw overwrite bypassed Hadoop's LocalFileSystem checksum
+    // sidecars — drop them so the read path doesn't trip on stale CRCs
+    Seq(firstFile, written).foreach { p =>
+      Files.deleteIfExists(p.getParent.resolve(s".${p.getFileName}.crc"))
+    }
+    assert(Files.size(firstFile) == before.length)
+    // force a visibly different mtime even on coarse filesystems
+    Files.setLastModifiedTime(firstFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(firstFile).toMillis + 5000))
+
+    TsdIndex.PlanStats.reset()
+    val cutoff = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(newT0 - 1))
+    val got = spark.read.format("graft.sources.TsdDataSource").load(dir)
+      .filter($"ts" > cutoff).count()
+    // stale entry said firstTs=t0 (outside the cutoff); trusting it would
+    // prune the rewritten file and lose its 4 rows
+    assert(TsdIndex.PlanStats.probedFiles.get() >= 1, "rewrite must re-probe")
+    assert(got >= 4L)
+  }
+
   test("merge updates and drops entries; Retention prunes the sidecar") {
     val n = 6
     val dir = layout(n, indexed = true)

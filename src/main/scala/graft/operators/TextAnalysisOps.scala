@@ -73,6 +73,30 @@ object TextAnalysisOps {
   def splitBucketSql(idExpr: String, salt: String = "split:"): String =
     s"${DetHash.h60Sql(s"'$salt' || CAST($idExpr AS VARCHAR)")} % 100"
 
+  /** PII patterns for the scrubbing pass. Kept to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
+    * backreferences, no lookaround, explicit classes instead of \\d/\\w. */
+  val UrlRe = "https?://[^ ]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII detection + redaction — the scrubbing pass of a training
+    * pipeline: per-doc counts of URLs / emails / IPv4 literals plus the
+    * md5 of the redacted text (placeholders substituted in URL → email →
+    * IP order, so an address inside a URL is counted once as a URL).
+    * One narrow projection, no shuffle; the hash stands in for the
+    * redacted body so the oracle compare stays cell-sized.
+    * Output: doc_id, n_urls, n_emails, n_ips, redacted_hash. */
+  def piiRedact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .select($"doc_id",
+        size(regexp_extract_all($"norm", lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all($"norm", lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"norm", lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace($"norm",
+          UrlRe, "<URL>"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
+          .as("redacted_hash"))
+
   /** Sequence packing for pretraining — the concat-then-chunk shape:
     * within each shard, documents concatenate in doc-id order and the
     * token stream is cut every `budget` tokens, so each doc lands at

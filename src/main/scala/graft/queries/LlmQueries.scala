@@ -86,6 +86,11 @@ object LlmQueries {
       TextAnalysisOps.tfIdfTopTerms(docs(s, d), $"doc_id", $"text")
         .orderBy("doc_id", "rk")),
 
+    // PII scrubbing pass: URL/email/IPv4 counts + redacted-text hash
+    "llm_redact" -> ((s, d) =>
+      TextAnalysisOps.piiRedact(docs(s, d), $"doc_id", $"text")
+        .orderBy("doc_id")),
+
     // concat-then-chunk sequence packing: per-shard prefix sum places
     // every doc at (start_seq, start_offset) in 2048-token sequences
     "llm_pack" -> ((s, d) =>
@@ -402,6 +407,17 @@ object LlmQueries {
         JOIN sizes sb ON sb.doc_id = eval_id)
       SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY train_id, eval_id"""
     },
+
+    "llm_redact" -> s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(norm, '${TextAnalysisOps.UrlRe}', 0)) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(norm, '${TextAnalysisOps.EmailRe}', 0)) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(norm, '${TextAnalysisOps.Ipv4Re}', 0)) AS BIGINT) AS n_ips,
+             md5(regexp_replace(regexp_replace(regexp_replace(norm,
+               '${TextAnalysisOps.UrlRe}', '<URL>', 'g'),
+               '${TextAnalysisOps.EmailRe}', '<EMAIL>', 'g'),
+               '${TextAnalysisOps.Ipv4Re}', '<IP>', 'g')) AS redacted_hash
+      FROM (SELECT doc_id, $Norm AS norm FROM documents) ORDER BY 1""",
 
     "llm_pack" -> s"""
       WITH b AS (

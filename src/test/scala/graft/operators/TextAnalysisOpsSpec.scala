@@ -31,6 +31,30 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("piiRedact counts and scrubs URLs, emails, and IPv4 literals") {
+    // the fixture corpus is PII-free, so the oracle only proves parity —
+    // this is the test that proves DETECTION on real matches
+    val d = Seq(
+      (1L, "mail me at Bob.Smith+x@Example.org or visit " +
+        "https://ex.org/a?b=c@d from 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "ips 192.168.1.254 and 8.8.8.8")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.piiRedact(d, $"doc_id", $"text")
+      .orderBy("doc_id").collect()
+    // doc 1: the @ inside the URL is consumed by the URL match (order)
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 1L &&
+      got(0).getLong(3) == 1L)
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L &&
+      got(1).getLong(3) == 0L)
+    assert(got(2).getLong(3) == 2L)
+    // redaction really replaces: the hash equals md5 of the normalized
+    // text with every match substituted
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("mail me at <EMAIL> or visit <URL> from <IP>"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0).getString(4) == want)
+  }
+
   test("repetition ratio: 0 for all-distinct grams, high for a loop") {
     val d2 = Seq(
       (1L, "a b c d e f g"),                  // all 5 trigrams distinct

@@ -168,8 +168,12 @@ object VectorOps {
     * exchange after [[quantize]]'s spread); the only data shuffle is the
     * list-id join, whose partitions are the inverted lists themselves.
     * Output: probe_id, vec_id, cos, rk (1-based). */
-  def ivfKnn(vectors: DataFrame, probeIds: Column => Column, k: Int,
+  def ivfKnn(vectors0: DataFrame, probeIds: Column => Column, k: Int,
              nCentroids: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+    // the quantized corpus feeds every Lloyd's round plus the final
+    // assignment/list scans — pin it so quantization (and the parquet
+    // read under it) runs once, not 3 + 2·trainIters times
+    val vectors = Pins.pin(vectors0)
     val cents = broadcast(trainCentroids(vectors, nCentroids, trainIters)
       .select($"cent_id", $"cv", $"cn"))
     val scored = vectors.crossJoin(cents)

@@ -73,6 +73,40 @@ object TextAnalysisOps {
   def splitBucketSql(idExpr: String, salt: String = "split:"): String =
     s"${DetHash.h60Sql(s"'$salt' || CAST($idExpr AS VARCHAR)")} % 100"
 
+  /** Deterministic data mixing — per-source sampling weights, the
+    * "40 % web, 2× books" step of assembling a pretraining mix: within
+    * each source, docs rank by a salted id hash and the lowest
+    * `ceil(weight · n)` win. Reproducible (pure function of the
+    * candidate set), and weights > 1 are simply capped at n (use
+    * repetition downstream for true oversampling).
+    *
+    * Scale note: the exact-quota rank is a per-source window — one sorted
+    * partition per source. Fine up to very large sources (Spark spills),
+    * but when a single source is a double-digit share of 100 TB the
+    * exchange-free variant is a pure hash THRESHOLD
+    * (`h60 < weight · 2⁶⁰`, exact fraction only in expectation) — same
+    * determinism, no window; this function keeps exact quotas as its
+    * contract. Output: source, doc_id, rk (1-based within source). */
+  def mixSample(docs: DataFrame, id: Column, source: Column,
+                weights: Map[String, Double],
+                defaultWeight: Double = 0.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.toDF("source", "w"))
+    val base = docs.select(source.as("source"), id.as("doc_id"))
+      .withColumn("hrank",
+        DetHash.h60(concat(lit("mix:"), $"doc_id".cast("string"))))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"hrank", $"doc_id")
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    base.withColumn("rk", row_number().over(win))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .join(wdf, Seq("source"), "left")
+      .withColumn("w", coalesce($"w", lit(defaultWeight)))
+      .filter($"rk" <= ceil($"w" * $"n"))
+      .select($"source", $"doc_id", $"rk".cast("long").as("rk"))
+  }
+
   /** PII patterns for the scrubbing pass. Kept to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
     * backreferences, no lookaround, explicit classes instead of \\d/\\w. */

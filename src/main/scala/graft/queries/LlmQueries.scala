@@ -86,6 +86,13 @@ object LlmQueries {
       TextAnalysisOps.tfIdfTopTerms(docs(s, d), $"doc_id", $"text")
         .orderBy("doc_id", "rk")),
 
+    // deterministic data mixing: per-source fractional quotas by hash rank
+    "llm_mix" -> ((s, d) =>
+      TextAnalysisOps.mixSample(docs(s, d), $"doc_id", $"source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultWeight = 0.1)
+        .orderBy("source", "doc_id")),
+
     // PII scrubbing pass: URL/email/IPv4 counts + redacted-text hash
     "llm_redact" -> ((s, d) =>
       TextAnalysisOps.piiRedact(docs(s, d), $"doc_id", $"text")
@@ -407,6 +414,21 @@ object LlmQueries {
         JOIN sizes sb ON sb.doc_id = eval_id)
       SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY train_id, eval_id"""
     },
+
+    "llm_mix" -> s"""
+      WITH wts(source, w) AS (VALUES
+        ('src0', 1.0), ('src1', 0.5), ('src2', 0.25)),
+      r AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY
+                 ${DetHash.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+                 AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+      FROM r LEFT JOIN wts USING (source)
+      WHERE rk <= ceil(coalesce(w, 0.1) * n)
+      ORDER BY source, doc_id""",
 
     "llm_redact" -> s"""
       SELECT doc_id,

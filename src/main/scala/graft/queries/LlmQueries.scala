@@ -86,6 +86,31 @@ object LlmQueries {
       TextAnalysisOps.tfIdfTopTerms(docs(s, d), $"doc_id", $"text")
         .orderBy("doc_id", "rk")),
 
+    // end-to-end curation funnel: quality filter -> exact dedup keepers
+    // -> near-dup cluster keepers -> train split, with per-stage
+    // survivor counts (the whole pipeline composed in one plan)
+    "llm_curate" -> ((s, d) => {
+      val all = docs(s, d)
+      val qualityPass = TextAnalysisOps.qualityScore(all, $"doc_id", $"text")
+        .filter($"quality" >= 0.1).select($"doc_id")
+      val s1 = all.join(qualityPass, "doc_id")
+      val exactKeepers = DedupOps.exactDedup(s1, $"doc_id", $"text")
+        .select($"keeper_doc_id".as("doc_id"))
+      val s2 = s1.join(exactKeepers, "doc_id")
+      val nonKeepers = DedupOps.dupClusters(
+          DedupOps.minHashDedup(s2, $"doc_id", $"text", MinJaccard))
+        .filter(!$"is_keeper").select($"doc_id")
+      val s3 = s2.join(nonKeepers, Seq("doc_id"), "left_anti")
+      val s4 = TextAnalysisOps.withSplit(s3, $"doc_id")
+        .filter($"split" === "train")
+      Seq("0_total" -> all, "1_quality" -> s1, "2_exact" -> s2,
+        "3_near_dup" -> s3, "4_train" -> s4)
+        .map { case (nm, df) =>
+          df.agg(count(lit(1)).as("n_docs")).select(lit(nm).as("stage"), $"n_docs")
+        }.reduce(_ unionByName _)
+        .orderBy("stage")
+    }),
+
     // deterministic data mixing: per-source fractional quotas by hash rank
     "llm_mix" -> ((s, d) =>
       TextAnalysisOps.mixSample(docs(s, d), $"doc_id", $"source",
@@ -202,14 +227,19 @@ object LlmQueries {
   private def h31(e: String): String = DetHash.h31Sql(e)
   private val WsTok = s"length(norm) - length(replace(norm, ' ', '')) + 1"
 
-  /** doc → distinct 5-char-shingle h31 hashes (mirrors DedupOps.shingleHashes). */
-  private val ShingleCte = s"""
+  /** doc → distinct 5-char-shingle h31 hashes (mirrors
+    * DedupOps.shingleHashes); `src` is any relation yielding
+    * (doc_id, norm) — the whole corpus by default, a curated subset in
+    * the funnel oracle. */
+  private def shingleCte(
+      src: String = s"SELECT doc_id, $Norm AS norm FROM documents"): String = s"""
     sh AS (
       SELECT DISTINCT doc_id, ${h31("g")} AS h31
       FROM (SELECT doc_id, unnest(list_transform(
               generate_series(1, greatest(length(norm)-4, 1)),
               i -> substr(norm, i, 5))) AS g
-            FROM (SELECT doc_id, $Norm AS norm FROM documents)))"""
+            FROM ($src)))"""
+  private val ShingleCte = shingleCte()
 
   /** MinHash signature CTE over `sh` (mirrors DedupOps.minHashSignatures). */
   private val SigCte = {
@@ -413,6 +443,48 @@ object LlmQueries {
         JOIN sizes sa ON sa.doc_id = train_id
         JOIN sizes sb ON sb.doc_id = eval_id)
       SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY train_id, eval_id"""
+    },
+
+    "llm_curate" -> {
+      val inList = TextAnalysisOps.StopWords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH RECURSIVE
+      norm0 AS (SELECT doc_id, $Norm AS norm FROM documents),
+      qf AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            0.5 * (CAST(len(list_filter(string_split(norm, ' '),
+                     w -> w IN ($inList))) AS DOUBLE) / ($WsTok))
+            + 0.3 * (CAST(least($WsTok, 200) AS DOUBLE) / 200.0)
+            - 0.2 * (CAST(length(norm) - length(regexp_replace(norm,
+                     '[.,!?;:]', '', 'g')) AS DOUBLE) / length(norm)) AS quality
+          FROM norm0)
+        WHERE quality >= 0.1),
+      s1 AS (SELECT n.doc_id, n.norm FROM norm0 n JOIN qf USING (doc_id)),
+      ek AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(norm)),
+      s2 AS (SELECT s1.doc_id, s1.norm FROM s1 JOIN ek USING (doc_id)),
+      ${shingleCte("SELECT doc_id, norm FROM s2")},
+      $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect,
+      pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $MinJaccard),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, lbl) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, walk.lbl FROM walk JOIN e ON walk.node = e.a),
+      nonkeep AS (SELECT node AS doc_id FROM walk
+                  GROUP BY node HAVING node <> min(lbl)),
+      s3 AS (SELECT doc_id FROM s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM nonkeep)),
+      s4 AS (SELECT doc_id FROM s3
+             WHERE ${TextAnalysisOps.splitBucketSql("doc_id")} < 80)
+      SELECT stage, n_docs FROM (
+        SELECT '0_total' AS stage, count(*) AS n_docs FROM documents
+        UNION ALL SELECT '1_quality', count(*) FROM s1
+        UNION ALL SELECT '2_exact', count(*) FROM s2
+        UNION ALL SELECT '3_near_dup', count(*) FROM s3
+        UNION ALL SELECT '4_train', count(*) FROM s4)
+      ORDER BY stage"""
     },
 
     "llm_mix" -> s"""

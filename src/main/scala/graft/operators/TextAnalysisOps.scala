@@ -107,6 +107,32 @@ object TextAnalysisOps {
       .select($"source", $"doc_id", $"rk".cast("long").as("rk"))
   }
 
+  /** Deterministic global shuffle + shard assignment — the
+    * training-order randomization step of a pretraining pipeline: each
+    * doc's salted id hash picks its shard (`h60 % nShards`) and its
+    * position within the shard (rank of the hash). A pure function of
+    * the id set — the same corpus shuffles identically on every engine,
+    * partitioning, and re-run — unlike `ORDER BY rand()`, which is
+    * neither reproducible nor restartable.
+    *
+    * Scale: the only exchange is the hash partition on shard; each shard
+    * sorts ~N/nShards rows inside its own (spillable) window task, so
+    * nShards is the parallelism dial — set it ≥ the writer parallelism
+    * you want (shards are also the natural output-file unit).
+    * Output: doc_id, shard, pos (1-based within shard). */
+  def shardShuffle(docs: DataFrame, id: Column, nShards: Int,
+                   salt: String = "shuffle:"): DataFrame = {
+    require(nShards > 0)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"skey", $"doc_id")
+    docs.select(id.as("doc_id"))
+      .withColumn("skey",
+        DetHash.h60(concat(lit(salt), $"doc_id".cast("string"))))
+      .withColumn("shard", $"skey" % nShards)
+      .withColumn("pos", row_number().over(win).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+  }
+
   /** PII patterns for the scrubbing pass. Kept to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
     * backreferences, no lookaround, explicit classes instead of \\d/\\w. */
@@ -186,6 +212,38 @@ object TextAnalysisOps {
         expr("tf * 1000000 DIV df").as("weight_ppm")) // exact int division
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= k)
+  }
+
+  /** Corpus vocabulary: the `topN` whitespace tokens by frequency with
+    * rank and cumulative per-mille coverage (the "how much of the corpus
+    * do the top-k types cover" curve that sizes tokenizer vocabularies).
+    * Exact integers throughout: coverage is `cum·1000 DIV total`.
+    *
+    * Scale: token counts collapse map-side into a vocabulary-sized
+    * partial agg; the global sort is a distributed top-N (`orderBy` +
+    * `limit` → TakeOrderedAndProject, no single-task full-vocab sort);
+    * only the N surviving rows cross the single-partition ranking
+    * window, and the corpus total rides in as a broadcast 1-row join.
+    * Output: rk, tok, n, cum_pm. */
+  def vocabulary(docs: DataFrame, id: Column, text: Column,
+                 topN: Int = 100): DataFrame = {
+    val counts = docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .select(explode(split($"norm", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum($"n").as("total"))
+    // explicit ROWS frame (default RANGE would pool same-(n, tok) peers;
+    // the key is unique but the oracle spells ROWS, so match it exactly)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"tok")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts.orderBy($"n".desc, $"tok").limit(topN)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"n").over(w))
+      .crossJoin(broadcast(total))
+      .select($"rk", $"tok", $"n", expr("cum * 1000 DIV total").as("cum_pm"))
   }
 
   /** Per-doc quality features + one combined score: length, punctuation

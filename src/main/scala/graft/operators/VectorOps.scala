@@ -203,6 +203,51 @@ object VectorOps {
       .select($"probe_id", $"vec_id", $"cos", $"rk")
   }
 
+  /** SemDedup-style semantic near-duplicate pruning (cluster, then prune
+    * within clusters — Abbas et al. 2023's recipe re-expressed): the
+    * corpus is clustered by the deterministic Lloyd's coarse quantizer
+    * ([[trainCentroids]], same argmax assignment as [[ivfKnn]]), exact
+    * integer cosine is scored ONLY between members of the same cluster,
+    * and a vector is dropped when any lower-id cluster-mate is within
+    * `minCos` — a greedy keep-first rule that is a pure function of the
+    * id set, so keepers are identical under any partitioning or engine.
+    *
+    * Scale: pairwise work is Σ|cluster|² — bounded per-cluster by
+    * `maxList` (a degenerate mega-cluster is left intact rather than
+    * exploding one task; raise `nCentroids` to shrink clusters) — and the
+    * self-join is an equality join on list_id, never all-pairs.
+    * Output: vec_id, list_id, is_keeper (one row per corpus vector). */
+  def semDedup(vectors0: DataFrame, minCos: Double, nCentroids: Int,
+               trainIters: Int, maxList: Int): DataFrame = {
+    val vectors = Pins.pin(vectors0)
+    val cents = broadcast(trainCentroids(vectors, nCentroids, trainIters)
+      .select($"cent_id", $"cv", $"cn"))
+    val assigned = vectors.crossJoin(cents)
+      .withColumn("cdot", LongArrayDot($"qv", $"cv"))
+      .withColumn("ccos", $"cdot".cast("double") /
+        sqrt($"nrm".cast("double") * $"cn".cast("double")))
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", $"cent_id")).as("best"))
+      .select($"vec_id", $"best.cent_id".as("list_id"))
+    // members feeds caps + both self-join sides + the final flag join
+    val members = Pins.pin(vectors.join(assigned, "vec_id")
+      .select($"list_id", $"vec_id", $"qv", $"nrm"))
+    val caps = members.groupBy($"list_id").count()
+      .filter($"count" >= 2 && $"count" <= maxList).select($"list_id")
+    val capped = members.join(caps, "list_id")
+    val r = capped.select($"list_id", $"vec_id".as("vec_b"), $"qv".as("vb"),
+      $"nrm".as("nb"))
+    val dropped = capped.join(r, Seq("list_id")).filter($"vec_id" < $"vec_b")
+      .withColumn("dot", LongArrayDot($"qv", $"vb"))
+      .withColumn("cos", $"dot".cast("double") /
+        sqrt($"nrm".cast("double") * $"nb".cast("double")))
+      .filter($"cos" >= minCos)
+      .select($"vec_b".as("vec_id")).distinct()
+    members.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"list_id",
+        coalesce(!$"hit", lit(true)).as("is_keeper"))
+  }
+
   /** Multi-probe LSH approximate top-k: each probe scores corpus vectors
     * in its own hyperplane bucket AND every bucket within `probeRadius`
     * flipped sign bits (the standard multi-probe trick: near neighbours

@@ -38,6 +38,9 @@ object LlmQueries {
   private val IvfIters = 2         // Lloyd's rounds refining the seeds
   private val EmbedPlanes = 6      // 64 buckets — scale dial for dedup
   private val EmbedMinCos = 0.4    // fixtures are random vectors (max ~0.51)
+  private val SemMaxList = 500     // per-cluster pairwise cap for semdedup
+  private val NShards = 8          // training-order shuffle shards
+  private val VocabTopN = 100
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-(lang, source) corpus stats
@@ -182,6 +185,23 @@ object LlmQueries {
           IvfIters)
         .orderBy("probe_id", "rk")
     }),
+
+    // SemDedup-style semantic dedup: coarse k-means clusters, exact
+    // cosine within capped clusters only, greedy keep-lowest-id
+    "llm_semdedup" -> ((s, d) =>
+      VectorOps.semDedup(
+          VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
+          EmbedMinCos, IvfCentroids, IvfIters, SemMaxList)
+        .orderBy("vec_id")),
+
+    // deterministic global shuffle + shard assignment (training order)
+    "llm_shuffle" -> ((s, d) =>
+      TextAnalysisOps.shardShuffle(docs(s, d), $"doc_id", NShards)
+        .orderBy("doc_id")),
+
+    // corpus vocabulary: top-N tokens with cumulative coverage
+    "llm_vocab" -> ((s, d) =>
+      TextAnalysisOps.vocabulary(docs(s, d), $"doc_id", $"text", VocabTopN)),
 
     // embedding-cosine near-dup pairs (LSH buckets, capped, no all-pairs)
     "llm_embed_dedup" -> ((s, d) =>
@@ -333,6 +353,25 @@ object LlmQueries {
                  ON n.cent_id = c.cent_id AND n.i = c.i)"""
     sb.toString
   }
+
+  /** Final nearest-centroid assignment over `centu<iters>` (mirrors the
+    * ivfKnn / semDedup argmax; ties → higher cent_id). Produces
+    * `assigned (vec_id, list_id)`. */
+  private def ivfAssignCtes(iters: Int): String = s"""
+      cn AS (SELECT cent_id, CAST(sum(v * v) AS BIGINT) AS cn
+             FROM centu$iters GROUP BY 1),
+      cdots AS (
+        SELECT uv.vec_id, uc.cent_id, CAST(sum(uv.v * uc.v) AS BIGINT) AS cdot
+        FROM u uv JOIN centu$iters uc ON uc.i = uv.i GROUP BY 1, 2),
+      ccs AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.cdot AS DOUBLE) / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
+        FROM cdots d JOIN qn v ON v.vec_id = d.vec_id
+        JOIN cn c ON c.cent_id = d.cent_id),
+      assigned AS (
+        SELECT vec_id,
+               (max(struct_pack(c := ccos, id := cent_id))).id AS list_id
+        FROM ccs GROUP BY 1)"""
 
   def oracles: Map[String, String] = Map(
     "llm_text_stats" -> s"""
@@ -486,6 +525,57 @@ object LlmQueries {
         UNION ALL SELECT '4_train', count(*) FROM s4)
       ORDER BY stage"""
     },
+
+    "llm_semdedup" -> s"""
+      WITH $QuantCte,
+      ${ivfTrainCtes(IvfIters)},
+      ${ivfAssignCtes(IvfIters)},
+      mem AS (SELECT a.vec_id, a.list_id, q.nrm
+              FROM assigned a JOIN qn q USING (vec_id)),
+      mcaps AS (SELECT list_id FROM mem GROUP BY 1
+                HAVING count(*) >= 2 AND count(*) <= $SemMaxList),
+      mpairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, a.nrm AS pn, b.nrm AS nrm
+        FROM mem a JOIN mcaps USING (list_id)
+        JOIN mem b ON b.list_id = a.list_id AND a.vec_id < b.vec_id),
+      pdot AS (
+        SELECT p.va, p.vb, CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+               any_value(p.pn) AS pn, any_value(p.nrm) AS nrm
+        FROM mpairs p
+        JOIN u ua ON ua.vec_id = p.va
+        JOIN u ub ON ub.vec_id = p.vb AND ub.i = ua.i
+        GROUP BY 1, 2),
+      dropped AS (SELECT DISTINCT vb AS vec_id FROM pdot
+                  WHERE $CosSql >= $EmbedMinCos)
+      SELECT m.vec_id, m.list_id, d.vec_id IS NULL AS is_keeper
+      FROM mem m LEFT JOIN dropped d USING (vec_id)
+      ORDER BY m.vec_id""",
+
+    "llm_shuffle" -> s"""
+      WITH k AS (
+        SELECT doc_id,
+               ${DetHash.h60Sql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS skey
+        FROM documents)
+      SELECT doc_id, CAST(skey % $NShards AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY skey % $NShards
+               ORDER BY skey, doc_id) AS BIGINT) AS pos
+      FROM k ORDER BY doc_id""",
+
+    "llm_vocab" -> s"""
+      WITH tok AS (
+        SELECT unnest(string_split($Norm, ' ')) AS tok FROM documents),
+      counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                 FROM tok WHERE length(tok) > 0 GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+      top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT $VocabTopN),
+      ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rk,
+               tok, n,
+               CAST(sum(n) OVER (ORDER BY n DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM top)
+      SELECT rk, tok, n, CAST(cum * 1000 // total AS BIGINT) AS cum_pm
+      FROM ranked, tot ORDER BY rk""",
 
     "llm_mix" -> s"""
       WITH wts(source, w) AS (VALUES
@@ -682,20 +772,7 @@ object LlmQueries {
     "llm_ann_ivf" -> s"""
       WITH $QuantCte,
       ${ivfTrainCtes(IvfIters)},
-      cn AS (SELECT cent_id, CAST(sum(v * v) AS BIGINT) AS cn
-             FROM centu$IvfIters GROUP BY 1),
-      cdots AS (
-        SELECT uv.vec_id, uc.cent_id, CAST(sum(uv.v * uc.v) AS BIGINT) AS cdot
-        FROM u uv JOIN centu$IvfIters uc ON uc.i = uv.i GROUP BY 1, 2),
-      ccs AS (
-        SELECT d.vec_id, d.cent_id,
-               CAST(d.cdot AS DOUBLE) / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
-        FROM cdots d JOIN qn v ON v.vec_id = d.vec_id
-        JOIN cn c ON c.cent_id = d.cent_id),
-      assigned AS (
-        SELECT vec_id,
-               (max(struct_pack(c := ccos, id := cent_id))).id AS list_id
-        FROM ccs GROUP BY 1),
+      ${ivfAssignCtes(IvfIters)},
       plists AS (
         SELECT vec_id AS probe_id, cent_id AS list_id FROM (
           SELECT vec_id, cent_id,

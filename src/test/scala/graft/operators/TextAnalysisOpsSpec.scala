@@ -68,4 +68,41 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(got(1).getLong(1) == 4L && got(1).getLong(2) == 1L &&
       got(1).getDouble(3) == 0.75)
   }
+
+  test("shardShuffle: a partition-independent permutation into shards") {
+    val ids = (1L to 200L).toDF("doc_id")
+    val got = TextAnalysisOps.shardShuffle(ids, $"doc_id", nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    // a permutation: every id exactly once, shards in range
+    assert(got.map(_._1).sorted.toSeq == (1L to 200L))
+    assert(got.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions are contiguous 1..n within each shard
+    got.groupBy(_._2).values.foreach { s =>
+      assert(s.map(_._3).sorted.toSeq == (1L to s.length))
+    }
+    // same result under a different physical layout
+    val again = TextAnalysisOps.shardShuffle(
+      ids.repartition(7), $"doc_id", nShards = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // it actually shuffles: within-shard order is not id order
+    val byPos = got.filter(_._2 == got.head._2).sortBy(_._3).map(_._1)
+    assert(byPos.toSeq != byPos.sorted.toSeq)
+  }
+
+  test("vocabulary: brute-force counts, rank order, cumulative coverage") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "a cat and a dog")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.vocabulary(d, $"doc_id", $"text", topN = 4)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // brute force: the=3, a=2, cat=2, dog=2, sat=2, ... ties break by token
+    assert(got.map(r => (r._2, r._3)).toSeq ==
+      Seq(("the", 3L), ("a", 2L), ("cat", 2L), ("dog", 2L)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // 14 tokens total: cum_pm = cum*1000 div 14
+    assert(got.map(_._4).toSeq ==
+      Seq(3000L / 14, 5000L / 14, 7000L / 14, 9000L / 14))
+  }
 }

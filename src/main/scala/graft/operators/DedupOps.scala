@@ -177,11 +177,16 @@ object DedupOps {
     * cost is bounded by the duplicate set, not the 100 TB input. Rounds
     * stop at the first fixpoint; if `maxIter` is hit first the labels are
     * still a sound upper approximation (some clusters split), and the
-    * bound is logged to stderr rather than silently returned.
+    * bound is logged to stderr rather than silently returned. The
+    * default bound is generous because it only ever pays for rounds a
+    * deep component actually needs (convergence exits early) — a
+    * diameter-50 chain of pairwise near-dups is already pathological,
+    * and an exact-closure oracle (llm_curate, llm_dup_clusters) matches
+    * the BSP result precisely as long as no component exceeds it.
     *
     * Output: (doc_id, cluster_id, is_keeper), docs in ≥1 pair only
     * (isolated docs are their own implicit singleton cluster). */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = Pins.pin(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
     // eager localCheckpoint per round: iterative plans double their

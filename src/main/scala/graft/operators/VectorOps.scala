@@ -180,7 +180,8 @@ object VectorOps {
       .withColumn("cdot", LongArrayDot($"qv", $"cv"))
       .withColumn("ccos", $"cdot".cast("double") /
         sqrt($"nrm".cast("double") * $"cn".cast("double")))
-    // inverted-list assignment: nearest centroid, ties → higher cent_id
+    // inverted-list assignment (same rule as assignToCentroids; built
+    // from `scored` so the probe-list scan below shares the scan)
     val assigned = scored.groupBy($"vec_id")
       .agg(max(struct($"ccos", $"cent_id")).as("best"))
       .select($"vec_id", $"best.cent_id".as("list_id"))
@@ -203,14 +204,34 @@ object VectorOps {
       .select($"probe_id", $"vec_id", $"cos", $"rk")
   }
 
+  /** Nearest-centroid assignment: exact-integer cosine argmax of every
+    * vector against a broadcast centroid set (ties → higher cent_id).
+    * The single source of the tie-break-sensitive rule shared by
+    * [[ivfKnn]] and [[semDedup]]; its SQL twin is LlmQueries'
+    * `ivfAssignCtes`. Output: vec_id, list_id. */
+  private def assignToCentroids(vectors: DataFrame,
+                                cents: DataFrame): DataFrame =
+    vectors.crossJoin(cents)
+      .withColumn("cdot", LongArrayDot($"qv", $"cv"))
+      .withColumn("ccos", $"cdot".cast("double") /
+        sqrt($"nrm".cast("double") * $"cn".cast("double")))
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", $"cent_id")).as("best"))
+      .select($"vec_id", $"best.cent_id".as("list_id"))
+
   /** SemDedup-style semantic near-duplicate pruning (cluster, then prune
     * within clusters — Abbas et al. 2023's recipe re-expressed): the
     * corpus is clustered by the deterministic Lloyd's coarse quantizer
     * ([[trainCentroids]], same argmax assignment as [[ivfKnn]]), exact
     * integer cosine is scored ONLY between members of the same cluster,
     * and a vector is dropped when any lower-id cluster-mate is within
-    * `minCos` — a greedy keep-first rule that is a pure function of the
-    * id set, so keepers are identical under any partitioning or engine.
+    * `minCos`. Note the rule is join-expressible but NOT sequential
+    * greedy: the lower-id mate that condemns a vector may itself be
+    * dropped, so a chain A~B~C (A≁C) keeps only A where greedy
+    * keep-first would keep A and C — slightly more aggressive pruning,
+    * in exchange for a one-pass plan with no per-cluster sequential
+    * scan. A pure function of the id set either way: keepers are
+    * identical under any partitioning or engine.
     *
     * Scale: pairwise work is Σ|cluster|² — bounded per-cluster by
     * `maxList` (a degenerate mega-cluster is left intact rather than
@@ -222,16 +243,10 @@ object VectorOps {
     val vectors = Pins.pin(vectors0)
     val cents = broadcast(trainCentroids(vectors, nCentroids, trainIters)
       .select($"cent_id", $"cv", $"cn"))
-    val assigned = vectors.crossJoin(cents)
-      .withColumn("cdot", LongArrayDot($"qv", $"cv"))
-      .withColumn("ccos", $"cdot".cast("double") /
-        sqrt($"nrm".cast("double") * $"cn".cast("double")))
-      .groupBy($"vec_id")
-      .agg(max(struct($"ccos", $"cent_id")).as("best"))
-      .select($"vec_id", $"best.cent_id".as("list_id"))
     // members feeds caps + both self-join sides + the final flag join
-    val members = Pins.pin(vectors.join(assigned, "vec_id")
-      .select($"list_id", $"vec_id", $"qv", $"nrm"))
+    val members = Pins.pin(
+      vectors.join(assignToCentroids(vectors, cents), "vec_id")
+        .select($"list_id", $"vec_id", $"qv", $"nrm"))
     val caps = members.groupBy($"list_id").count()
       .filter($"count" >= 2 && $"count" <= maxList).select($"list_id")
     val capped = members.join(caps, "list_id")
@@ -243,9 +258,9 @@ object VectorOps {
         sqrt($"nrm".cast("double") * $"nb".cast("double")))
       .filter($"cos" >= minCos)
       .select($"vec_b".as("vec_id")).distinct()
+    // mirrors the oracle's `d.vec_id IS NULL AS is_keeper`
     members.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
-      .select($"vec_id", $"list_id",
-        coalesce(!$"hit", lit(true)).as("is_keeper"))
+      .select($"vec_id", $"list_id", isnull($"hit").as("is_keeper"))
   }
 
   /** Multi-probe LSH approximate top-k: each probe scores corpus vectors

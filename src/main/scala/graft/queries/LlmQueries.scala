@@ -96,10 +96,13 @@ object LlmQueries {
       val all = docs(s, d)
       val qualityPass = TextAnalysisOps.qualityScore(all, $"doc_id", $"text")
         .filter($"quality" >= 0.1).select($"doc_id")
-      val s1 = all.join(qualityPass, "doc_id")
+      // s1/s2 each feed multiple funnel stages (counts + the next
+      // stage's input) — pin so the quality/dedup joins run once, not
+      // once per union branch
+      val s1 = Pins.pin(all.join(qualityPass, "doc_id"))
       val exactKeepers = DedupOps.exactDedup(s1, $"doc_id", $"text")
         .select($"keeper_doc_id".as("doc_id"))
-      val s2 = s1.join(exactKeepers, "doc_id")
+      val s2 = Pins.pin(s1.join(exactKeepers, "doc_id"))
       val nonKeepers = DedupOps.dupClusters(
           DedupOps.minHashDedup(s2, $"doc_id", $"text", MinJaccard))
         .filter(!$"is_keeper").select($"doc_id")

@@ -33,7 +33,6 @@ class SemDedupSpec extends AnyFunSuite {
     val vecs = q.select($"vec_id", $"qv", $"nrm")
       .as[(Long, Seq[Long], Long)].collect()
       .map { case (id, qv, nrm) => id -> ((qv, nrm)) }.toMap
-    val list = got.map(r => r._1 -> r._2).toMap
     def cos(a: Long, b: Long): Double = {
       val ((qa, na), (qb, nb)) = (vecs(a), vecs(b))
       val dot = qa.zip(qb).map { case (x, y) => x * y }.sum

@@ -72,6 +72,13 @@ object DetHash {
   def perm(i: Int, h: Column): Column =
     (h * MinHashA(i) + MinHashB(i)) % P31
 
+  /** JVM-side scalar twin of [[h60]] (tests / driver-side spot checks). */
+  def h60Value(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+
   // ---- DuckDB oracle side (SQL fragments built from the same literals) ----
 
   def h60Sql(e: String): String =

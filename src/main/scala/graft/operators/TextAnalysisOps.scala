@@ -246,6 +246,48 @@ object TextAnalysisOps {
       .select($"rk", $"tok", $"n", expr("cum * 1000 DIV total").as("cum_pm"))
   }
 
+  /** One round of BPE merge-candidate counting — the inner statistic of
+    * tokenizer induction: adjacent character-pair frequencies over the
+    * corpus, weighted by word frequency. Works on word TYPES, not corpus
+    * tokens (the classic trick): the corpus-scale stage is only the word
+    * count partial agg; the character-pair explode then runs over the
+    * vocabulary, which is ≪ corpus at 100 TB. Exact integer counts.
+    * Output: rk, pair (2 chars), n — the top `topK` merge candidates. */
+  def bpePairCounts(docs: DataFrame, id: Column, text: Column,
+                    topK: Int = 20): DataFrame = {
+    val words = docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .select(explode(split($"norm", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("wn"))
+    val counts = words
+      .select($"wn", explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"wn").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"pair")
+    counts.orderBy($"n".desc, $"pair").limit(topK)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select($"rk", $"pair", $"n")
+  }
+
+  /** Deterministic quality-weighted downsampling: a doc survives iff its
+    * salted id hash per-mille falls below its own quality-mapped keep
+    * rate (`floor(quality·1000)`, clamped by the comparison itself) —
+    * high-quality docs keep ~everything, junk keeps ~nothing, and the
+    * decision is a pure function of (id, text): reproducible, append-
+    * stable, and exchange-free (one narrow projection — this is the
+    * hash-threshold scale path that [[mixSample]]'s exact-quota window
+    * deliberately isn't). Output: doc_id, keep_pm (kept docs only). */
+  def qualitySample(docs: DataFrame, id: Column, text: Column,
+                    salt: String = "qs:"): DataFrame =
+    qualityScore(docs, id, text)
+      .select($"doc_id",
+        expr("CAST(floor(quality * 1000) AS BIGINT)").as("keep_pm"))
+      .filter(DetHash.h60(concat(lit(salt), $"doc_id".cast("string"))) % 1000
+        < $"keep_pm")
+
   /** Per-doc quality features + one combined score: length, punctuation
     * density, stopword ratio, mean word length. Output: doc_id, n_chars,
     * n_tokens, n_punct, n_stop, quality. */

@@ -41,6 +41,7 @@ object LlmQueries {
   private val SemMaxList = 500     // per-cluster pairwise cap for semdedup
   private val NShards = 8          // training-order shuffle shards
   private val VocabTopN = 100
+  private val BpeTopK = 20
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-(lang, source) corpus stats
@@ -205,6 +206,15 @@ object LlmQueries {
     // corpus vocabulary: top-N tokens with cumulative coverage
     "llm_vocab" -> ((s, d) =>
       TextAnalysisOps.vocabulary(docs(s, d), $"doc_id", $"text", VocabTopN)),
+
+    // BPE merge-candidate counting (adjacent char pairs over word types)
+    "llm_bpe_pairs" -> ((s, d) =>
+      TextAnalysisOps.bpePairCounts(docs(s, d), $"doc_id", $"text", BpeTopK)),
+
+    // deterministic quality-weighted downsampling (hash-threshold)
+    "llm_qsample" -> ((s, d) =>
+      TextAnalysisOps.qualitySample(docs(s, d), $"doc_id", $"text")
+        .orderBy("doc_id")),
 
     // embedding-cosine near-dup pairs (LSH buckets, capped, no all-pairs)
     "llm_embed_dedup" -> ((s, d) =>
@@ -579,6 +589,41 @@ object LlmQueries {
         FROM top)
       SELECT rk, tok, n, CAST(cum * 1000 // total AS BIGINT) AS cum_pm
       FROM ranked, tot ORDER BY rk""",
+
+    "llm_bpe_pairs" -> s"""
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(string_split($Norm, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY 1),
+      p AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                 i -> substr(w, i, 2))) AS pair, wn
+        FROM words),
+      c AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY 1),
+      r AS (SELECT pair, n,
+            CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
+            FROM c)
+      SELECT rk, pair, n FROM r WHERE rk <= $BpeTopK ORDER BY rk""",
+
+    "llm_qsample" -> {
+      val inList = TextAnalysisOps.StopWords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH f AS (
+        SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+               CAST($WsTok AS BIGINT) AS n_tokens,
+               CAST(length(norm) - length(regexp_replace(norm, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(norm, ' '), w -> w IN ($inList))) AS BIGINT) AS n_stop
+        FROM (SELECT doc_id, $Norm AS norm FROM documents)),
+      q AS (
+        SELECT doc_id, CAST(floor((
+               0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+               + 0.3 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+               - 0.2 * (CAST(n_punct AS DOUBLE) / n_chars)) * 1000) AS BIGINT) AS keep_pm
+        FROM f)
+      SELECT doc_id, keep_pm FROM q
+      WHERE ${DetHash.h60Sql("'qs:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_pm
+      ORDER BY doc_id"""
+    },
 
     "llm_mix" -> s"""
       WITH wts(source, w) AS (VALUES

@@ -105,4 +105,34 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(got.map(_._4).toSeq ==
       Seq(3000L / 14, 5000L / 14, 7000L / 14, 9000L / 14))
   }
+
+  test("bpePairCounts: type-weighted adjacent pairs, brute-forced") {
+    val d = Seq(
+      (1L, "aab aab ab"),   // types: aab (x2 corpus-wide), ab
+      (2L, "aab bb x")).toDF("doc_id", "text") // x: length<2 excluded
+    // types: aab wn=3, ab wn=1, bb wn=1
+    // pairs: aab -> aa,ab; ab -> ab; bb -> bb
+    // => aa=3, ab=3+1=4, bb=1
+    val got = TextAnalysisOps.bpePairCounts(d, $"doc_id", $"text", topK = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "ab", 4L), (2L, "aa", 3L), (3L, "bb", 1L)))
+  }
+
+  test("qualitySample: kept set matches the per-doc hash threshold") {
+    val d = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = TextAnalysisOps.qualitySample(d, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    // brute force from the already-tested quality score
+    val q = TextAnalysisOps.qualityScore(d, $"doc_id", $"text")
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+    val expect = q.flatMap { case (id, quality) =>
+      val pm = math.floor(quality * 1000).toLong
+      val h = graft.functions.DetHash.h60Value(s"qs:$id") % 1000
+      if (h < pm) Some(id -> pm) else None
+    }.toMap
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < q.length,
+      "threshold should keep a strict subset")
+  }
 }

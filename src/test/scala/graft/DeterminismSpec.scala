@@ -8,12 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * engine moves, and cluster resizes cannot change answers). Covers one
   * query per risk family: float aggregation (ts_counter_total),
   * hash-bucketed pair generation (llm_minhash_dedup), window ranking
-  * with ties (llm_tfidf). */
+  * with ties (llm_tfidf), iterative centroid training + cluster-local
+  * pruning (llm_semdedup), hash-permutation sharding (llm_shuffle). */
 class DeterminismSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-  private val Queries = Seq("ts_counter_total", "llm_minhash_dedup", "llm_tfidf")
+  private val Queries = Seq("ts_counter_total", "llm_minhash_dedup",
+    "llm_tfidf", "llm_semdedup", "llm_shuffle")
 
   test("results are identical under different shuffle partition counts") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -162,6 +162,43 @@ object DedupOps {
     trueJaccard(cand, base).filter($"jaccard" >= minJaccard)
   }
 
+  /** Incremental MinHash+LSH dedup — dedup a NEW batch against an
+    * already-ingested corpus without ever generating old×old pairs: band
+    * buckets are capped over the full index (old ∪ new, exactly as a
+    * fresh full run would), but only buckets actually touched by a new
+    * doc produce candidates, so join cost scales with the BATCH, not the
+    * corpus. This is the nightly-ingest shape at 100 TB: in production
+    * the old side is the persisted signature/band index (computed once,
+    * appended to per batch); here it is re-derived from the old docs so
+    * the result is provably the full-corpus [[minHashDedup]] restricted
+    * to pairs with ≥1 new side — which is exactly what the oracle
+    * asserts. Output: doc_a < doc_b, n_common, jaccard. */
+  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame, id: Column,
+                       text: Column, minJaccard: Double,
+                       maxBucket: Int = 20): DataFrame = {
+    val baseOld = Pins.pin(shingleHashArrays(oldDocs, id, text))
+    val baseNew = Pins.pin(shingleHashArrays(newDocs, id, text))
+    val allBands = Pins.pin(
+      bandRows(minHashSignatures(baseOld))
+        .unionByName(bandRows(minHashSignatures(baseNew))))
+    val newBands = bandRows(minHashSignatures(baseNew))
+    // caps over the FULL index — same [2, maxBucket] rule as a from-
+    // scratch run, so incremental and full runs agree pair-for-pair
+    val caps = allBands.groupBy($"band", $"bkey").count()
+      .filter($"count" >= 2 && $"count" <= maxBucket)
+      .select($"band", $"bkey")
+    val cappedAll = allBands.join(caps, Seq("band", "bkey"))
+    val cappedNew = newBands.join(caps, Seq("band", "bkey"))
+    val cand = cappedNew
+      .join(cappedAll.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
+      .filter($"doc_id" =!= $"doc_b")
+      .select(least($"doc_id", $"doc_b").as("doc_a"),
+        greatest($"doc_id", $"doc_b").as("doc_b"))
+      .distinct()
+    trueJaccard(cand, baseOld.unionByName(baseNew))
+      .filter($"jaccard" >= minJaccard)
+  }
+
   /** Connected components over near-dup pairs — the final assignment step
     * of a dedup pipeline: every document in a duplicate cluster maps to
     * the cluster's minimum doc id (the keeper), so "drop non-keepers"

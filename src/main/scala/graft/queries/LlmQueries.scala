@@ -118,6 +118,16 @@ object LlmQueries {
         .orderBy("stage")
     }),
 
+    // incremental dedup: the new batch (hash split >= 80) against the
+    // already-indexed corpus — batch-sized join cost, full-run parity
+    "llm_incr_dedup" -> ((s, d) => {
+      val all = TextAnalysisOps.withSplit(docs(s, d), $"doc_id")
+      DedupOps.incrementalDedup(
+          all.filter($"split" === "train"), all.filter($"split" =!= "train"),
+          $"doc_id", $"text", MinJaccard)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // deterministic data mixing: per-source fractional quotas by hash rank
     "llm_mix" -> ((s, d) =>
       TextAnalysisOps.mixSample(docs(s, d), $"doc_id", $"source",
@@ -589,6 +599,16 @@ object LlmQueries {
         FROM top)
       SELECT rk, tok, n, CAST(cum * 1000 // total AS BIGINT) AS cum_pm
       FROM ranked, tot ORDER BY rk""",
+
+    "llm_incr_dedup" -> s"""
+      WITH $ShingleCte, $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect,
+      nw AS (SELECT doc_id FROM documents
+             WHERE ${TextAnalysisOps.splitBucketSql("doc_id")} >= 80)
+      SELECT doc_a, doc_b, n_common, jaccard FROM jac
+      WHERE jaccard >= $MinJaccard
+        AND (doc_a IN (SELECT doc_id FROM nw)
+             OR doc_b IN (SELECT doc_id FROM nw))
+      ORDER BY doc_a, doc_b""",
 
     "llm_bpe_pairs" -> s"""
       WITH words AS (

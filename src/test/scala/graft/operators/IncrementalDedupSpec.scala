@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft._
+import graft.TestSpark
+
+/** incrementalDedup's contract: identical pairs to a from-scratch
+  * minHashDedup over old ∪ new, restricted to pairs with at least one
+  * new-side doc — on a fixture planting dups within-old, within-new,
+  * and across the boundary. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val lorem = "the quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep dark quiet forest tonight"
+  private def doc(i: Long, s: String) = (i, s)
+  private val oldDocs = Seq(
+    doc(1, lorem),
+    doc(2, lorem + " extra"),            // near-dup of 1 (old×old)
+    doc(3, "completely different material about spark physical plans"),
+    doc(4, "unrelated text regarding parquet row group pruning")).toDF("doc_id", "text")
+  private val newDocs = Seq(
+    doc(11, lorem + " indeed"),          // near-dup of 1/2 (new×old)
+    doc(12, lorem + " indeed!"),         // near-dup of 11 (new×new)
+    doc(13, "fresh content that matches nothing else at all")).toDF("doc_id", "text")
+
+  test("incremental == full run restricted to new-touching pairs") {
+    val minJ = 0.5
+    val incr = Pins.scoped {
+      DedupOps.incrementalDedup(oldDocs, newDocs, $"doc_id", $"text", minJ)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val full = Pins.scoped {
+      DedupOps.minHashDedup(oldDocs.unionByName(newDocs),
+          $"doc_id", $"text", minJ)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val newIds = Set(11L, 12L, 13L)
+    assert(incr == full.filter(p => newIds(p._1) || newIds(p._2)))
+    // the fixture exercises all three pair classes
+    assert(full.exists(p => !newIds(p._1) && !newIds(p._2)), "old x old dup")
+    assert(incr.exists(p => newIds(p._1) != newIds(p._2)), "new x old dup")
+    assert(incr.exists(p => newIds(p._1) && newIds(p._2)), "new x new dup")
+  }
+}

@@ -113,6 +113,11 @@ object EtsdSource {
   def roundTripHourlyBlocks(hourly: DataFrame, channelNames: Seq[String]): DataFrame = {
     val spark = hourly.sparkSession
     import spark.implicits._
+    // empty catalog (e.g. an empty source partition): nothing to encode —
+    // return the empty result rather than building an unsatisfiable schema
+    if (channelNames.isEmpty)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("channel", "bucket_epoch", "s_c")
     val names = channelNames.sorted
     require(names.forall(ChannelConfig.nameOk), s"bad channel names: $names")
     val schema = EtsdSchema(

@@ -178,10 +178,11 @@ object DedupOps {
                        maxBucket: Int = 20): DataFrame = {
     val baseOld = Pins.pin(shingleHashArrays(oldDocs, id, text))
     val baseNew = Pins.pin(shingleHashArrays(newDocs, id, text))
+    // the new side's band rows feed both the index union and the
+    // candidate probe — pin so its signature pass runs once
+    val newBands = Pins.pin(bandRows(minHashSignatures(baseNew)))
     val allBands = Pins.pin(
-      bandRows(minHashSignatures(baseOld))
-        .unionByName(bandRows(minHashSignatures(baseNew))))
-    val newBands = bandRows(minHashSignatures(baseNew))
+      bandRows(minHashSignatures(baseOld)).unionByName(newBands))
     // caps over the FULL index — same [2, maxBucket] rule as a from-
     // scratch run, so incremental and full runs agree pair-for-pair
     val caps = allBands.groupBy($"band", $"bkey").count()

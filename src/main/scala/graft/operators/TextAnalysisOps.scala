@@ -157,6 +157,31 @@ object TextAnalysisOps {
           UrlRe, "<URL>"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
           .as("redacted_hash"))
 
+  /** Capture-group pattern lifting the host out of a URL; identical
+    * semantics in Java regex and RE2 (plain class + group, no lookaround). */
+  val DomainRe = "https?://([^/ ]+)"
+
+  /** Per-domain corpus stats — the input to domain-level filtering and
+    * mix weighting: every in-text URL's host, with how many distinct
+    * docs cite it, ranked. One narrow extract + a domain-keyed partial
+    * agg (domains ≪ corpus, so the count collapses map-side); the final
+    * rank is a distributed top-N. Output: rk, domain, n_docs. */
+  def domainStats(docs: DataFrame, id: Column, text: Column,
+                  topN: Int = 50): DataFrame = {
+    val hosts = docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .select($"doc_id",
+        explode(regexp_extract_all($"norm", lit(UrlRe), lit(0))).as("url"))
+      .select($"doc_id", regexp_extract($"url", DomainRe, 1).as("domain"))
+      .filter(length($"domain") > 0)
+    val counts = hosts.distinct()
+      .groupBy($"domain").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_docs".desc, $"domain")
+    counts.orderBy($"n_docs".desc, $"domain").limit(topN)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select($"rk", $"domain", $"n_docs")
+  }
+
   /** Sequence packing for pretraining — the concat-then-chunk shape:
     * within each shard, documents concatenate in doc-id order and the
     * token stream is cut every `budget` tokens, so each doc lands at

@@ -226,6 +226,10 @@ object LlmQueries {
       TextAnalysisOps.qualitySample(docs(s, d), $"doc_id", $"text")
         .orderBy("doc_id")),
 
+    // per-domain citation stats from in-text URLs (domain filter input)
+    "llm_domains" -> ((s, d) =>
+      TextAnalysisOps.domainStats(docs(s, d), $"doc_id", $"text")),
+
     // embedding-cosine near-dup pairs (LSH buckets, capped, no all-pairs)
     "llm_embed_dedup" -> ((s, d) =>
       VectorOps.cosineDedup(
@@ -609,6 +613,21 @@ object LlmQueries {
         AND (doc_a IN (SELECT doc_id FROM nw)
              OR doc_b IN (SELECT doc_id FROM nw))
       ORDER BY doc_a, doc_b""",
+
+    "llm_domains" -> s"""
+      WITH urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(norm, '${TextAnalysisOps.UrlRe}')) AS url
+        FROM (SELECT doc_id, $Norm AS norm FROM documents)),
+      hosts AS (
+        SELECT DISTINCT doc_id,
+               regexp_extract(url, '${TextAnalysisOps.DomainRe}', 1) AS domain
+        FROM urls),
+      c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+            FROM hosts WHERE length(domain) > 0 GROUP BY 1),
+      r AS (SELECT domain, n_docs,
+            CAST(row_number() OVER (ORDER BY n_docs DESC, domain) AS BIGINT) AS rk
+            FROM c)
+      SELECT rk, domain, n_docs FROM r WHERE rk <= 50 ORDER BY rk""",
 
     "llm_bpe_pairs" -> s"""
       WITH words AS (

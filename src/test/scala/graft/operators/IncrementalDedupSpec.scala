@@ -46,4 +46,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(incr.exists(p => newIds(p._1) != newIds(p._2)), "new x old dup")
     assert(incr.exists(p => newIds(p._1) && newIds(p._2)), "new x new dup")
   }
+
+  test("degenerate corpus: mega-buckets are dropped by the cap, " +
+    "and exactDedup still collapses the clones") {
+    // 60 byte-identical docs: every LSH bucket holds all 60 > maxBucket,
+    // so the near-dup pass emits nothing rather than 60²/2 pairs in one
+    // task — the documented skew guard. The clones are exact dups, which
+    // the (cheap, uncapped) exact pass upstream is responsible for.
+    val clones = (1L to 60L).map(i => (i, lorem)).toDF("doc_id", "text")
+    val near = Pins.scoped {
+      DedupOps.minHashDedup(clones, $"doc_id", $"text", 0.5, maxBucket = 20)
+        .count()
+    }
+    assert(near == 0L)
+    val exact = DedupOps.exactDedup(clones, $"doc_id", $"text")
+      .select($"keeper_doc_id", $"n_docs").as[(Long, Long)].collect()
+    assert(exact.toSeq == Seq((1L, 60L)))
+  }
 }

@@ -118,6 +118,17 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "ab", 4L), (2L, "aa", 3L), (3L, "bb", 1L)))
   }
 
+  test("domainStats: hosts extracted, deduped per doc, ranked") {
+    val d = Seq(
+      (1L, "see https://a.example.org/x and https://a.example.org/y " +
+        "plus http://b.net"),          // a.example.org once per doc
+      (2L, "another https://a.example.org/z reference"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.domainStats(d, $"doc_id", $"text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a.example.org", 2L), (2L, "b.net", 1L)))
+  }
+
   test("qualitySample: kept set matches the per-doc hash threshold") {
     val d = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -157,6 +157,19 @@ object TextAnalysisOps {
           UrlRe, "<URL>"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
           .as("redacted_hash"))
 
+  /** The distributed top-N ranking idiom shared by [[vocabulary]],
+    * [[bpePairCounts]] and [[domainStats]]: a global sort+limit (planned
+    * as TakeOrderedAndProject — no single-task full sort) and a 1-based
+    * long `rk` over the ≤ n surviving rows. `order` must be a total
+    * order (count desc + unique tie-break) or ranks are
+    * nondeterministic. */
+  private[operators] def rankTopN(df: DataFrame, n: Int,
+                                  order: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    df.orderBy(order: _*).limit(n)
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   /** Capture-group pattern lifting the host out of a URL; identical
     * semantics in Java regex and RE2 (plain class + group, no lookaround). */
   val DomainRe = "https?://([^/ ]+)"
@@ -175,10 +188,7 @@ object TextAnalysisOps {
       .filter(length($"domain") > 0)
     val counts = hosts.distinct()
       .groupBy($"domain").agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"n_docs".desc, $"domain")
-    counts.orderBy($"n_docs".desc, $"domain").limit(topN)
-      .withColumn("rk", row_number().over(w).cast("long"))
+    rankTopN(counts, topN, $"n_docs".desc, $"domain")
       .select($"rk", $"domain", $"n_docs")
   }
 
@@ -264,8 +274,7 @@ object TextAnalysisOps {
       .orderBy($"n".desc, $"tok")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    counts.orderBy($"n".desc, $"tok").limit(topN)
-      .withColumn("rk", row_number().over(w).cast("long"))
+    rankTopN(counts, topN, $"n".desc, $"tok")
       .withColumn("cum", sum($"n").over(w))
       .crossJoin(broadcast(total))
       .select($"rk", $"tok", $"n", expr("cum * 1000 DIV total").as("cum_pm"))
@@ -290,10 +299,7 @@ object TextAnalysisOps {
         "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
         .as("pair"))
       .groupBy($"pair").agg(sum($"wn").as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"n".desc, $"pair")
-    counts.orderBy($"n".desc, $"pair").limit(topK)
-      .withColumn("rk", row_number().over(w).cast("long"))
+    rankTopN(counts, topK, $"n".desc, $"pair")
       .select($"rk", $"pair", $"n")
   }
 
@@ -326,7 +332,10 @@ object TextAnalysisOps {
       .withColumn("quality",
         lit(0.5) * ($"n_stop".cast("double") / $"n_tokens") +
         lit(0.3) * (least($"n_tokens", lit(200L)).cast("double") / 200.0) -
-        lit(0.2) * ($"n_punct".cast("double") / $"n_chars"))
+        // greatest(n_chars, 1): an empty-norm doc must score 0 punct
+        // density on BOTH engines — bare /0 is NULL in Spark but NaN in
+        // DuckDB, which would crash the oracle's floor/CAST chain
+        lit(0.2) * ($"n_punct".cast("double") / greatest($"n_chars", lit(1L))))
   }
 
   /** Character trigrams (multiset) per doc. Spread by doc before the

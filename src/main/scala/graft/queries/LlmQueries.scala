@@ -429,7 +429,7 @@ object LlmQueries {
       SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
              0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
              + 0.3 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
-             - 0.2 * (CAST(n_punct AS DOUBLE) / n_chars) AS quality
+             - 0.2 * (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) AS quality
       FROM f ORDER BY 1"""
     },
 
@@ -523,7 +523,7 @@ object LlmQueries {
                      w -> w IN ($inList))) AS DOUBLE) / ($WsTok))
             + 0.3 * (CAST(least($WsTok, 200) AS DOUBLE) / 200.0)
             - 0.2 * (CAST(length(norm) - length(regexp_replace(norm,
-                     '[.,!?;:]', '', 'g')) AS DOUBLE) / length(norm)) AS quality
+                     '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(norm), 1)) AS quality
           FROM norm0)
         WHERE quality >= 0.1),
       s1 AS (SELECT n.doc_id, n.norm FROM norm0 n JOIN qf USING (doc_id)),
@@ -657,7 +657,7 @@ object LlmQueries {
         SELECT doc_id, CAST(floor((
                0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
                + 0.3 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
-               - 0.2 * (CAST(n_punct AS DOUBLE) / n_chars)) * 1000) AS BIGINT) AS keep_pm
+               - 0.2 * (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))) * 1000) AS BIGINT) AS keep_pm
         FROM f)
       SELECT doc_id, keep_pm FROM q
       WHERE ${DetHash.h60Sql("'qs:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_pm

@@ -41,6 +41,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(ts)"), plan)
   }
 
+  test("narrow queries prune the documents scan to the used columns") {
+    // a scan that reads all 5 document columns for a doc_id-only query
+    // is wasted IO at 100 TB — pruning must reach the parquet reader
+    val shufflePlan = SparkEntry.queries("llm_shuffle")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(shufflePlan.contains("ReadSchema: struct<doc_id:bigint>"),
+      shufflePlan)
+    val tokPlan = SparkEntry.queries("llm_token_counts")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(tokPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      tokPlan)
+  }
+
   test("rel_band_join_auto is actually rewritten (Generate in the plan)") {
     // the no-nested-loop assertion above would also fail if the rule
     // stopped firing, but assert the rewrite's fingerprint directly:

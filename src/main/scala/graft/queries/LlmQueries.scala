@@ -8,9 +8,13 @@ import graft.functions.DetHash
 import graft.operators.{DedupOps, MultimodalOps, TextAnalysisOps, VectorOps}
 
 /** LLM-training-data-pipeline operators over the driver's `documents` and
-  * `embeddings` tables: exact + MinHash-LSH + SimHash + n-gram-Jaccard
-  * deduplication, brute-force and LSH-bucketed cosine top-k, text stats /
-  * token counting / quality scoring / language ID / document fingerprints.
+  * `embeddings` tables: exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+  * embedding-cosine / SemDedup-semantic / incremental-batch dedup,
+  * brute-force + LSH + IVF cosine top-k, text stats / token counting /
+  * quality scoring + sampling / language ID / fingerprints / PII
+  * redaction / vocabulary + BPE statistics / domain stats, deterministic
+  * splits, shuffling, packing, mixing, contamination checks, and the
+  * composed curation funnel.
   *
   * Every query has a DuckDB oracle built from the SAME hash/sign literals
   * ([[DetHash]]) and the same exact-integer arithmetic, so results

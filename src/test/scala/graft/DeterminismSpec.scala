@@ -2,20 +2,18 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The reproducibility claim as an assertion: results must be
+/** The reproducibility claim as an assertion: EVERY batch query must be
   * bit-identical under different shuffle partition counts (the scaled-
   * integer aggregation + DetHash design exists exactly so that re-runs,
-  * engine moves, and cluster resizes cannot change answers). Covers one
-  * query per risk family: float aggregation (ts_counter_total),
-  * hash-bucketed pair generation (llm_minhash_dedup), window ranking
-  * with ties (llm_tfidf), iterative centroid training + cluster-local
-  * pruning (llm_semdedup), hash-permutation sharding (llm_shuffle). */
+  * engine moves, and cluster resizes cannot change answers). The
+  * streaming-backed query materializes its own input and is covered by
+  * IngestSpec's closed-form checks instead. */
 class DeterminismSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-  private val Queries = Seq("ts_counter_total", "llm_minhash_dedup",
-    "llm_tfidf", "llm_semdedup", "llm_shuffle")
+  private val Queries = SparkEntry.queries.keys.toSeq.sorted
+    .filterNot(_ == "ts_stream_ingest")
 
   test("results are identical under different shuffle partition counts") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
@@ -30,8 +28,12 @@ class DeterminismSpec extends AnyFunSuite {
       val a = runAll()
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       val b = runAll()
+      // some queries are legitimately empty on this fixture (planted-
+      // pattern detectors like llm_boilerplate/llm_domains) — emptiness
+      // is the oracle gate's business; THIS test pins stability
+      assert(Queries.count(q => a(q).nonEmpty) > Queries.size / 2,
+        "fixture unexpectedly empty for most queries")
       Queries.foreach { q =>
-        assert(a(q).nonEmpty, s"$q returned nothing")
         assert(a(q) == b(q), s"$q differs across partition counts")
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)

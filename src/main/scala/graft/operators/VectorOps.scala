@@ -219,6 +219,18 @@ object VectorOps {
       .agg(max(struct($"ccos", $"cent_id")).as("best"))
       .select($"vec_id", $"best.cent_id".as("list_id"))
 
+  /** Deterministic corpus clustering as a standalone op: Lloyd's-trained
+    * coarse centroids ([[trainCentroids]]) + nearest-centroid assignment.
+    * The topic-balance / data-mixture view of the same machinery IVF and
+    * semDedup search with. Output: vec_id, list_id. */
+  def clusterAssign(vectors0: DataFrame, nCentroids: Int,
+                    trainIters: Int): DataFrame = {
+    val vectors = Pins.pin(vectors0)
+    val cents = broadcast(trainCentroids(vectors, nCentroids, trainIters)
+      .select($"cent_id", $"cv", $"cn"))
+    assignToCentroids(vectors, cents)
+  }
+
   /** SemDedup-style semantic near-duplicate pruning (cluster, then prune
     * within clusters — Abbas et al. 2023's recipe re-expressed): the
     * corpus is clustered by the deterministic Lloyd's coarse quantizer
@@ -241,11 +253,9 @@ object VectorOps {
   def semDedup(vectors0: DataFrame, minCos: Double, nCentroids: Int,
                trainIters: Int, maxList: Int): DataFrame = {
     val vectors = Pins.pin(vectors0)
-    val cents = broadcast(trainCentroids(vectors, nCentroids, trainIters)
-      .select($"cent_id", $"cv", $"cn"))
     // members feeds caps + both self-join sides + the final flag join
     val members = Pins.pin(
-      vectors.join(assignToCentroids(vectors, cents), "vec_id")
+      vectors.join(clusterAssign(vectors, nCentroids, trainIters), "vec_id")
         .select($"list_id", $"vec_id", $"qv", $"nrm"))
     val caps = members.groupBy($"list_id").count()
       .filter($"count" >= 2 && $"count" <= maxList).select($"list_id")

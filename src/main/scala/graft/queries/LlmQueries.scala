@@ -158,6 +158,28 @@ object LlmQueries {
           DedupOps.minHashDedup(docs(s, d), $"doc_id", $"text", MinJaccard))
         .orderBy("doc_id")),
 
+    // per-source dedup report: how much of each source is duplicated,
+    // and how much a drop-non-keepers pass would remove
+    "llm_dup_rate" -> ((s, d) => {
+      val cl = DedupOps.dupClusters(
+        DedupOps.minHashDedup(docs(s, d), $"doc_id", $"text", MinJaccard))
+      docs(s, d).join(cl, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count($"cluster_id").as("n_in_pairs"),
+          count(when($"is_keeper" === false, 1)).as("n_dropped"))
+        .orderBy("source")
+    }),
+
+    // corpus clustering for topic balance: Lloyd's-trained coarse
+    // centroids, per-cluster membership counts
+    "llm_cluster_sizes" -> ((s, d) =>
+      VectorOps.clusterAssign(
+          VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
+          IvfCentroids, IvfIters)
+        .groupBy($"list_id").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("list_id")),
+
     // eval-set contamination: n-gram overlap between the train+val
     // portion and the held-out test split (decontamination pass)
     "llm_contamination" -> ((s, d) => {
@@ -385,6 +407,23 @@ object LlmQueries {
     sb.toString
   }
 
+  /** Exact transitive closure of the `jac` near-dup pairs (threshold
+    * MinJaccard) → `labels (doc_id, cluster_id, is_keeper)` — the SQL
+    * twin of DedupOps.dupClusters run to fixpoint. Requires WITH
+    * RECURSIVE and a `jac` CTE in scope. */
+  private val WalkCtes = s"""
+      pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $MinJaccard),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      walk(node, lbl) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, walk.lbl FROM walk JOIN e ON walk.node = e.a),
+      labels AS (
+        SELECT node AS doc_id, min(lbl) AS cluster_id,
+               node = min(lbl) AS is_keeper
+        FROM walk GROUP BY node)"""
+
   /** Final nearest-centroid assignment over `centu<iters>` (mirrors the
     * ivfKnn / semDedup argmax; ties → higher cent_id). Produces
     * `assigned (vec_id, list_id)`. */
@@ -534,18 +573,10 @@ object LlmQueries {
       ek AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(norm)),
       s2 AS (SELECT s1.doc_id, s1.norm FROM s1 JOIN ek USING (doc_id)),
       ${shingleCte("SELECT doc_id, norm FROM s2")},
-      $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect,
-      pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $MinJaccard),
-      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-            UNION SELECT doc_b, doc_a FROM pairs),
-      walk(node, lbl) AS (
-        SELECT a, a FROM e
-        UNION
-        SELECT e.b, walk.lbl FROM walk JOIN e ON walk.node = e.a),
-      nonkeep AS (SELECT node AS doc_id FROM walk
-                  GROUP BY node HAVING node <> min(lbl)),
+      $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect, $WalkCtes,
       s3 AS (SELECT doc_id FROM s2
-             WHERE doc_id NOT IN (SELECT doc_id FROM nonkeep)),
+             WHERE doc_id NOT IN (SELECT doc_id FROM labels
+                                  WHERE is_keeper = false)),
       s4 AS (SELECT doc_id FROM s3
              WHERE ${TextAnalysisOps.splitBucketSql("doc_id")} < 80)
       SELECT stage, n_docs FROM (
@@ -617,6 +648,13 @@ object LlmQueries {
         AND (doc_a IN (SELECT doc_id FROM nw)
              OR doc_b IN (SELECT doc_id FROM nw))
       ORDER BY doc_a, doc_b""",
+
+    "llm_cluster_sizes" -> s"""
+      WITH $QuantCte,
+      ${ivfTrainCtes(IvfIters)},
+      ${ivfAssignCtes(IvfIters)}
+      SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY 1 ORDER BY 1""",
 
     "llm_domains" -> s"""
       WITH urls AS (
@@ -732,17 +770,17 @@ object LlmQueries {
     // min(lbl) per node = the component's minimum doc id
     "llm_dup_clusters" -> s"""
       WITH RECURSIVE $ShingleCte, $SigCte, $BandCte, ${candCte(20)},
-      $JaccardSelect,
-      pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $MinJaccard),
-      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-            UNION SELECT doc_b, doc_a FROM pairs),
-      walk(node, lbl) AS (
-        SELECT a, a FROM e
-        UNION
-        SELECT e.b, walk.lbl FROM walk JOIN e ON walk.node = e.a)
-      SELECT node AS doc_id, min(lbl) AS cluster_id,
-             node = min(lbl) AS is_keeper
-      FROM walk GROUP BY node ORDER BY 1""",
+      $JaccardSelect, $WalkCtes
+      SELECT doc_id, cluster_id, is_keeper FROM labels ORDER BY 1""",
+
+    "llm_dup_rate" -> s"""
+      WITH RECURSIVE $ShingleCte, $SigCte, $BandCte, ${candCte(20)},
+      $JaccardSelect, $WalkCtes
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(l.doc_id) AS BIGINT) AS n_in_pairs,
+             CAST(count_if(l.is_keeper = false) AS BIGINT) AS n_dropped
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+      GROUP BY 1 ORDER BY 1""",
 
     "llm_simhash_pairs" -> {
       val ssum = (0 until 32)

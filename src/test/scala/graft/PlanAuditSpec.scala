@@ -21,8 +21,8 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Queries allowed to contain a broadcast nested-loop stage: the small
     * side is a constant-bounded set by construction (probe set, centroid
     * set, or a 1-row corpus total). */
-  private val broadcastLoopOk =
-    Set("llm_ann_topk", "llm_ann_ivf", "llm_semdedup", "llm_vocab")
+  private val broadcastLoopOk = Set("llm_ann_topk", "llm_ann_ivf",
+    "llm_semdedup", "llm_vocab", "llm_cluster_sizes")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no unbounded pair generation in the physical plan") {

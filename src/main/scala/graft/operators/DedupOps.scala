@@ -146,6 +146,46 @@ object DedupOps {
       .select($"doc_a", $"doc_b", $"n_common",
         ($"n_common".cast("double") / ($"sz_ab" - $"n_common")).as("jaccard"))
 
+  /** Containment near-duplicate pairs — the asymmetric complement of
+    * Jaccard: `|A∩B| / |A|` flags a document EMBEDDED in another (quote,
+    * concat, boilerplate-wrapped copy), which symmetric Jaccard misses
+    * when the host is much larger. MinHash bands can NOT be the
+    * candidate source here — band collision probability falls with
+    * Jaccard, and containment exists precisely when Jaccard is low — so
+    * candidates come from capped shared-shingle buckets instead (the
+    * contained doc shares every one of its shingles with its host); the
+    * exact containment is then computed both directions on candidates
+    * only. A pair is emitted when EITHER direction reaches
+    * `minContainment`. Still no all-pairs stage: the bucket join is an
+    * equality join on the shingle hash with the same [2, maxBucket] skew
+    * cap as every other candidate generator.
+    * Output: doc_a < doc_b, n_common, cont_a (share of a's shingles in
+    * b), cont_b. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+                       minContainment: Double,
+                       maxBucket: Int = 20): DataFrame = {
+    val base = Pins.pin(shingleHashArrays(docs, id, text))
+    val sh = Pins.pin(explodeHashes(base))
+    val caps = sh.groupBy($"h31").count()
+      .filter($"count" >= 2 && $"count" <= maxBucket).select($"h31")
+    val capped = sh.join(caps, "h31")
+    val cand = capped
+      .join(capped.withColumnRenamed("doc_id", "doc_b"), "h31")
+      .filter($"doc_id" < $"doc_b")
+      .select($"doc_id".as("doc_a"), $"doc_b").distinct()
+    cand
+      .join(base.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"hs_a", $"hs_b")).cast("long").as("n_common"),
+        size($"hs_a").cast("long").as("sz_a"),
+        size($"hs_b").cast("long").as("sz_b"))
+      .select($"doc_a", $"doc_b", $"n_common",
+        ($"n_common".cast("double") / $"sz_a").as("cont_a"),
+        ($"n_common".cast("double") / $"sz_b").as("cont_b"))
+      .filter($"cont_a" >= minContainment || $"cont_b" >= minContainment)
+  }
+
   /** MinHash+LSH near-duplicate detection end-to-end: shingle → signature →
     * band bucket join (capped) → exact Jaccard on candidates → threshold.
     * No all-pairs stage anywhere in the plan.

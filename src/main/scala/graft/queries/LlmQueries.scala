@@ -31,6 +31,7 @@ object LlmQueries {
     Tables.table(s, d, "embeddings")
 
   private val MinJaccard = 0.8     // planted near-dups sit at ≥0.85
+  private val MinContainment = 0.9 // near-supersets: most of one side shared
   private val NgramMinJaccard = 0.5
   private val MaxHamming = 2L
   private val AnnK = 5
@@ -121,6 +122,13 @@ object LlmQueries {
         }.reduce(_ unionByName _)
         .orderBy("stage")
     }),
+
+    // asymmetric containment pairs: catches a doc embedded in a larger
+    // host, which symmetric Jaccard under-scores
+    "llm_containment" -> ((s, d) =>
+      DedupOps.containmentPairs(docs(s, d), $"doc_id", $"text",
+          MinContainment)
+        .orderBy("doc_a", "doc_b")),
 
     // incremental dedup: the new batch (hash split >= 80) against the
     // already-indexed corpus — batch-sized join cost, full-run parity
@@ -638,6 +646,26 @@ object LlmQueries {
         FROM top)
       SELECT rk, tok, n, CAST(cum * 1000 // total AS BIGINT) AS cum_pm
       FROM ranked, tot ORDER BY rk""",
+
+    "llm_containment" -> s"""
+      WITH $ShingleCte,
+      ccaps AS (SELECT h31 FROM sh GROUP BY 1
+                HAVING count(*) >= 2 AND count(*) <= 20),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN ccaps USING (h31)
+        JOIN sh b ON b.h31 = a.h31 AND a.doc_id < b.doc_id),
+      $JaccardSelect,
+      cont AS (
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / sa.sz AS cont_a,
+               CAST(n_common AS DOUBLE) / sb.sz AS cont_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b)
+      SELECT doc_a, doc_b, n_common, cont_a, cont_b FROM cont
+      WHERE cont_a >= $MinContainment OR cont_b >= $MinContainment
+      ORDER BY doc_a, doc_b""",
 
     "llm_incr_dedup" -> s"""
       WITH $ShingleCte, $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect,

@@ -47,6 +47,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(incr.exists(p => newIds(p._1) && newIds(p._2)), "new x new dup")
   }
 
+  test("containment flags an embedded doc that Jaccard under-scores") {
+    val host = s"$lorem and then a very long continuation " +
+      "with many additional sentences about entirely other topics " +
+      "padding the host document far beyond the embedded fragment " +
+      "so the union is much larger than the shared part"
+    val d = Seq(1L -> host, 2L -> lorem, 3L -> "unrelated filler text")
+      .toDF("doc_id", "text")
+    val (cont, jac) = Pins.scoped {
+      (DedupOps.containmentPairs(d, $"doc_id", $"text", 0.9)
+         .select($"doc_a", $"doc_b", $"cont_a", $"cont_b")
+         .as[(Long, Long, Double, Double)].collect().toSeq,
+       DedupOps.minHashDedup(d, $"doc_id", $"text", 0.9)
+         .count())
+    }
+    // doc 2 is wholly inside doc 1: containment ~1.0 on 2's side...
+    assert(cont.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(cont.head._4 >= 0.9 && cont.head._3 < 0.9)
+    // ...while symmetric Jaccard at the same bar sees nothing
+    assert(jac == 0L)
+  }
+
   test("degenerate corpus: mega-buckets are dropped by the cap, " +
     "and exactDedup still collapses the clones") {
     // 60 byte-identical docs: every LSH bucket holds all 60 > maxBucket,

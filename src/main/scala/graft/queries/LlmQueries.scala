@@ -300,7 +300,19 @@ object LlmQueries {
     // in codegen — the batched decode-stub path is covered by unit tests
     "llm_binary_features" -> ((s, d) =>
       MultimodalOps.binaryStats(MultimodalOps.mediaFromDocs(docs(s, d)))
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+
+    // multimodal frame sampling: every 2nd fixed-size byte slice of the
+    // payload (keyframe / audio-window analog), content-hashed
+    "llm_frames" -> ((s, d) =>
+      MultimodalOps.sampleFrames(MultimodalOps.mediaFromDocs(docs(s, d)))
+        .toDF()
+        .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+          octet_length($"frame").cast("long").as("n_bytes"),
+          // hex, not md5: DuckDB can neither slice nor hash BLOB
+          // subranges, but a hex projection compares byte-exactly
+          hex($"frame").as("frame_hex"))
+        .orderBy("media_id", "frame_idx")))
 
   // ---- DuckDB oracles, built from the same DetHash literals ----
 
@@ -964,6 +976,25 @@ object LlmQueries {
              (octet_length(encode(text)) + ${MultimodalOps.FrameBytes - 1})
                // ${MultimodalOps.FrameBytes} AS n_frames
       FROM documents ORDER BY 1""",
+
+    "llm_frames" -> {
+      val fb = MultimodalOps.FrameBytes
+      s"""
+      WITH media AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents),
+      idx AS (
+        SELECT media_id, ph,
+               unnest(generate_series(0,
+                 (length(ph) // 2 + ${fb - 1}) // $fb - 1, 2)) AS frame_idx
+        FROM media),
+      fr AS (
+        SELECT media_id, frame_idx,
+               substring(ph, frame_idx * ${2 * fb} + 1, ${2 * fb}) AS frame_hex
+        FROM idx)
+      SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(length(frame_hex) // 2 AS BIGINT) AS n_bytes, frame_hex
+      FROM fr ORDER BY media_id, frame_idx"""
+    },
 
     "llm_embed_dedup" -> {
       val signs = DetHash.lshSigns(EmbedPlanes, EmbDim)

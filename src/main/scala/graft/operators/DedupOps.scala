@@ -159,13 +159,21 @@ object DedupOps {
     * `minContainment`. Still no all-pairs stage: the bucket join is an
     * equality join on the shingle hash with the same [2, maxBucket] skew
     * cap as every other candidate generator.
+    *
+    * Candidate shingles are hash-sampled 1-in-`sampleMod` (`h31 ≡ 0`):
+    * a contained doc shares ALL its shingles with its host, so sharing
+    * survives any hash-keyed subset, and bucket rows (hence join cost)
+    * drop ~sampleMod×. The miss probability is (1−1/mod)^k for a k-
+    * shingle doc — negligible beyond a few dozen shingles; set
+    * `sampleMod = 1` to scan exhaustively. Exact containment always uses
+    * the FULL shingle sets.
     * Output: doc_a < doc_b, n_common, cont_a (share of a's shingles in
     * b), cont_b. */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
-                       minContainment: Double,
-                       maxBucket: Int = 20): DataFrame = {
+                       minContainment: Double, maxBucket: Int = 20,
+                       sampleMod: Int = 8): DataFrame = {
     val base = Pins.pin(shingleHashArrays(docs, id, text))
-    val sh = Pins.pin(explodeHashes(base))
+    val sh = Pins.pin(explodeHashes(base).filter($"h31" % sampleMod === 0))
     val caps = sh.groupBy($"h31").count()
       .filter($"count" >= 2 && $"count" <= maxBucket).select($"h31")
     val capped = sh.join(caps, "h31")

@@ -661,12 +661,13 @@ object LlmQueries {
 
     "llm_containment" -> s"""
       WITH $ShingleCte,
-      ccaps AS (SELECT h31 FROM sh GROUP BY 1
+      samp AS (SELECT doc_id, h31 FROM sh WHERE h31 % 8 = 0),
+      ccaps AS (SELECT h31 FROM samp GROUP BY 1
                 HAVING count(*) >= 2 AND count(*) <= 20),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN ccaps USING (h31)
-        JOIN sh b ON b.h31 = a.h31 AND a.doc_id < b.doc_id),
+        FROM samp a JOIN ccaps USING (h31)
+        JOIN samp b ON b.h31 = a.h31 AND a.doc_id < b.doc_id),
       $JaccardSelect,
       cont AS (
         SELECT doc_a, doc_b, n_common,

@@ -108,27 +108,35 @@ object DedupOps {
       .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
   }
 
-  /** Candidate pairs from an equality bucket join over (band, bkey), with
-    * buckets capped at [2, maxBucket] — the LSH skew guard that keeps any
-    * single key from generating a quadratic task. Output: doc_a < doc_b. */
-  def candidatePairs(bands: DataFrame, maxBucket: Int): DataFrame = {
-    // bucket-size cap via partial aggregation: hot keys are counted
-    // map-side and the tiny caps table broadcasts, so a degenerate
-    // mega-bucket never lands in one task (a window count over the key
-    // would buffer the whole hot bucket in a single WindowExec just to
-    // discard it). The band rows are pinned — three consumers (caps +
-    // both self-join sides), a few small rows per doc; the caller
-    // releases via Pins.releaseAll()/Pins.scoped at its query boundary.
-    val b = Pins.pin(bands)
-    val caps = b.groupBy($"band", $"bkey").count()
+  /** THE skew-guarded candidate generator shared by every bucket-keyed
+    * dedup family: a capped equality self-join over `(keys..., doc_id)`
+    * rows. The bucket-size cap is a partial aggregation — hot keys are
+    * counted map-side and the tiny caps table broadcasts, so a
+    * degenerate mega-bucket never lands in one task (a window count over
+    * the key would buffer the whole hot bucket in a single WindowExec
+    * just to discard it). The rows are pinned — three consumers (caps +
+    * both self-join sides); the caller releases via Pins.releaseAll()/
+    * Pins.scoped at its query boundary.
+    * Output: distinct doc_a < doc_b from buckets with [2, maxBucket]
+    * members. */
+  def cappedPairs(rows: DataFrame, keys: Seq[String],
+                  maxBucket: Int): DataFrame = {
+    val kc = keys.map(col)
+    val b = Pins.pin(rows)
+    val caps = b.groupBy(kc: _*).count()
       .filter($"count" >= 2 && $"count" <= maxBucket)
-      .select($"band", $"bkey")
-    val capped = b.join(caps, Seq("band", "bkey"))
-      .select($"band", $"bkey", $"doc_id")
-    capped.join(capped.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
+      .select(kc: _*)
+    val capped = b.join(caps, keys).select((kc :+ $"doc_id"): _*)
+    capped.join(capped.withColumnRenamed("doc_id", "doc_b"), keys)
       .filter($"doc_id" < $"doc_b")
       .select($"doc_id".as("doc_a"), $"doc_b").distinct()
   }
+
+  /** Candidate pairs from an equality bucket join over (band, bkey), with
+    * buckets capped at [2, maxBucket] — the LSH instance of
+    * [[cappedPairs]]. Output: doc_a < doc_b. */
+  def candidatePairs(bands: DataFrame, maxBucket: Int): DataFrame =
+    cappedPairs(bands, Seq("band", "bkey"), maxBucket)
 
   /** True Jaccard over the candidate pairs only (set semantics on hash
     * arrays): fetch each side's distinct-hash array with two equi joins
@@ -173,14 +181,9 @@ object DedupOps {
                        minContainment: Double, maxBucket: Int = 20,
                        sampleMod: Int = 8): DataFrame = {
     val base = Pins.pin(shingleHashArrays(docs, id, text))
-    val sh = Pins.pin(explodeHashes(base).filter($"h31" % sampleMod === 0))
-    val caps = sh.groupBy($"h31").count()
-      .filter($"count" >= 2 && $"count" <= maxBucket).select($"h31")
-    val capped = sh.join(caps, "h31")
-    val cand = capped
-      .join(capped.withColumnRenamed("doc_id", "doc_b"), "h31")
-      .filter($"doc_id" < $"doc_b")
-      .select($"doc_id".as("doc_a"), $"doc_b").distinct()
+    val cand = cappedPairs(
+      explodeHashes(base).filter($"h31" % sampleMod === 0),
+      Seq("h31"), maxBucket)
     cand
       .join(base.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
       .join(base.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")
@@ -393,15 +396,7 @@ object DedupOps {
                    minJaccard: Double, maxBucket: Int = 20): DataFrame = {
     val base = Pins.pin(gramArrays(docs, id, text))
     val buckets = base.select($"doc_id", explode($"b5").as("bkey"))
-    // skew-safe partial-agg cap + single reused capped subtree (see
-    // candidatePairs)
-    val caps = buckets.groupBy($"bkey").count()
-      .filter($"count" >= 2 && $"count" <= maxBucket).select($"bkey")
-    val capped = buckets.join(caps, "bkey")
-    val cand = capped
-      .join(capped.withColumnRenamed("doc_id", "doc_b"), "bkey")
-      .filter($"doc_id" < $"doc_b")
-      .select($"doc_id".as("doc_a"), $"doc_b").distinct()
+    val cand = cappedPairs(buckets, Seq("bkey"), maxBucket)
     trueJaccard(cand, base.select($"doc_id", $"g3".as("hs")))
       .filter($"jaccard" >= minJaccard)
   }

@@ -57,7 +57,9 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     media.repartition($"media_id").mapPartitions { batch =>
       // per-batch codec setup would go here (amortized across the batch)
-      batch.map { m =>
+      // NULL payloads have no features — matches the SQL oracles, where
+      // NULL rows produce no unnested output rather than a crash
+      batch.filter(_.payload != null).map { m =>
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
           (m.payload.length + FrameBytes - 1) / FrameBytes,
           decodeStub(m.payload))
@@ -72,12 +74,15 @@ object MultimodalOps {
                    stride: Int = 2): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.repartition($"media_id").flatMap { m =>
-      val n = (m.payload.length + frameBytes - 1) / frameBytes
-      (0 until n by stride).iterator.map { f =>
-        val from = f * frameBytes
-        MediaFrame(m.media_id, f,
-          java.util.Arrays.copyOfRange(m.payload, from,
-            math.min(from + frameBytes, m.payload.length)))
+      if (m.payload == null) Iterator.empty // NULL payload → zero frames
+      else {
+        val n = (m.payload.length + frameBytes - 1) / frameBytes
+        (0 until n by stride).iterator.map { f =>
+          val from = f * frameBytes
+          MediaFrame(m.media_id, f,
+            java.util.Arrays.copyOfRange(m.payload, from,
+              math.min(from + frameBytes, m.payload.length)))
+        }
       }
     }
   }

@@ -32,6 +32,8 @@ object LlmQueries {
 
   private val MinJaccard = 0.8     // planted near-dups sit at ≥0.85
   private val MinContainment = 0.9 // near-supersets: most of one side shared
+  private val ContainSampleMod = 8 // 1-in-8 candidate-shingle sampling
+  private val CapBucket = 20       // [2, CapBucket] skew cap for buckets
   private val NgramMinJaccard = 0.5
   private val MaxHamming = 2L
   private val AnnK = 5
@@ -127,7 +129,7 @@ object LlmQueries {
     // host, which symmetric Jaccard under-scores
     "llm_containment" -> ((s, d) =>
       DedupOps.containmentPairs(docs(s, d), $"doc_id", $"text",
-          MinContainment)
+          MinContainment, CapBucket, ContainSampleMod)
         .orderBy("doc_a", "doc_b")),
 
     // incremental dedup: the new batch (hash split >= 80) against the
@@ -514,7 +516,7 @@ object LlmQueries {
     },
 
     "llm_minhash_dedup" -> s"""
-      WITH $ShingleCte, $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect
+      WITH $ShingleCte, $SigCte, $BandCte, ${candCte(CapBucket)}, $JaccardSelect
       SELECT * FROM jac WHERE jaccard >= $MinJaccard ORDER BY doc_a, doc_b""",
 
     "llm_split" -> s"""
@@ -593,7 +595,7 @@ object LlmQueries {
       ek AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(norm)),
       s2 AS (SELECT s1.doc_id, s1.norm FROM s1 JOIN ek USING (doc_id)),
       ${shingleCte("SELECT doc_id, norm FROM s2")},
-      $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect, $WalkCtes,
+      $SigCte, $BandCte, ${candCte(CapBucket)}, $JaccardSelect, $WalkCtes,
       s3 AS (SELECT doc_id FROM s2
              WHERE doc_id NOT IN (SELECT doc_id FROM labels
                                   WHERE is_keeper = false)),
@@ -661,9 +663,9 @@ object LlmQueries {
 
     "llm_containment" -> s"""
       WITH $ShingleCte,
-      samp AS (SELECT doc_id, h31 FROM sh WHERE h31 % 8 = 0),
+      samp AS (SELECT doc_id, h31 FROM sh WHERE h31 % $ContainSampleMod = 0),
       ccaps AS (SELECT h31 FROM samp GROUP BY 1
-                HAVING count(*) >= 2 AND count(*) <= 20),
+                HAVING count(*) >= 2 AND count(*) <= $CapBucket),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM samp a JOIN ccaps USING (h31)
@@ -681,7 +683,7 @@ object LlmQueries {
       ORDER BY doc_a, doc_b""",
 
     "llm_incr_dedup" -> s"""
-      WITH $ShingleCte, $SigCte, $BandCte, ${candCte(20)}, $JaccardSelect,
+      WITH $ShingleCte, $SigCte, $BandCte, ${candCte(CapBucket)}, $JaccardSelect,
       nw AS (SELECT doc_id FROM documents
              WHERE ${TextAnalysisOps.splitBucketSql("doc_id")} >= 80)
       SELECT doc_a, doc_b, n_common, jaccard FROM jac
@@ -810,12 +812,12 @@ object LlmQueries {
     // recursive walk propagates every label along undirected edges, so
     // min(lbl) per node = the component's minimum doc id
     "llm_dup_clusters" -> s"""
-      WITH RECURSIVE $ShingleCte, $SigCte, $BandCte, ${candCte(20)},
+      WITH RECURSIVE $ShingleCte, $SigCte, $BandCte, ${candCte(CapBucket)},
       $JaccardSelect, $WalkCtes
       SELECT doc_id, cluster_id, is_keeper FROM labels ORDER BY 1""",
 
     "llm_dup_rate" -> s"""
-      WITH RECURSIVE $ShingleCte, $SigCte, $BandCte, ${candCte(20)},
+      WITH RECURSIVE $ShingleCte, $SigCte, $BandCte, ${candCte(CapBucket)},
       $JaccardSelect, $WalkCtes
       SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(count(l.doc_id) AS BIGINT) AS n_in_pairs,

@@ -54,6 +54,18 @@ object ScaleProbe {
       println("  tfIdfTopTerms")
       time(graft.operators.TextAnalysisOps
         .tfIdfTopTerms(d, $"doc_id", $"text").count())
+      println("  containmentPairs")
+      time(DedupOps.containmentPairs(d, $"doc_id", $"text", 0.9).count())
+      println("  incrementalDedup (last replica as the new batch)")
+      time(DedupOps.incrementalDedup(
+        d.filter($"doc_id" < (k - 1).max(1) * 10000000L),
+        d.filter($"doc_id" >= (k - 1).max(1) * 10000000L),
+        $"doc_id", $"text", 0.8).count())
+      println("  semDedup")
+      time(VectorOps.semDedup(
+        VectorOps.quantize(e, $"vec_id", $"embedding"),
+        0.4, 16, 1, 5000).count())
+      Pins.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       docs.cache().count(); embs.cache().count()
     }

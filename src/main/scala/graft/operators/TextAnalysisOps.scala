@@ -170,6 +170,25 @@ object TextAnalysisOps {
       .withColumn("rk", row_number().over(w).cast("long"))
   }
 
+  /** Token-blocklist filter — the safety/compliance pass of a curation
+    * pipeline: flags every doc whose normalized token stream contains a
+    * blocklisted token, with the hit count. One narrow projection (the
+    * blocklist is a literal IN-list compiled into codegen, no join, no
+    * shuffle) — at 100 TB this rides the same scan as any other per-doc
+    * scoring. Multi-word or pattern rules belong in a regexp variant;
+    * this is the exact-token tier. Output: doc_id, n_hits (> 0 only). */
+  def blocklistFilter(docs: DataFrame, id: Column, text: Column,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9_']+")),
+      "blocklist terms must be normalized single tokens")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .select($"doc_id",
+        expr(s"CAST(size(filter(split(norm, ' '), w -> w IN ($inList))) AS BIGINT)")
+          .as("n_hits"))
+      .filter($"n_hits" > 0)
+  }
+
   /** Capture-group pattern lifting the host out of a URL; identical
     * semantics in Java regex and RE2 (plain class + group, no lookaround). */
   val DomainRe = "https?://([^/ ]+)"

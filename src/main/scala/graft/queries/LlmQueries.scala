@@ -49,6 +49,8 @@ object LlmQueries {
   private val NShards = 8          // training-order shuffle shards
   private val VocabTopN = 100
   private val BpeTopK = 20
+  // demo blocklist: real tokens of the synthetic fixture (non-vacuous)
+  private val Blocklist = Seq("slow", "broken", "invalid")
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-(lang, source) corpus stats
@@ -265,6 +267,12 @@ object LlmQueries {
     // per-domain citation stats from in-text URLs (domain filter input)
     "llm_domains" -> ((s, d) =>
       TextAnalysisOps.domainStats(docs(s, d), $"doc_id", $"text")),
+
+    // token-blocklist safety filter: docs containing a listed token
+    "llm_blocklist" -> ((s, d) =>
+      TextAnalysisOps.blocklistFilter(docs(s, d), $"doc_id", $"text",
+          Blocklist)
+        .orderBy("doc_id")),
 
     // embedding-cosine near-dup pairs (LSH buckets, capped, no all-pairs)
     "llm_embed_dedup" -> ((s, d) =>
@@ -691,6 +699,17 @@ object LlmQueries {
         AND (doc_a IN (SELECT doc_id FROM nw)
              OR doc_b IN (SELECT doc_id FROM nw))
       ORDER BY doc_a, doc_b""",
+
+    "llm_blocklist" -> {
+      val inList = Blocklist.map(t => s"'$t'").mkString(", ")
+      s"""
+      SELECT doc_id, n_hits FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split($Norm, ' '),
+                 w -> w IN ($inList))) AS BIGINT) AS n_hits
+        FROM documents)
+      WHERE n_hits > 0 ORDER BY doc_id"""
+    },
 
     "llm_cluster_sizes" -> s"""
       WITH $QuantCte,

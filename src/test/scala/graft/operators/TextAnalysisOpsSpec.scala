@@ -118,6 +118,17 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "ab", 4L), (2L, "aa", 3L), (3L, "bb", 1L)))
   }
 
+  test("blocklistFilter: exact-token hits only, counted") {
+    val d = Seq(
+      (1L, "totally Fine text"),
+      (2L, "contains badword twice badword yes"),
+      (3L, "badwordish is NOT a hit"),   // substring must not match
+      (4L, "BADWORD normalizes to a hit")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.blocklistFilter(d, $"doc_id", $"text",
+        Seq("badword")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 2L), (4L, 1L)))
+  }
+
   test("domainStats: hosts extracted, deduped per doc, ranked") {
     val d = Seq(
       (1L, "see https://a.example.org/x and https://a.example.org/y " +

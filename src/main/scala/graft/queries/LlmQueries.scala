@@ -52,6 +52,27 @@ object LlmQueries {
   // demo blocklist: real tokens of the synthetic fixture (non-vacuous)
   private val Blocklist = Seq("slow", "broken", "invalid")
 
+  /** The curation funnel shared by llm_curate / llm_pipeline: quality
+    * floor → exact-dedup keepers → near-dup cluster keepers → train
+    * split. s1/s2 each feed multiple consumers (stage counts + the next
+    * stage's input) — pinned so the quality/dedup joins run once. */
+  private def funnel(all: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val qualityPass = TextAnalysisOps.qualityScore(all, $"doc_id", $"text")
+      .filter($"quality" >= 0.1).select($"doc_id")
+    val s1 = Pins.pin(all.join(qualityPass, "doc_id"))
+    val exactKeepers = DedupOps.exactDedup(s1, $"doc_id", $"text")
+      .select($"keeper_doc_id".as("doc_id"))
+    val s2 = Pins.pin(s1.join(exactKeepers, "doc_id"))
+    val nonKeepers = DedupOps.dupClusters(
+        DedupOps.minHashDedup(s2, $"doc_id", $"text", MinJaccard))
+      .filter(!$"is_keeper").select($"doc_id")
+    val s3 = s2.join(nonKeepers, Seq("doc_id"), "left_anti")
+    val s4 = TextAnalysisOps.withSplit(s3, $"doc_id")
+      .filter($"split" === "train")
+    (s1, s2, s3, s4)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-(lang, source) corpus stats
     "llm_text_stats" -> ((s, d) =>
@@ -104,27 +125,32 @@ object LlmQueries {
     // survivor counts (the whole pipeline composed in one plan)
     "llm_curate" -> ((s, d) => {
       val all = docs(s, d)
-      val qualityPass = TextAnalysisOps.qualityScore(all, $"doc_id", $"text")
-        .filter($"quality" >= 0.1).select($"doc_id")
-      // s1/s2 each feed multiple funnel stages (counts + the next
-      // stage's input) — pin so the quality/dedup joins run once, not
-      // once per union branch
-      val s1 = Pins.pin(all.join(qualityPass, "doc_id"))
-      val exactKeepers = DedupOps.exactDedup(s1, $"doc_id", $"text")
-        .select($"keeper_doc_id".as("doc_id"))
-      val s2 = Pins.pin(s1.join(exactKeepers, "doc_id"))
-      val nonKeepers = DedupOps.dupClusters(
-          DedupOps.minHashDedup(s2, $"doc_id", $"text", MinJaccard))
-        .filter(!$"is_keeper").select($"doc_id")
-      val s3 = s2.join(nonKeepers, Seq("doc_id"), "left_anti")
-      val s4 = TextAnalysisOps.withSplit(s3, $"doc_id")
-        .filter($"split" === "train")
+      val (s1, s2, s3, s4) = funnel(all)
       Seq("0_total" -> all, "1_quality" -> s1, "2_exact" -> s2,
         "3_near_dup" -> s3, "4_train" -> s4)
         .map { case (nm, df) =>
           df.agg(count(lit(1)).as("n_docs")).select(lit(nm).as("stage"), $"n_docs")
         }.reduce(_ unionByName _)
         .orderBy("stage")
+    }),
+
+    // end-to-end materialization: curated train keepers -> per-source
+    // mix quotas -> packed 2048-token sequences; output = the per-shard
+    // layout a dataloader would read (the whole library composed into
+    // the one plan a training run actually executes)
+    "llm_pipeline" -> ((s, d) => {
+      val (_, _, _, s4) = funnel(docs(s, d))
+      val picked = TextAnalysisOps.mixSample(Pins.pin(s4), $"doc_id",
+          $"source", Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultWeight = 0.1)
+        .select($"doc_id")
+      val corpus = s4.join(picked, "doc_id")
+      TextAnalysisOps.packSequences(corpus, $"doc_id", $"text",
+          budget = 2048L, shards = 8)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
+          (max($"start_seq") + 1).as("n_seqs"))
+        .orderBy("shard")
     }),
 
     // asymmetric containment pairs: catches a doc embedded in a larger
@@ -437,6 +463,37 @@ object LlmQueries {
     sb.toString
   }
 
+  /** Funnel CTE chain (norm0 … s4) shared by llm_curate / llm_pipeline —
+    * the SQL twin of [[funnel]], carrying (doc_id, source, norm) so
+    * either consumer can project. Requires WITH RECURSIVE. */
+  private lazy val FunnelCtes = {
+    val inList = TextAnalysisOps.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""
+      norm0 AS (SELECT doc_id, source, $Norm AS norm FROM documents),
+      qf AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            0.5 * (CAST(len(list_filter(string_split(norm, ' '),
+                     w -> w IN ($inList))) AS DOUBLE) / ($WsTok))
+            + 0.3 * (CAST(least($WsTok, 200) AS DOUBLE) / 200.0)
+            - 0.2 * (CAST(length(norm) - length(regexp_replace(norm,
+                     '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(norm), 1)) AS quality
+          FROM norm0)
+        WHERE quality >= 0.1),
+      s1 AS (SELECT n.doc_id, n.source, n.norm
+             FROM norm0 n JOIN qf USING (doc_id)),
+      ek AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(norm)),
+      s2 AS (SELECT s1.doc_id, s1.source, s1.norm
+             FROM s1 JOIN ek USING (doc_id)),
+      ${shingleCte("SELECT doc_id, norm FROM s2")},
+      $SigCte, $BandCte, ${candCte(CapBucket)}, $JaccardSelect, $WalkCtes,
+      s3 AS (SELECT doc_id, source, norm FROM s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM labels
+                                  WHERE is_keeper = false)),
+      s4 AS (SELECT doc_id, source, norm FROM s3
+             WHERE ${TextAnalysisOps.splitBucketSql("doc_id")} < 80)"""
+  }
+
   /** Exact transitive closure of the `jac` near-dup pairs (threshold
     * MinJaccard) → `labels (doc_id, cluster_id, is_keeper)` — the SQL
     * twin of DedupOps.dupClusters run to fixpoint. Requires WITH
@@ -584,39 +641,44 @@ object LlmQueries {
       SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY train_id, eval_id"""
     },
 
-    "llm_curate" -> {
-      val inList = TextAnalysisOps.StopWords.map(w => s"'$w'").mkString(", ")
-      s"""
-      WITH RECURSIVE
-      norm0 AS (SELECT doc_id, $Norm AS norm FROM documents),
-      qf AS (
-        SELECT doc_id FROM (
-          SELECT doc_id,
-            0.5 * (CAST(len(list_filter(string_split(norm, ' '),
-                     w -> w IN ($inList))) AS DOUBLE) / ($WsTok))
-            + 0.3 * (CAST(least($WsTok, 200) AS DOUBLE) / 200.0)
-            - 0.2 * (CAST(length(norm) - length(regexp_replace(norm,
-                     '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(norm), 1)) AS quality
-          FROM norm0)
-        WHERE quality >= 0.1),
-      s1 AS (SELECT n.doc_id, n.norm FROM norm0 n JOIN qf USING (doc_id)),
-      ek AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(norm)),
-      s2 AS (SELECT s1.doc_id, s1.norm FROM s1 JOIN ek USING (doc_id)),
-      ${shingleCte("SELECT doc_id, norm FROM s2")},
-      $SigCte, $BandCte, ${candCte(CapBucket)}, $JaccardSelect, $WalkCtes,
-      s3 AS (SELECT doc_id FROM s2
-             WHERE doc_id NOT IN (SELECT doc_id FROM labels
-                                  WHERE is_keeper = false)),
-      s4 AS (SELECT doc_id FROM s3
-             WHERE ${TextAnalysisOps.splitBucketSql("doc_id")} < 80)
+    "llm_curate" -> s"""
+      WITH RECURSIVE $FunnelCtes
       SELECT stage, n_docs FROM (
         SELECT '0_total' AS stage, count(*) AS n_docs FROM documents
         UNION ALL SELECT '1_quality', count(*) FROM s1
         UNION ALL SELECT '2_exact', count(*) FROM s2
         UNION ALL SELECT '3_near_dup', count(*) FROM s3
         UNION ALL SELECT '4_train', count(*) FROM s4)
-      ORDER BY stage"""
-    },
+      ORDER BY stage""",
+
+    "llm_pipeline" -> s"""
+      WITH RECURSIVE $FunnelCtes,
+      mixr AS (
+        SELECT doc_id, source, norm,
+               row_number() OVER (PARTITION BY source ORDER BY
+                 ${DetHash.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+                 AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM s4),
+      wts(source, w) AS (VALUES
+        ('src0', 1.0), ('src1', 0.5), ('src2', 0.25)),
+      mixed AS (
+        SELECT m.doc_id, m.norm FROM mixr m LEFT JOIN wts USING (source)
+        WHERE rk <= ceil(coalesce(w, 0.1) * n)),
+      pb AS (
+        SELECT doc_id, CAST($WsTok AS BIGINT) AS n_tokens,
+               ${DetHash.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        FROM mixed),
+      pc AS (
+        SELECT shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum
+        FROM pb)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(max((cum - n_tokens) // 2048) + 1 AS BIGINT) AS n_seqs
+      FROM pc GROUP BY 1 ORDER BY 1""",
 
     "llm_semdedup" -> s"""
       WITH $QuantCte,

@@ -181,11 +181,13 @@ object TextAnalysisOps {
                       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9_']+")),
       "blocklist terms must be normalized single tokens")
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    // typed literal array, not SQL-string interpolation: terms with
+    // apostrophes are legal tokens and must not break the expression
+    val blocked = typedLit(terms)
     docs.select(id.as("doc_id"), normText(text).as("norm"))
       .select($"doc_id",
-        expr(s"CAST(size(filter(split(norm, ' '), w -> w IN ($inList))) AS BIGINT)")
-          .as("n_hits"))
+        size(filter(split($"norm", " "), w => array_contains(blocked, w)))
+          .cast("long").as("n_hits"))
       .filter($"n_hits" > 0)
   }
 

@@ -148,8 +148,11 @@ object LlmQueries {
       TextAnalysisOps.packSequences(corpus, $"doc_id", $"text",
           budget = 2048L, shards = 8)
         .groupBy($"shard")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
-          (max($"start_seq") + 1).as("n_seqs"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        // n_seqs = ceil(tokens/budget): the tail of the last doc still
+        // fills sequences past the one it starts in
+        .select($"shard", $"n_docs", $"sum_tokens",
+          expr("(sum_tokens + 2047) DIV 2048").as("n_seqs"))
         .orderBy("shard")
     }),
 
@@ -494,6 +497,35 @@ object LlmQueries {
              WHERE ${TextAnalysisOps.splitBucketSql("doc_id")} < 80)"""
   }
 
+  /** Mix-rank CTE over `src` (must yield doc_id, source, …): salted-hash
+    * rank + per-source count, as `mixr` — the SQL twin of
+    * TextAnalysisOps.mixSample's window. Shared by llm_mix /
+    * llm_pipeline. */
+  private def mixCtes(src: String): String = s"""
+      mixr AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY source ORDER BY
+                 ${DetHash.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+                 AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM ($src))"""
+
+  /** Pack CTEs over `src` (must yield doc_id, norm): salted shard +
+    * ROWS-framed per-shard token cumsum, as `pb`/`pc` — the SQL twin of
+    * TextAnalysisOps.packSequences. Shared by llm_pack / llm_pipeline. */
+  private def packCtes(src: String): String = s"""
+      pb AS (
+        SELECT doc_id,
+               CAST($WsTok AS BIGINT) AS n_tokens,
+               ${DetHash.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        FROM ($src)),
+      pc AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum
+        FROM pb)"""
+
   /** Exact transitive closure of the `jac` near-dup pairs (threshold
     * MinJaccard) → `labels (doc_id, cluster_id, is_keeper)` — the SQL
     * twin of DedupOps.dupClusters run to fixpoint. Requires WITH
@@ -653,31 +685,16 @@ object LlmQueries {
 
     "llm_pipeline" -> s"""
       WITH RECURSIVE $FunnelCtes,
-      mixr AS (
-        SELECT doc_id, source, norm,
-               row_number() OVER (PARTITION BY source ORDER BY
-                 ${DetHash.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id)
-                 AS rk,
-               count(*) OVER (PARTITION BY source) AS n
-        FROM s4),
+      ${mixCtes("SELECT doc_id, source, norm FROM s4")},
       wts(source, w) AS (VALUES
         ('src0', 1.0), ('src1', 0.5), ('src2', 0.25)),
       mixed AS (
         SELECT m.doc_id, m.norm FROM mixr m LEFT JOIN wts USING (source)
         WHERE rk <= ceil(coalesce(w, 0.1) * n)),
-      pb AS (
-        SELECT doc_id, CAST($WsTok AS BIGINT) AS n_tokens,
-               ${DetHash.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
-        FROM mixed),
-      pc AS (
-        SELECT shard, n_tokens,
-               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                 AS cum
-        FROM pb)
+      ${packCtes("SELECT doc_id, norm FROM mixed")}
       SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-             CAST(max((cum - n_tokens) // 2048) + 1 AS BIGINT) AS n_seqs
+             CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_seqs
       FROM pc GROUP BY 1 ORDER BY 1""",
 
     "llm_semdedup" -> s"""
@@ -833,15 +850,9 @@ object LlmQueries {
     "llm_mix" -> s"""
       WITH wts(source, w) AS (VALUES
         ('src0', 1.0), ('src1', 0.5), ('src2', 0.25)),
-      r AS (
-        SELECT source, doc_id,
-               row_number() OVER (PARTITION BY source ORDER BY
-                 ${DetHash.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id)
-                 AS rk,
-               count(*) OVER (PARTITION BY source) AS n
-        FROM documents)
+      ${mixCtes("SELECT source, doc_id FROM documents")}
       SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
-      FROM r LEFT JOIN wts USING (source)
+      FROM mixr LEFT JOIN wts USING (source)
       WHERE rk <= ceil(coalesce(w, 0.1) * n)
       ORDER BY source, doc_id""",
 
@@ -857,21 +868,11 @@ object LlmQueries {
       FROM (SELECT doc_id, $Norm AS norm FROM documents) ORDER BY 1""",
 
     "llm_pack" -> s"""
-      WITH b AS (
-        SELECT doc_id,
-               CAST($WsTok AS BIGINT) AS n_tokens,
-               ${DetHash.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
-        FROM (SELECT doc_id, $Norm AS norm FROM documents)),
-      c AS (
-        SELECT doc_id, shard, n_tokens,
-               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                 AS cum
-        FROM b)
+      WITH ${packCtes(s"SELECT doc_id, $Norm AS norm FROM documents")}
       SELECT doc_id, shard, n_tokens,
              CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_seq,
              CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset
-      FROM c ORDER BY doc_id""",
+      FROM pc ORDER BY doc_id""",
 
     "llm_tfidf" -> s"""
       WITH terms AS (

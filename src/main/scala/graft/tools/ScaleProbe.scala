@@ -56,11 +56,13 @@ object ScaleProbe {
         .tfIdfTopTerms(d, $"doc_id", $"text").count())
       println("  containmentPairs")
       time(DedupOps.containmentPairs(d, $"doc_id", $"text", 0.9).count())
-      println("  incrementalDedup (last replica as the new batch)")
-      time(DedupOps.incrementalDedup(
-        d.filter($"doc_id" < (k - 1).max(1) * 10000000L),
-        d.filter($"doc_id" >= (k - 1).max(1) * 10000000L),
-        $"doc_id", $"text", 0.8).count())
+      if (k > 1) { // x1 has no second replica to play the new batch
+        println("  incrementalDedup (last replica as the new batch)")
+        time(DedupOps.incrementalDedup(
+          d.filter($"doc_id" < (k - 1) * 10000000L),
+          d.filter($"doc_id" >= (k - 1) * 10000000L),
+          $"doc_id", $"text", 0.8).count())
+      }
       println("  semDedup")
       time(VectorOps.semDedup(
         VectorOps.quantize(e, $"vec_id", $"embedding"),

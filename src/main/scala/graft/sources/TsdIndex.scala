@@ -164,10 +164,16 @@ object TsdIndex {
     } finally in.close()
     val lines = text.split('\n').filter(_.nonEmpty)
     if (lines.isEmpty || lines.head != Header) return None
-    Some(lines.tail.map { l =>
+    // Skip malformed lines (wrong field count or non-numeric fields —
+    // hand-edited sidecar, foreign file carrying the v2 header) instead
+    // of throwing at planning time: a skipped entry is simply a cache
+    // miss, so the file degrades to the documented re-probe path.
+    Some(lines.tail.iterator.flatMap { l =>
       val f = l.split('\t')
-      f(0) -> TsdIndexEntry(f(0), f(1).toLong, f(2).toLong, f(3).toLong,
-        f(4).toLong, f(5).toLong, f(6).toLong)
+      if (f.length != 7) None
+      else scala.util.Try(
+        f(0) -> TsdIndexEntry(f(0), f(1).toLong, f(2).toLong, f(3).toLong,
+          f(4).toLong, f(5).toLong, f(6).toLong)).toOption
     }.toMap)
   }
 

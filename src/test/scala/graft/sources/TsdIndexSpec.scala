@@ -147,6 +147,29 @@ class TsdIndexSpec extends AnyFunSuite {
     assert(got >= 4L)
   }
 
+  test("malformed sidecar line degrades to a re-probe instead of throwing") {
+    val n = 5
+    val dir = layout(n, indexed = true)
+    val sidecar = Paths.get(dir, TsdIndex.FileName)
+    val lines = Files.readAllLines(sidecar)
+    // truncate one entry to 3 fields and garble another's numeric field —
+    // both hand-edit shapes must be skipped, not ArrayIndexOutOfBounds
+    lines.set(1, lines.get(1).split('\t').take(3).mkString("\t"))
+    lines.set(2, lines.get(2).replaceAll("\t\\d+$", "\tnot_a_number"))
+    Files.write(sidecar, lines)
+    // the raw edit bypassed Hadoop's LocalFileSystem checksum sidecar —
+    // drop the CRC so the read path exercises the parser, not ChecksumError
+    Files.deleteIfExists(
+      sidecar.getParent.resolve(s".${sidecar.getFileName}.crc"))
+
+    TsdIndex.PlanStats.reset()
+    val df = spark.read.format("graft.sources.TsdDataSource").load(dir)
+    assert(df.count() == n * 4L) // planning succeeds; no rows lost
+    assert(TsdIndex.PlanStats.probedFiles.get() >= 2,
+      "files behind malformed lines must fall back to the probe path")
+    assert(TsdIndex.PlanStats.indexedFiles.get() >= n - 2)
+  }
+
   test("merge updates and drops entries; Retention prunes the sidecar") {
     val n = 6
     val dir = layout(n, indexed = true)

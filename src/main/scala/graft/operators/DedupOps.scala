@@ -86,27 +86,52 @@ object DedupOps {
   private def explodeHashes(arr: DataFrame): DataFrame =
     arr.select($"doc_id", explode($"hs").as("h31"))
 
+  private def minHashExpr(i: Int): Column =
+    expr(s"array_min(transform(hs, h -> (h * ${DetHash.MinHashA(i)} + " +
+      s"${DetHash.MinHashB(i)}) % ${DetHash.P31}))").as(s"m$i")
+
   /** MinHash signatures from the array form: one row per doc with m0..m15,
     * each `array_min` over an affine permutation of the doc's shingle-hash
     * set — computed entirely inside the projection, zero exchanges.
     * Bounded state per doc (16 longs) regardless of doc length. */
   def minHashSignatures(arr: DataFrame): DataFrame =
-    arr.select($"doc_id" +: (0 until DetHash.NumHashes).map { i =>
-      expr(s"array_min(transform(hs, h -> (h * ${DetHash.MinHashA(i)} + " +
-        s"${DetHash.MinHashB(i)}) % ${DetHash.P31}))").as(s"m$i")
-    }: _*)
+    arr.select($"doc_id" +: (0 until DetHash.NumHashes).map(minHashExpr): _*)
 
-  /** LSH band rows: (doc_id, band, bkey) with bkey a polynomial combine of
-    * the band's 4 minhash rows. Docs agreeing on any band collide. */
-  def bandRows(mh: DataFrame): DataFrame = {
+  /** The per-doc band-key array over m0..m15 columns — shared by
+    * [[bandRows]] and [[buildDedupIndex]] so the exploded and persisted
+    * forms can never drift. */
+  private def bandArray: Column = {
     val bandStructs = (0 until DetHash.NumBands).map { b =>
       val ms = (0 until DetHash.RowsPerBand).map(i => col(s"m${b * DetHash.RowsPerBand + i}"))
       val key = ms.reduceLeft((acc, m) => acc * 31 + m)
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    mh.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    array(bandStructs: _*)
   }
+
+  /** LSH band rows: (doc_id, band, bkey) with bkey a polynomial combine of
+    * the band's 4 minhash rows. Docs agreeing on any band collide. */
+  def bandRows(mh: DataFrame): DataFrame =
+    mh.select($"doc_id", explode(bandArray).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+
+  /** The persistable dedup index: one row per document carrying both
+    * artifacts a later batch needs — the distinct shingle-hash set (for
+    * exact Jaccard on candidates) and the LSH band keys (for candidate
+    * probing) — computed in one narrow pass. This is the table a 100 TB
+    * corpus materializes ONCE (and appends each ingested batch's rows
+    * to), so nightly [[incrementalDedupAgainstIndex]] runs never re-hash
+    * the historical corpus.
+    * Output: doc_id, hs array<long>, bands array<struct<band,bkey>>. */
+  def buildDedupIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
+    shingleHashArrays(docs, id, text)
+      .select($"doc_id" +: $"hs" +: (0 until DetHash.NumHashes).map(minHashExpr): _*)
+      .select($"doc_id", $"hs", bandArray.as("bands"))
+
+  /** Exploded (doc_id, band, bkey) view of a [[buildDedupIndex]] table. */
+  private def indexBandRows(index: DataFrame): DataFrame =
+    index.select($"doc_id", explode($"bands").as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
 
   /** THE skew-guarded candidate generator shared by every bucket-keyed
     * dedup family: a capped equality self-join over `(keys..., doc_id)`
@@ -123,7 +148,8 @@ object DedupOps {
                   maxBucket: Int): DataFrame = {
     val kc = keys.map(col)
     val b = Pins.pin(rows)
-    val caps = b.groupBy(kc: _*).count()
+    val caps = DedupStats.observeCapDrops(
+        b.groupBy(kc: _*).count(), s"pairs[${keys.mkString(",")}]", maxBucket)
       .filter($"count" >= 2 && $"count" <= maxBucket)
       .select(kc: _*)
     val capped = b.join(caps, keys).select((kc :+ $"doc_id"): _*)
@@ -213,30 +239,31 @@ object DedupOps {
     trueJaccard(cand, base).filter($"jaccard" >= minJaccard)
   }
 
-  /** Incremental MinHash+LSH dedup — dedup a NEW batch against an
-    * already-ingested corpus without ever generating old×old pairs: band
-    * buckets are capped over the full index (old ∪ new, exactly as a
-    * fresh full run would), but only buckets actually touched by a new
-    * doc produce candidates, so join cost scales with the BATCH, not the
-    * corpus. This is the nightly-ingest shape at 100 TB: in production
-    * the old side is the persisted signature/band index (computed once,
-    * appended to per batch); here it is re-derived from the old docs so
-    * the result is provably the full-corpus [[minHashDedup]] restricted
-    * to pairs with ≥1 new side — which is exactly what the oracle
-    * asserts. Output: doc_a < doc_b, n_common, jaccard. */
-  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame, id: Column,
-                       text: Column, minJaccard: Double,
-                       maxBucket: Int = 20): DataFrame = {
-    val baseOld = Pins.pin(shingleHashArrays(oldDocs, id, text))
+  /** Incremental MinHash+LSH dedup against a PERSISTED index — the
+    * production nightly shape at 100 TB: the historical corpus exists
+    * only as its [[buildDedupIndex]] table (read from parquet; the raw
+    * old documents are never re-hashed), and a new batch is deduped
+    * against it without ever generating old×old pairs. Band buckets are
+    * capped over the full index (old ∪ new, exactly as a fresh full run
+    * would), but only buckets actually touched by a new doc produce
+    * candidates, so join cost scales with the BATCH, not the corpus.
+    * After the run, append `buildDedupIndex(newDocs)` to the index table
+    * to keep it current. Output: doc_a < doc_b, n_common, jaccard. */
+  def incrementalDedupAgainstIndex(index: DataFrame, newDocs: DataFrame,
+                                   id: Column, text: Column,
+                                   minJaccard: Double,
+                                   maxBucket: Int = 20): DataFrame = {
+    // the index feeds its band rows + the candidate hs fetch; the new
+    // side's bands feed both the cap union and the candidate probe —
+    // pin each so its pass runs once
+    val idx = Pins.pin(index)
     val baseNew = Pins.pin(shingleHashArrays(newDocs, id, text))
-    // the new side's band rows feed both the index union and the
-    // candidate probe — pin so its signature pass runs once
     val newBands = Pins.pin(bandRows(minHashSignatures(baseNew)))
-    val allBands = Pins.pin(
-      bandRows(minHashSignatures(baseOld)).unionByName(newBands))
+    val allBands = Pins.pin(indexBandRows(idx).unionByName(newBands))
     // caps over the FULL index — same [2, maxBucket] rule as a from-
     // scratch run, so incremental and full runs agree pair-for-pair
-    val caps = allBands.groupBy($"band", $"bkey").count()
+    val caps = DedupStats.observeCapDrops(
+        allBands.groupBy($"band", $"bkey").count(), "incremental", maxBucket)
       .filter($"count" >= 2 && $"count" <= maxBucket)
       .select($"band", $"bkey")
     val cappedAll = allBands.join(caps, Seq("band", "bkey"))
@@ -247,9 +274,21 @@ object DedupOps {
       .select(least($"doc_id", $"doc_b").as("doc_a"),
         greatest($"doc_id", $"doc_b").as("doc_b"))
       .distinct()
-    trueJaccard(cand, baseOld.unionByName(baseNew))
+    trueJaccard(cand, idx.select($"doc_id", $"hs").unionByName(baseNew))
       .filter($"jaccard" >= minJaccard)
   }
+
+  /** [[incrementalDedupAgainstIndex]] with the index derived in-plan from
+    * the old documents — the from-scratch form, provably equal to the
+    * full-corpus [[minHashDedup]] restricted to pairs with ≥1 new side
+    * (which is exactly what the oracle asserts). Delegating through the
+    * index path means the persisted and re-derived forms share every
+    * line of candidate/cap/Jaccard logic. */
+  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame, id: Column,
+                       text: Column, minJaccard: Double,
+                       maxBucket: Int = 20): DataFrame =
+    incrementalDedupAgainstIndex(buildDedupIndex(oldDocs, id, text),
+      newDocs, id, text, minJaccard, maxBucket)
 
   /** Connected components over near-dup pairs — the final assignment step
     * of a dedup pipeline: every document in a duplicate cluster maps to
@@ -343,7 +382,8 @@ object DedupOps {
     val bands = fpP.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
     // skew-safe partial-agg cap (see candidatePairs)
-    val caps = bands.groupBy($"band", $"bkey").count()
+    val caps = DedupStats.observeCapDrops(
+        bands.groupBy($"band", $"bkey").count(), "simhash", maxBucket)
       .filter($"count" >= 2 && $"count" <= maxBucket).select($"band", $"bkey")
     val capped = bands.join(caps, Seq("band", "bkey"))
       .select($"band", $"bkey", $"doc_id", $"simhash")
@@ -418,7 +458,8 @@ object DedupOps {
     val e = Pins.pin(gramArrays(evalDocs, id, text))
     val tb = t.select($"doc_id".as("train_id"), explode($"b5").as("bkey"))
     val eb = e.select($"doc_id".as("eval_id"), explode($"b5").as("bkey"))
-    val caps = tb.groupBy($"bkey").count()
+    val caps = DedupStats.observeCapDrops(
+        tb.groupBy($"bkey").count(), "contamination", maxBucket)
       .filter($"count" <= maxBucket).select($"bkey")
     val cand = tb.join(caps, "bkey").join(eb, "bkey")
       .select($"train_id", $"eval_id").distinct()

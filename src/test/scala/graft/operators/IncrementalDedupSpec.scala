@@ -47,6 +47,41 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(incr.exists(p => newIds(p._1) && newIds(p._2)), "new x new dup")
   }
 
+  test("persisted-index run == re-derived run == full-run restriction") {
+    val minJ = 0.5
+    val dir = java.nio.file.Files.createTempDirectory("dedup_index").toString
+    try {
+      // production shape: the old corpus exists only as its index table
+      Pins.scoped {
+        DedupOps.buildDedupIndex(oldDocs, $"doc_id", $"text")
+          .write.mode("overwrite").parquet(dir)
+      }
+      val persisted = Pins.scoped {
+        DedupOps.incrementalDedupAgainstIndex(
+            spark.read.parquet(dir), newDocs, $"doc_id", $"text", minJ)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      }
+      val rederived = Pins.scoped {
+        DedupOps.incrementalDedup(oldDocs, newDocs, $"doc_id", $"text", minJ)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      }
+      val full = Pins.scoped {
+        DedupOps.minHashDedup(oldDocs.unionByName(newDocs),
+            $"doc_id", $"text", minJ)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      }
+      val newIds = Set(11L, 12L, 13L)
+      assert(persisted == rederived)
+      assert(persisted == full.filter(p => newIds(p._1) || newIds(p._2)))
+      assert(persisted.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("containment flags an embedded doc that Jaccard under-scores") {
     val host = s"$lorem and then a very long continuation " +
       "with many additional sentences about entirely other topics " +

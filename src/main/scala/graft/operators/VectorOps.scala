@@ -79,7 +79,8 @@ object VectorOps {
     // skew-safe bucket cap: partial-agg count (hot buckets collapse
     // map-side, the tiny caps table broadcasts) — a window count here
     // would buffer a whole degenerate bucket in one task
-    val caps = b.groupBy($"bucket").count()
+    val caps = DedupStats.observeCapDrops(
+        b.groupBy($"bucket").count(), "cosine", maxBucket)
       .filter($"count" >= 2 && $"count" <= maxBucket).select($"bucket")
     val capped = b.join(caps, "bucket")
       .select($"bucket", $"vec_id", $"qv", $"nrm")
@@ -118,30 +119,55 @@ object VectorOps {
     * the double division is exact); a list that loses all members keeps
     * its previous centroid.
     *
-    * Per iteration: one broadcast of C centroids, one map-side N×C
-    * assignment scan, one (cent, dim)-keyed aggregation whose partial
-    * combine collapses the corpus map-side — no all-pairs stage, and the
-    * only driver state is the C centroid rows themselves (bounded by
-    * `nCentroids`, like any k-means driver loop; materializing them per
-    * round also keeps the plan depth constant instead of nesting).
+    * Per iteration: one broadcast of C centroids, one map-side
+    * assignment scan over the TRAINING SET, one (cent, dim)-keyed
+    * aggregation whose partial combine collapses it map-side — no
+    * all-pairs stage, and the only driver state is the C centroid rows
+    * themselves (bounded by `nCentroids`, like any k-means driver loop;
+    * materializing them per round also keeps the plan depth constant
+    * instead of nesting).
+    *
+    * `trainSampleMod` bounds the training set: Lloyd's rounds run on the
+    * deterministic hash-sample `h60("ivftrain:" || vec_id) % mod == 0`
+    * (the full corpus at the default 1). This is the standard 100 TB
+    * shape — each refinement iteration costs sample×C, not corpus×C, and
+    * the full corpus is scanned exactly once by the caller's final
+    * assignment. The rule is a pure function of vec_id, so the DuckDB
+    * oracle reproduces the sample (and therefore the centroids)
+    * bit-for-bit. Size the sample ≥ ~100·nCentroids.
     * Output: cent_id, cv (array<long>), cn (squared norm). */
-  def trainCentroids(vectors: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+  def trainCentroids(vectors: DataFrame, nCentroids: Int, iters: Int,
+                     trainSampleMod: Int = 1): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    var cents: DataFrame = vectors.orderBy($"vec_id").limit(nCentroids)
+    require(trainSampleMod >= 1, "trainSampleMod must be >= 1")
+    // the sample feeds every Lloyd's round (2 scans each) — pin it so
+    // the filter over the corpus runs once, not 2·iters times
+    val train =
+      if (trainSampleMod == 1) vectors
+      else {
+        val s = vectors.filter(
+          DetHash.h60(concat(lit("ivftrain:"), $"vec_id".cast("string")))
+            % trainSampleMod === 0)
+        if (iters == 0) s else Pins.pin(s)
+      }
+    // seeds: lowest-id vectors OF THE SAMPLE (sample-pure so the oracle
+    // needs only the sample rule, and seeds stay stable as the corpus
+    // grows — new high ids never displace them)
+    var cents: DataFrame = train.orderBy($"vec_id").limit(nCentroids)
       .select($"vec_id".as("cent_id"), $"qv".as("cv"))
     for (_ <- 0 until iters) {
       val cur = cents.select($"cent_id", $"cv").as[(Long, Seq[Long])]
         .collect().toSeq.toDF("cent_id", "cv")
       val c = broadcast(cur.withColumn("cn", LongArrayDot($"cv", $"cv")))
-      val assigned = vectors.crossJoin(c)
+      val assigned = train.crossJoin(c)
         .withColumn("cdot", LongArrayDot($"qv", $"cv"))
         .withColumn("ccos", $"cdot".cast("double") /
           sqrt($"nrm".cast("double") * $"cn".cast("double")))
         .groupBy($"vec_id")
         .agg(max(struct($"ccos", $"cent_id")).as("best"))
         .select($"vec_id", $"best.cent_id".as("list_id"))
-      val updated = vectors.join(assigned, "vec_id")
+      val updated = train.join(assigned, "vec_id")
         .select($"list_id".as("cent_id"), posexplode($"qv"))
         .groupBy($"cent_id", $"pos")
         .agg(floor(sum($"col").cast("double") / count(lit(1)))
@@ -169,13 +195,15 @@ object VectorOps {
     * list-id join, whose partitions are the inverted lists themselves.
     * Output: probe_id, vec_id, cos, rk (1-based). */
   def ivfKnn(vectors0: DataFrame, probeIds: Column => Column, k: Int,
-             nCentroids: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+             nCentroids: Int, nProbe: Int, trainIters: Int = 0,
+             trainSampleMod: Int = 1): DataFrame = {
     // the quantized corpus feeds every Lloyd's round plus the final
     // assignment/list scans — pin it so quantization (and the parquet
     // read under it) runs once, not 3 + 2·trainIters times
     val vectors = Pins.pin(vectors0)
-    val cents = broadcast(trainCentroids(vectors, nCentroids, trainIters)
-      .select($"cent_id", $"cv", $"cn"))
+    val cents = broadcast(
+      trainCentroids(vectors, nCentroids, trainIters, trainSampleMod)
+        .select($"cent_id", $"cv", $"cn"))
     val scored = vectors.crossJoin(cents)
       .withColumn("cdot", LongArrayDot($"qv", $"cv"))
       .withColumn("ccos", $"cdot".cast("double") /
@@ -224,10 +252,11 @@ object VectorOps {
     * The topic-balance / data-mixture view of the same machinery IVF and
     * semDedup search with. Output: vec_id, list_id. */
   def clusterAssign(vectors0: DataFrame, nCentroids: Int,
-                    trainIters: Int): DataFrame = {
+                    trainIters: Int, trainSampleMod: Int = 1): DataFrame = {
     val vectors = Pins.pin(vectors0)
-    val cents = broadcast(trainCentroids(vectors, nCentroids, trainIters)
-      .select($"cent_id", $"cv", $"cn"))
+    val cents = broadcast(
+      trainCentroids(vectors, nCentroids, trainIters, trainSampleMod)
+        .select($"cent_id", $"cv", $"cn"))
     assignToCentroids(vectors, cents)
   }
 
@@ -251,13 +280,17 @@ object VectorOps {
     * self-join is an equality join on list_id, never all-pairs.
     * Output: vec_id, list_id, is_keeper (one row per corpus vector). */
   def semDedup(vectors0: DataFrame, minCos: Double, nCentroids: Int,
-               trainIters: Int, maxList: Int): DataFrame = {
+               trainIters: Int, maxList: Int,
+               trainSampleMod: Int = 1): DataFrame = {
     val vectors = Pins.pin(vectors0)
     // members feeds caps + both self-join sides + the final flag join
     val members = Pins.pin(
-      vectors.join(clusterAssign(vectors, nCentroids, trainIters), "vec_id")
+      vectors.join(
+        clusterAssign(vectors, nCentroids, trainIters, trainSampleMod),
+        "vec_id")
         .select($"list_id", $"vec_id", $"qv", $"nrm"))
-    val caps = members.groupBy($"list_id").count()
+    val caps = DedupStats.observeCapDrops(
+        members.groupBy($"list_id").count(), "semdedup", maxList)
       .filter($"count" >= 2 && $"count" <= maxList).select($"list_id")
     val capped = members.join(caps, "list_id")
     val r = capped.select($"list_id", $"vec_id".as("vec_b"), $"qv".as("vb"),

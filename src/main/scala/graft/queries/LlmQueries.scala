@@ -43,6 +43,10 @@ object LlmQueries {
   private val IvfCentroids = 16
   private val IvfProbe = 4
   private val IvfIters = 2         // Lloyd's rounds refining the seeds
+  // Lloyd's trains on the 1-in-2 hash-sample (the 100 TB shape: rounds
+  // cost sample×C, the full corpus is scanned once at assignment);
+  // deterministic h60 rule so DuckDB reproduces the same centroids
+  private val IvfSampleMod = 2
   private val EmbedPlanes = 6      // 64 buckets — scale dial for dedup
   private val EmbedMinCos = 0.4    // fixtures are random vectors (max ~0.51)
   private val SemMaxList = 500     // per-cluster pairwise cap for semdedup
@@ -50,7 +54,9 @@ object LlmQueries {
   private val VocabTopN = 100
   private val BpeTopK = 20
   // demo blocklist: real tokens of the synthetic fixture (non-vacuous)
-  private val Blocklist = Seq("slow", "broken", "invalid")
+  // "don't" is deliberate: an apostrophe term keeps the oracle's
+  // single-quote escaping exercised by the real Verify/DuckDB gate
+  private val Blocklist = Seq("slow", "broken", "invalid", "don't")
 
   /** The curation funnel shared by llm_curate / llm_pipeline: quality
     * floor → exact-dedup keepers → near-dup cluster keepers → train
@@ -217,7 +223,7 @@ object LlmQueries {
     "llm_cluster_sizes" -> ((s, d) =>
       VectorOps.clusterAssign(
           VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
-          IvfCentroids, IvfIters)
+          IvfCentroids, IvfIters, IvfSampleMod)
         .groupBy($"list_id").agg(count(lit(1)).as("n_vecs"))
         .orderBy("list_id")),
 
@@ -263,7 +269,7 @@ object LlmQueries {
     "llm_ann_ivf" -> ((s, d) => {
       val q = VectorOps.quantize(embs(s, d), $"vec_id", $"embedding")
       VectorOps.ivfKnn(q, _ < AnnProbeMax, AnnK, IvfCentroids, IvfProbe,
-          IvfIters)
+          IvfIters, IvfSampleMod)
         .orderBy("probe_id", "rk")
     }),
 
@@ -272,7 +278,7 @@ object LlmQueries {
     "llm_semdedup" -> ((s, d) =>
       VectorOps.semDedup(
           VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
-          EmbedMinCos, IvfCentroids, IvfIters, SemMaxList)
+          EmbedMinCos, IvfCentroids, IvfIters, SemMaxList, IvfSampleMod)
         .orderBy("vec_id")),
 
     // deterministic global shuffle + shard assignment (training order)
@@ -430,24 +436,31 @@ object LlmQueries {
     "CAST(dot AS DOUBLE) / sqrt(CAST(pn AS DOUBLE) * CAST(nrm AS DOUBLE))"
 
   /** Unrolled Lloyd's iterations mirroring VectorOps.trainCentroids:
-    * seeds = lowest-id vectors (centu0); each round assigns every vector
+    * training runs on the deterministic hash-sample `h60("ivftrain:" ||
+    * vec_id) % IvfSampleMod == 0` (`tru` — the same rule the Spark side
+    * applies, so the centroids agree bit-for-bit); seeds = lowest-id
+    * SAMPLE vectors (centu0); each round assigns every training vector
     * to its exact-integer-cosine argmax centroid (ties → higher cent_id)
     * and re-centers as the per-dimension floor mean; a centroid whose
     * list empties keeps its previous coordinates (the LEFT JOIN +
     * coalesce). Produces `centu<iters>` in unnested (cent_id, v, i)
     * form. */
   private def ivfTrainCtes(iters: Int): String = {
+    val sampleRule = DetHash.h60Sql("'ivftrain:' || CAST(vec_id AS VARCHAR)") +
+      s" % $IvfSampleMod = 0"
     val sb = new StringBuilder(s"""
+      tru AS (SELECT * FROM u WHERE $sampleRule),
       centu0 AS (SELECT cent_id, unnest(cv) AS v,
                  unnest(generate_series(1, len(cv))) AS i
                  FROM (SELECT vec_id AS cent_id, qv AS cv FROM qn
+                       WHERE $sampleRule
                        ORDER BY vec_id LIMIT $IvfCentroids))""")
     for (k <- 0 until iters) sb ++= s""",
       tcn$k AS (SELECT cent_id, CAST(sum(v * v) AS BIGINT) AS cn
                 FROM centu$k GROUP BY 1),
       tdot$k AS (SELECT uv.vec_id, uc.cent_id,
                  CAST(sum(uv.v * uc.v) AS BIGINT) AS cdot
-                 FROM u uv JOIN centu$k uc ON uc.i = uv.i GROUP BY 1, 2),
+                 FROM tru uv JOIN centu$k uc ON uc.i = uv.i GROUP BY 1, 2),
       tccs$k AS (SELECT d.vec_id, d.cent_id,
                  CAST(d.cdot AS DOUBLE) /
                    sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
@@ -458,7 +471,7 @@ object LlmQueries {
                  FROM tccs$k GROUP BY 1),
       tnew$k AS (SELECT a.list_id AS cent_id, uv.i,
                  CAST(floor(CAST(sum(uv.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
-                 FROM tasg$k a JOIN u uv ON uv.vec_id = a.vec_id
+                 FROM tasg$k a JOIN tru uv ON uv.vec_id = a.vec_id
                  GROUP BY 1, 2),
       centu${k + 1} AS (SELECT c.cent_id, coalesce(n.v, c.v) AS v, c.i
                  FROM centu$k c LEFT JOIN tnew$k n
@@ -780,7 +793,9 @@ object LlmQueries {
       ORDER BY doc_a, doc_b""",
 
     "llm_blocklist" -> {
-      val inList = Blocklist.map(t => s"'$t'").mkString(", ")
+      // terms may legally contain apostrophes (TextAnalysisOps require
+      // allows '), so escape for the single-quoted DuckDB literal
+      val inList = Blocklist.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
       s"""
       SELECT doc_id, n_hits FROM (
         SELECT doc_id,

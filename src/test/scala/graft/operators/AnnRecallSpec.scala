@@ -31,13 +31,17 @@ class AnnRecallSpec extends AnyFunSuite {
     val ivf0 = pairs(VectorOps.ivfKnn(q, _ < 10, 5, nCentroids = 16, nProbe = 4))
     val ivf2 = pairs(VectorOps.ivfKnn(q, _ < 10, 5, nCentroids = 16, nProbe = 4,
       trainIters = 2))
+    val ivfS = pairs(VectorOps.ivfKnn(q, _ < 10, 5, nCentroids = 16, nProbe = 4,
+      trainIters = 2, trainSampleMod = 2))
     assert(brute.nonEmpty)
     val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
     val lsh2Recall = lsh2.intersect(brute).size.toDouble / brute.size
     val ivf0Recall = ivf0.intersect(brute).size.toDouble / brute.size
     val ivf2Recall = ivf2.intersect(brute).size.toDouble / brute.size
+    val ivfSRecall = ivfS.intersect(brute).size.toDouble / brute.size
     info(s"recall: lsh=$lshRecall lsh(r2)=$lsh2Recall " +
-      s"ivf(seeds)=$ivf0Recall ivf(lloyd2)=$ivf2Recall")
+      s"ivf(seeds)=$ivf0Recall ivf(lloyd2)=$ivf2Recall " +
+      s"ivf(sampled)=$ivfSRecall")
     // sf0.01 reference points: single-probe LSH was 0.14; radius-1
     // multi-probe 0.40; radius-2 recovers neighbours straddling two
     // hyperplanes; IVF 0.92 seeds / 0.90 after 2 Lloyd's rounds —
@@ -51,5 +55,8 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivf2Recall >= 0.7, s"IVF trained recall regressed: $ivf2Recall")
     assert(ivf2Recall >= ivf0Recall - 0.1,
       s"training should not cost recall: $ivf0Recall -> $ivf2Recall")
+    // sample-trained centroids (the 100 TB shape: Lloyd's rounds on the
+    // 1-in-2 hash-sample, full corpus assigned once) must not cost recall
+    assert(ivfSRecall >= 0.7, s"sampled-training recall regressed: $ivfSRecall")
   }
 }

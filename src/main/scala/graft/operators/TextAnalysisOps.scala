@@ -115,22 +115,61 @@ object TextAnalysisOps {
     * partitioning, and re-run — unlike `ORDER BY rand()`, which is
     * neither reproducible nor restartable.
     *
-    * Scale: the only exchange is the hash partition on shard; each shard
-    * sorts ~N/nShards rows inside its own (spillable) window task, so
-    * nShards is the parallelism dial — set it ≥ the writer parallelism
-    * you want (shards are also the natural output-file unit).
+    * Scale: two-phase rank (see [[rankedByRange]]) — a shard is NEVER a
+    * single task's sort. Range partitioning spreads the order across the
+    * cluster, each task ranks only its own slice, and per-slice offsets
+    * (a partitions×shards-sized table) broadcast back. nShards is purely
+    * the output-layout dial; parallelism comes from
+    * `spark.sql.shuffle.partitions`.
     * Output: doc_id, shard, pos (1-based within shard). */
   def shardShuffle(docs: DataFrame, id: Column, nShards: Int,
                    salt: String = "shuffle:"): DataFrame = {
     require(nShards > 0)
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"skey", $"doc_id")
-    docs.select(id.as("doc_id"))
+    val base = docs.select(id.as("doc_id"))
       .withColumn("skey",
         DetHash.h60(concat(lit(salt), $"doc_id".cast("string"))))
       .withColumn("shard", $"skey" % nShards)
-      .withColumn("pos", row_number().over(win).cast("long"))
-      .select($"doc_id", $"shard", $"pos")
+    rankedByRange(base, lit(1L), Seq($"skey", $"doc_id"))
+      .select($"doc_id", $"shard", $"cum".as("pos"))
+  }
+
+  /** The two-phase per-shard prefix sum shared by [[shardShuffle]] and
+    * [[packSequences]]: running `sum(weight)` over rows ordered by
+    * `order` within each `shard` group, computed WITHOUT a per-shard
+    * window task. A plain `Window.partitionBy(shard)` serializes each
+    * shard into one task — at 100 TB a hot shard (or a small nShards) is
+    * a straggler or an OOM. Instead:
+    *
+    *   1. range-partition by (shard, order…) — a big shard spans MANY
+    *      partitions, and equal keys never split across two (the range
+    *      partitioner assigns by key lookup);
+    *   2. rank/sum locally per (physical partition, shard) — every
+    *      window group is bounded by the range split, not shard size;
+    *   3. per-(partition, shard) totals — a tiny partial agg — prefix-sum
+    *      across partition ids and broadcast back as offsets.
+    *
+    * The range exchange with its partition ids is pinned: both consumers
+    * (ranks + offsets) must see ONE partition assignment, not two AQE
+    * re-plans. Result is bit-identical to the single-window form.
+    * Output: input columns + `cum` (running sum incl. current row). */
+  private[operators] def rankedByRange(base: DataFrame, weight: Column,
+                                       order: Seq[Column]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ranged = Pins.pin(
+      base.withColumn("w", weight)
+        .repartitionByRange(($"shard" +: order): _*)
+        .withColumn("pid", spark_partition_id()))
+    val local = W.partitionBy($"pid", $"shard").orderBy(order: _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val offW = W.partitionBy($"shard").orderBy($"pid")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = ranged.groupBy($"pid", $"shard").agg(sum($"w").as("pw"))
+      .withColumn("off", coalesce(sum($"pw").over(offW), lit(0L)))
+      .select($"pid", $"shard", $"off")
+    ranged.withColumn("lcum", sum($"w").over(local))
+      .join(broadcast(offs), Seq("pid", "shard"))
+      .withColumn("cum", $"lcum" + $"off")
+      .drop("pid", "w", "lcum", "off")
   }
 
   /** PII patterns for the scrubbing pass. Kept to constructs with
@@ -219,10 +258,12 @@ object TextAnalysisOps {
     * `(start_seq, start_offset)` and may span sequence boundaries
     * (exactly GPT-style packing; no bin-packing state needed, the
     * placement is a pure prefix sum). Sharding is a deterministic salted
-    * id hash, so the layout is reproducible AND the window runs
-    * per-shard — parallelism never collapses to one global sort, which
-    * is what makes this survive a 100 TB corpus (shard count is the
-    * parallelism dial; a global pack order is a single-task window).
+    * id hash, so the layout is reproducible, and the prefix sum runs as
+    * the two-phase [[rankedByRange]] — local sums per range slice plus
+    * broadcast offsets — so even a single giant shard never collapses
+    * into one window task (the ROWS-frame semantics the single-window
+    * form had are preserved exactly: same-doc_id peers keep distinct
+    * running sums on a dirty pre-dedup corpus).
     * Output: doc_id, shard, n_tokens, start_seq, start_offset. */
   def packSequences(docs: DataFrame, id: Column, text: Column,
                     budget: Long, shards: Int): DataFrame = {
@@ -231,14 +272,7 @@ object TextAnalysisOps {
         wsTokens(normText(text)).as("n_tokens"))
       .withColumn("shard",
         DetHash.h60(concat(lit("pack:"), $"doc_id".cast("string"))) % shards)
-    // explicit ROWS frame: the default RANGE frame makes same-doc_id
-    // peers share one cum (each would include BOTH rows' tokens),
-    // diverging from the oracle's ROWS window on a dirty pre-dedup corpus
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    base.withColumn("cum", sum($"n_tokens").over(w))
+    rankedByRange(base, $"n_tokens", Seq($"doc_id"))
       .select($"doc_id", $"shard", $"n_tokens",
         expr(s"(cum - n_tokens) DIV $budget").as("start_seq"),
         expr(s"(cum - n_tokens) % $budget").as("start_offset"))

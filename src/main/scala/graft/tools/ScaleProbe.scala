@@ -67,6 +67,17 @@ object ScaleProbe {
       time(VectorOps.semDedup(
         VectorOps.quantize(e, $"vec_id", $"embedding"),
         0.4, 16, 1, 5000).count())
+      println("  trainCentroids (sample mod scales with corpus -> flat cost)")
+      time(VectorOps.trainCentroids(
+        VectorOps.quantize(e, $"vec_id", $"embedding"), 16, 2,
+        trainSampleMod = k).count())
+      println("  packSequences, ONE shard (two-phase prefix sum: must " +
+        "grow linearly, not serialize into one window task)")
+      time(graft.operators.TextAnalysisOps
+        .packSequences(d, $"doc_id", $"text", 2048, shards = 1).count())
+      println("  shardShuffle, ONE shard")
+      time(graft.operators.TextAnalysisOps
+        .shardShuffle(d, $"doc_id", nShards = 1).count())
       Pins.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       docs.cache().count(); embs.cache().count()

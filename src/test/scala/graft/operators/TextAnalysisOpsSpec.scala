@@ -90,6 +90,30 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(byPos.toSeq != byPos.sorted.toSeq)
   }
 
+  test("packSequences: one giant shard — two-phase prefix sum matches " +
+       "the brute-force running sum and spans sequence boundaries") {
+    // shards = 1 forces everything into a single logical shard: the old
+    // single-window form would serialize this into one task; the
+    // two-phase form must spread it over range partitions AND still
+    // produce the exact running sum
+    val docs = (1L to 300L)
+      .map(i => (i, ("tok " * (1 + (i % 7)).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = TextAnalysisOps
+      .packSequences(docs, $"doc_id", $"text", budget = 10, shards = 1)
+      .select($"doc_id", $"n_tokens", $"start_seq", $"start_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    for ((id, n, seq0, off) <- got) {
+      assert(n == 1 + (id % 7), s"doc $id token count")
+      assert(seq0 == cum / 10 && off == cum % 10, s"doc $id placement")
+      cum += n
+    }
+    // docs do cross sequence boundaries (GPT-style packing)
+    assert(got.exists(r => r._4 + r._2 > 10))
+    Pins.releaseAll()
+  }
+
   test("vocabulary: brute-force counts, rank order, cumulative coverage") {
     val d = Seq(
       (1L, "the cat sat on the mat"),

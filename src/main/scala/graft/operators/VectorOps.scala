@@ -201,27 +201,41 @@ object VectorOps {
     // assignment/list scans — pin it so quantization (and the parquet
     // read under it) runs once, not 3 + 2·trainIters times
     val vectors = Pins.pin(vectors0)
-    val cents = broadcast(
-      trainCentroids(vectors, nCentroids, trainIters, trainSampleMod)
-        .select($"cent_id", $"cv", $"cn"))
-    val scored = vectors.crossJoin(cents)
-      .withColumn("cdot", LongArrayDot($"qv", $"cv"))
-      .withColumn("ccos", $"cdot".cast("double") /
-        sqrt($"nrm".cast("double") * $"cn".cast("double")))
-    // inverted-list assignment (same rule as assignToCentroids; built
-    // from `scored` so the probe-list scan below shares the scan)
-    val assigned = scored.groupBy($"vec_id")
-      .agg(max(struct($"ccos", $"cent_id")).as("best"))
-      .select($"vec_id", $"best.cent_id".as("list_id"))
-    val lists = vectors.join(assigned, "vec_id")
+    val cents = trainCentroids(vectors, nCentroids, trainIters, trainSampleMod)
+      .select($"cent_id", $"cv", $"cn")
+    ivfKnnWithIndex(vectors, cents,
+      assignToCentroids(vectors, broadcast(cents)), probeIds, k, nProbe)
+  }
+
+  /** IVF search against a PERSISTED index — the production serving shape:
+    * the centroid table and the inverted-list assignment (both written
+    * once by an indexing run over [[trainCentroids]] /
+    * [[clusterAssign]], e.g. to parquet) are read back and searched
+    * without re-training or re-assigning the corpus. Per query batch the
+    * only corpus-sized work is the probe-list equality join; centroids
+    * broadcast, and probe scoring is probes×C map-side. [[ivfKnn]]
+    * delegates here with an in-plan index, so the persisted and derived
+    * forms share every line of probe/rank logic.
+    * `centroids`: cent_id, cv, cn; `assignments`: vec_id, list_id.
+    * Output: probe_id, vec_id, cos, rk (1-based). */
+  def ivfKnnWithIndex(vectors0: DataFrame, centroids: DataFrame,
+                      assignments: DataFrame, probeIds: Column => Column,
+                      k: Int, nProbe: Int): DataFrame = {
+    val vectors = Pins.pin(vectors0)
+    val cents = broadcast(centroids.select($"cent_id", $"cv", $"cn"))
+    val lists = vectors.join(assignments, "vec_id")
+    // probe set is tiny (a query batch): pin so the nProbe ranking and
+    // the list join don't rescan the corpus filter
+    val probes = Pins.pin(vectors.filter(probeIds($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"qv".as("pv"), $"nrm".as("pn")))
     val wp = Window.partitionBy($"probe_id").orderBy($"ccos".desc, $"cent_id")
-    val probeLists = scored.filter(probeIds($"vec_id"))
-      .select($"vec_id".as("probe_id"), $"cent_id", $"ccos")
+    val probeLists = probes.crossJoin(cents)
+      .withColumn("cdot", LongArrayDot($"pv", $"cv"))
+      .withColumn("ccos", $"cdot".cast("double") /
+        sqrt($"pn".cast("double") * $"cn".cast("double")))
       .withColumn("prk", row_number().over(wp)).filter($"prk" <= nProbe)
       .select($"probe_id", $"cent_id".as("list_id"))
-    val p = vectors.filter(probeIds($"vec_id"))
-      .select($"vec_id".as("probe_id"), $"qv".as("pv"), $"nrm".as("pn"))
-      .join(probeLists, "probe_id")
+    val p = probes.join(probeLists, "probe_id")
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
     lists.join(p, "list_id")
       .filter($"vec_id" =!= $"probe_id")

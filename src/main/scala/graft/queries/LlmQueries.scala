@@ -112,6 +112,16 @@ object LlmQueries {
       DedupOps.minHashDedup(docs(s, d), $"doc_id", $"text", MinJaccard)
         .orderBy("doc_a", "doc_b")),
 
+    // the persisted dedup-index table (per-doc shingle set + band keys,
+    // what incremental nightly runs read instead of re-hashing the
+    // corpus): stats + band-0 key, proving the index build oracle-exact
+    "llm_dedup_index" -> ((s, d) =>
+      DedupOps.buildDedupIndex(docs(s, d), $"doc_id", $"text")
+        .select($"doc_id", size($"hs").cast("long").as("n_shingles"),
+          size($"bands").cast("long").as("n_bands"),
+          expr("bands[0].bkey").cast("long").as("b0_key"))
+        .orderBy("doc_id")),
+
     // deterministic stratified train/val/test split: per-(lang, split)
     // corpus accounting — the split is a pure hash of the doc id, so
     // growing the corpus never moves an old doc across splits
@@ -628,6 +638,21 @@ object LlmQueries {
     "llm_minhash_dedup" -> s"""
       WITH $ShingleCte, $SigCte, $BandCte, ${candCte(CapBucket)}, $JaccardSelect
       SELECT * FROM jac WHERE jaccard >= $MinJaccard ORDER BY doc_a, doc_b""",
+
+    "llm_dedup_index" -> {
+      // band-0 polynomial key, same fold as DedupOps.bandArray
+      val b0 = (1 until DetHash.RowsPerBand).foldLeft("m0") {
+        (acc, i) => s"($acc)*31 + m$i"
+      }
+      s"""
+      WITH $ShingleCte, $SigCte
+      SELECT mh.doc_id, sz.n_shingles,
+             CAST(${DetHash.NumBands} AS BIGINT) AS n_bands,
+             CAST($b0 AS BIGINT) AS b0_key
+      FROM mh JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                    FROM sh GROUP BY 1) sz USING (doc_id)
+      ORDER BY doc_id"""
+    },
 
     "llm_split" -> s"""
       WITH b AS (

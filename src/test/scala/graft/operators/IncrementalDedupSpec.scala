@@ -82,6 +82,49 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("nightly loop: three batches with per-batch index appends emit " +
+       "every full-run pair exactly once") {
+    // every pair is emitted at the batch that delivers its LATER doc, so
+    // the union over all batches equals the from-scratch full run (no
+    // bucket crosses the cap between snapshots in this fixture; a bucket
+    // that does is the documented cap trade, visible via DedupStats)
+    val minJ = 0.5
+    val batches = Seq(
+      oldDocs,
+      newDocs,
+      Seq(doc(21, lorem + " extra"), // near-dup of 1/2/11/12 (batch 3 x all)
+          doc(22, "entirely novel content unrelated to everything"))
+        .toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("dedup_nightly").toString
+    try {
+      val emitted = Set.newBuilder[(Long, Long)]
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        Pins.scoped {
+          if (i > 0)
+            emitted ++= DedupOps.incrementalDedupAgainstIndex(
+                spark.read.parquet(dir), batch, $"doc_id", $"text", minJ)
+              .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+          else
+            // first batch: nothing to dedup against, but within-batch
+            // pairs must still come from somewhere — the full run on it
+            emitted ++= DedupOps.minHashDedup(batch, $"doc_id", $"text", minJ)
+              .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+          DedupOps.buildDedupIndex(batch, $"doc_id", $"text")
+            .write.mode("append").parquet(dir)
+        }
+      }
+      val full = Pins.scoped {
+        DedupOps.minHashDedup(batches.reduce(_ unionByName _),
+            $"doc_id", $"text", minJ)
+          .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      }
+      assert(emitted.result() == full)
+      assert(full.exists(p => p._1 <= 12 && p._2 >= 21), "cross-batch pair")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("containment flags an embedded doc that Jaccard under-scores") {
     val host = s"$lorem and then a very long continuation " +
       "with many additional sentences about entirely other topics " +

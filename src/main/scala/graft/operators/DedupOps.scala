@@ -473,4 +473,70 @@ object DedupOps {
         ($"n_common".cast("double") / ($"sz_ab" - $"n_common")).as("jaccard"))
       .filter($"jaccard" >= minJaccard)
   }
+
+  /** Per-doc DISTINCT word-`n`-gram set (raw strings), array form — the
+    * Bloom pass's granularity: word grams, not char shingles, so a shared
+    * sentence fragment is one key. Docs under `n` words have no grams. */
+  private def wordGramArrays(docs: DataFrame, id: Column, text: Column,
+                             n: Int): DataFrame =
+    docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
+      .filter(size($"ws") >= n)
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      // RAW gram strings, not hashes: the join key is the exact n-gram
+      // (collision-free by definition, and the oracle replicates it with
+      // plain string equality); hashing every gram through interpreted
+      // md5 inside this non-codegen lambda measured 6x the whole pass.
+      // Also: concat_ws over slice is ONE ws reference per element — an
+      // element_at per word would be n references, each a CollapseProject
+      // re-inline of the upstream split (measured 35x slower at sf0.1).
+      .select($"doc_id", array_distinct(transform(
+        sequence(lit(1), size($"ws") - (n - 1)),
+        i => concat_ws(" ", slice($"ws", i, lit(n))))).as("gs"))
+
+  /** Bloom-prefiltered incremental n-gram dedup — the Dolma-style Bloom
+    * pass: how much of each NEW doc's distinct word-`n`-gram set already
+    * appears in the OLD corpus. The old side folds into an `mBits`-entry
+    * Bloom bitset, represented as a distinct-positions table (≤ mBits
+    * rows, one long each — broadcastable at ANY corpus size; that O(m)
+    * bound, not O(corpus), is the entire point of the Bloom shape). New
+    * grams whose `numHashes` salted positions are all present are the only
+    * candidates that touch the exact-confirm join against the old gram
+    * set, so the corpus-sized join input is prefilter-survivors only.
+    *
+    * No false negatives by construction, and the exact confirm removes
+    * the false positives, so the output is IDENTICAL to the naive
+    * gram-set join (the oracle runs the naive form). Sizing rule:
+    * mBits ≈ 10× the old side's distinct gram count keeps the false-
+    * positive rate ~1% with 3 hashes; at 100 TB either shard the filter
+    * by gram-hash range or raise mBits (the positions table stays ≤ mBits
+    * rows regardless). Positions use Spark's codegen'd murmur3 `hash` —
+    * deterministic across runs/partitions, and engine-internal: no oracle
+    * ever sees a position, only the exact-confirmed output.
+    * Output: doc_id, n_grams, n_shared (docs with n_shared ≥ minShared). */
+  def bloomNgramFilter(oldDocs: DataFrame, newDocs: DataFrame,
+                       id: Column, text: Column, n: Int = 8,
+                       mBits: Int = 1 << 17, numHashes: Int = 3,
+                       minShared: Long = 1): DataFrame = {
+    require(n > 0 && mBits > 0 && numHashes > 0 && minShared >= 1)
+    def positions(g: Column): Column =
+      array((0 until numHashes).map(j => pmod(hash(lit(j), g), lit(mBits))): _*)
+    // the old gram set feeds BOTH the bitset build and the exact confirm
+    // — pin it so the corpus-side gram pass runs once
+    val oldGrams = Pins.pin(wordGramArrays(oldDocs, id, text, n)
+      .select(explode($"gs").as("g")).distinct())
+    val bits = oldGrams.select(explode(positions($"g")).as("bit")).distinct()
+    val nw = Pins.pin(wordGramArrays(newDocs, id, text, n))
+    val cand = nw.select($"doc_id", explode($"gs").as("g"))
+      .select($"doc_id", $"g", explode(positions($"g")).as("p"))
+      .join(broadcast(bits), $"p" === $"bit")
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("nbits"))
+      .filter($"nbits" === numHashes)
+      .select($"doc_id", $"g")
+    cand.join(oldGrams, "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(nw.select($"doc_id", size($"gs").cast("long").as("n_grams")),
+        "doc_id")
+      .filter($"n_shared" >= minShared)
+      .select($"doc_id", $"n_grams", $"n_shared")
+  }
 }

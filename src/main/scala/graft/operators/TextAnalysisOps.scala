@@ -478,4 +478,141 @@ object TextAnalysisOps {
         expr(s"array_min(transform(hs, h -> (h * ${DetHash.MinHashA(i)} + " +
           s"${DetHash.MinHashB(i)}) % ${DetHash.P31}))").as(s"f$i")
       }: _*)
+
+  /** Context-window chunking — the RAG/embedding prep step: fixed-length
+    * character windows with `overlap` shared chars between neighbors.
+    * Start positions step by `chunkLen - overlap`; the last window may be
+    * short but every char is covered, and a doc no longer than the
+    * overlap still yields one chunk. Entirely narrow (a per-doc
+    * `transform` + explode — no shuffle, no state), so at 100 TB it rides
+    * the input scan; the explode factor is ~len/stride, bounded per row.
+    * Output: doc_id, chunk_idx (0-based), start (1-based), n_chars,
+    * chunk_hash. */
+  def chunkWindows(docs: DataFrame, id: Column, text: Column,
+                   chunkLen: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkLen > 0 && overlap >= 0 && overlap < chunkLen)
+    val stride = chunkLen - overlap
+    docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .filter(length($"norm") > 0)
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, CAST(greatest(length(norm) - $overlap - 1, 0)" +
+          s" DIV $stride AS INT)), j -> substring(norm, j * $stride + 1, $chunkLen))")))
+      .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+        ($"pos" * stride + 1).cast("long").as("start"),
+        length($"col").cast("long").as("n_chars"),
+        md5($"col").as("chunk_hash"))
+  }
+
+  /** Cross-document segment-level dedup (the C4/RefinedWeb line-dedup
+    * pass, on word blocks since the fixture has no line structure): cut
+    * each doc into consecutive `segWords`-word segments, drop every
+    * segment whose text appears in at least `minDocs` distinct docs, and
+    * report the reconstruction. One narrow segment explode, a (segment,
+    * doc)-distinct partial agg for the shared set, a hash anti-join back,
+    * and a per-doc re-assembly whose state is bounded by doc length —
+    * nothing corpus-sized ever sits in one task. Output: doc_id, n_segs,
+    * n_kept, clean_hash (md5 of the kept segments in order; md5('') when
+    * everything was shared). */
+  def segmentDedup(docs: DataFrame, id: Column, text: Column,
+                   segWords: Int = 10, minDocs: Long = 2): DataFrame = {
+    require(segWords > 0 && minDocs >= 2)
+    val segs = Pins.pin(
+      docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
+        .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(0, CAST((size(ws) - 1) DIV $segWords AS INT))," +
+            s" j -> concat_ws(' ', slice(ws, j * $segWords + 1, $segWords)))")))
+        .select($"doc_id", $"pos", $"col".as("seg"),
+          DetHash.h60($"col").as("seg_h")))
+    val shared = segs.select($"seg_h", $"doc_id").distinct()
+      .groupBy($"seg_h").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= minDocs)
+      .select($"seg_h")
+    val kept = segs.join(shared, Seq("seg_h"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct($"pos", $"seg"))),
+          x => x.getField("seg")))).as("clean_hash"))
+    segs.groupBy($"doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_segs", coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"clean_hash", md5(lit(""))).as("clean_hash"))
+  }
+
+  /** Repeated-substring span detection (the exact-substring dedup signal
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): hash `spanLen`-char windows and report hashes seen in
+    * ≥ `minDocs` distinct docs. Window starts are CONTENT-DEFINED
+    * (winnowing-style, à la Schleimer et al.'s MOSS): position i anchors
+    * a window iff the h31 of its 8-char prefix ≡ 0 (mod `anchorMod`), so
+    * the same substring anchors at the same relative offsets in every
+    * document — an unaligned copy is still caught, which fixed-stride
+    * windows structurally miss. Expected windows per doc ≈ len/anchorMod;
+    * a repeated region of length L shares a full window with probability
+    * ~1 − (1−1/anchorMod)^(L−spanLen) (deterministic given content — the
+    * miss case is a region whose prefix hashes all dodge the anchor rule).
+    * Narrow anchor-filter + window explode, one hash-keyed partial-agg
+    * shuffle; distinct-doc counting is two-phase (no per-key set state).
+    * Output: span_h60, n_docs, n_occ, first_doc. */
+  def spanDedup(docs: DataFrame, id: Column, text: Column,
+                spanLen: Int = 60, anchorMod: Int = 16,
+                minDocs: Long = 2): DataFrame = {
+    require(spanLen >= 8 && anchorMod > 0 && minDocs >= 2)
+    docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .filter(length($"norm") >= spanLen)
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .select($"doc_id", $"norm", explode(filter(
+        sequence(lit(1), length($"norm") - (spanLen - 1)),
+        i => DetHash.h31($"norm".substr(i, lit(8))) % anchorMod === 0))
+        .as("i"))
+      .select($"doc_id",
+        DetHash.h60($"norm".substr($"i", lit(spanLen))).as("span_h60"))
+      .groupBy($"span_h60")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= minDocs)
+  }
+
+  /** Bigram language-model scoring — the CCNet-style "how much does this
+    * doc look like the reference corpus" quality signal: train bigram /
+    * history counts on the train split (the deterministic [[withSplit]]
+    * bucket), then score EVERY doc by its mean scaled conditional
+    * probability. Exact integer arithmetic end to end: a seen bigram
+    * contributes `c(w1,w2) · 10⁶ DIV c(w1·)` (history count, so
+    * probabilities per history sum to ~10⁶), an unseen one contributes 0,
+    * and the doc score is the occurrence sum DIV n_bigrams.
+    *
+    * Scale shape: the bigram explode is narrow (array transform per doc);
+    * model training is a (w1,w2)-keyed partial agg over the train side —
+    * the model table is vocabulary-sized, ≪ corpus — and scoring is one
+    * shuffle join of corpus bigrams against the model (AQE broadcasts the
+    * model when it fits). Docs with < 2 tokens have no bigrams and are
+    * excluded. Output: doc_id, n_bigrams, lm_ppm. */
+  def lmScore(docs: DataFrame, id: Column, text: Column,
+              trainPct: Int = 80): DataFrame = {
+    require(trainPct > 0 && trainPct <= 100)
+    val big = Pins.pin(
+      docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
+        .filter(size($"ws") >= 2)
+        .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          .as("bg"))
+        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2")))
+    val train = big.filter(
+      DetHash.h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
+        < trainPct)
+    val c2 = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val model = c2.join(c1, "w1")
+      .select($"w1", $"w2", expr("c2 * 1000000 DIV c1").as("p_ppm"))
+    big.join(model, Seq("w1", "w2"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce($"p_ppm", lit(0L))).as("psum"))
+      .select($"doc_id", $"n_bigrams", expr("psum DIV n_bigrams").as("lm_ppm"))
+  }
 }

@@ -57,6 +57,12 @@ object LlmQueries {
   // "don't" is deliberate: an apostrophe term keeps the oracle's
   // single-quote escaping exercised by the real Verify/DuckDB gate
   private val Blocklist = Seq("slow", "broken", "invalid", "don't")
+  private val ChunkLen = 64        // context-window chunking geometry
+  private val ChunkOverlap = 16
+  private val SegWords = 10        // C4-style segment-dedup block size
+  private val SpanLen = 60         // repeated-span detection window width
+  private val SpanAnchorMod = 16   // content-defined anchor density (1/16)
+  private val BloomGramN = 8       // Bloom incremental pass gram width
 
   /** The curation funnel shared by llm_curate / llm_pipeline: quality
     * floor → exact-dedup keepers → near-dup cluster keepers → train
@@ -367,7 +373,44 @@ object LlmQueries {
           // hex, not md5: DuckDB can neither slice nor hash BLOB
           // subranges, but a hex projection compares byte-exactly
           hex($"frame").as("frame_hex"))
-        .orderBy("media_id", "frame_idx")))
+        .orderBy("media_id", "frame_idx")),
+
+    // context-window chunking: fixed-length char windows with overlap
+    // (RAG/embedding prep) — narrow explode, no shuffle
+    "llm_chunk" -> ((s, d) =>
+      TextAnalysisOps.chunkWindows(docs(s, d), $"doc_id", $"text",
+          ChunkLen, ChunkOverlap)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // C4-style cross-doc segment dedup: drop every 10-word block shared
+    // by ≥2 docs, report the per-doc reconstruction
+    "llm_seg_dedup" -> ((s, d) =>
+      TextAnalysisOps.segmentDedup(docs(s, d), $"doc_id", $"text",
+          SegWords, minDocs = 2)
+        .orderBy("doc_id")),
+
+    // repeated-substring spans across docs (exact-substring dedup
+    // signal; winnowing-style content-defined window anchors)
+    "llm_span_dedup" -> ((s, d) =>
+      TextAnalysisOps.spanDedup(docs(s, d), $"doc_id", $"text",
+          SpanLen, SpanAnchorMod, minDocs = 2)
+        .orderBy("span_h60")),
+
+    // bigram-LM quality scoring: model trained on the train split,
+    // every doc scored by mean scaled conditional probability
+    "llm_lm_score" -> ((s, d) =>
+      TextAnalysisOps.lmScore(docs(s, d), $"doc_id", $"text")
+        .orderBy("doc_id")),
+
+    // Bloom-prefiltered incremental n-gram dedup: new-split docs whose
+    // word-8-grams already appear in the old (train-split) corpus
+    "llm_bloom_incr" -> ((s, d) => {
+      val all = TextAnalysisOps.withSplit(docs(s, d), $"doc_id")
+      DedupOps.bloomNgramFilter(
+          all.filter($"split" === "train"), all.filter($"split" =!= "train"),
+          $"doc_id", $"text", BloomGramN)
+        .orderBy("doc_id")
+    }))
 
   // ---- DuckDB oracles, built from the same DetHash literals ----
 
@@ -1206,5 +1249,112 @@ object LlmQueries {
       SELECT doc_id,
              (max(struct_pack(s := score, l := cand_lang))).l AS pred_lang,
              (max(struct_pack(s := score, l := cand_lang))).s AS score
-      FROM score GROUP BY 1 ORDER BY 1""")
+      FROM score GROUP BY 1 ORDER BY 1""",
+
+    "llm_chunk" -> {
+      val stride = ChunkLen - ChunkOverlap
+      s"""
+      WITH d AS (SELECT doc_id, $Norm AS norm FROM documents),
+      c AS (
+        SELECT doc_id, norm,
+               unnest(generate_series(0,
+                 greatest(length(norm) - $ChunkOverlap - 1, 0) // $stride)) AS j
+        FROM d WHERE length(norm) > 0)
+      SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+             CAST(j * $stride + 1 AS BIGINT) AS start,
+             CAST(length(substr(norm, j * $stride + 1, $ChunkLen)) AS BIGINT) AS n_chars,
+             md5(substr(norm, j * $stride + 1, $ChunkLen)) AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_idx"""
+    },
+
+    "llm_seg_dedup" -> s"""
+      WITH d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
+      segs AS (
+        SELECT doc_id, j,
+               array_to_string(list_slice(ws, j * $SegWords + 1,
+                 j * $SegWords + $SegWords), ' ') AS seg
+        FROM (SELECT doc_id, ws,
+                unnest(generate_series(0, (len(ws) - 1) // $SegWords)) AS j
+              FROM d)),
+      sh AS (SELECT doc_id, j, seg, ${DetHash.h60Sql("seg")} AS seg_h FROM segs),
+      shared AS (
+        SELECT seg_h FROM (SELECT DISTINCT seg_h, doc_id FROM sh)
+        GROUP BY 1 HAVING count(*) >= 2),
+      kept AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               md5(string_agg(seg, ' ' ORDER BY j)) AS clean_hash
+        FROM sh WHERE seg_h NOT IN (SELECT seg_h FROM shared)
+        GROUP BY 1),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs
+              FROM sh GROUP BY 1)
+      SELECT t.doc_id, t.n_segs,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(k.clean_hash, md5('')) AS clean_hash
+      FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY 1""",
+
+    "llm_span_dedup" -> s"""
+      WITH d AS (SELECT doc_id, norm
+                 FROM (SELECT doc_id, $Norm AS norm FROM documents)
+                 WHERE length(norm) >= $SpanLen),
+      spans AS (
+        SELECT doc_id,
+               ${DetHash.h60Sql(s"substr(norm, i, $SpanLen)")} AS span_h60
+        FROM (SELECT doc_id, norm,
+                unnest(list_filter(
+                  generate_series(1, length(norm) - ${SpanLen - 1}),
+                  i -> ${h31("substr(norm, i, 8)")} % $SpanAnchorMod = 0)) AS i
+              FROM d))
+      SELECT span_h60, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
+      FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY 1""",
+
+    "llm_lm_score" -> s"""
+      WITH d AS (SELECT doc_id, string_split($Norm, ' ') AS ws,
+                        ${TextAnalysisOps.splitBucketSql("doc_id")} AS bucket
+                 FROM documents),
+      bg AS (
+        SELECT doc_id, bucket, ws[i] AS w1, ws[i+1] AS w2
+        FROM (SELECT doc_id, bucket, ws,
+                unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM d WHERE len(ws) >= 2)),
+      c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+             FROM bg WHERE bucket < 80 GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+             FROM bg WHERE bucket < 80 GROUP BY 1),
+      model AS (SELECT c2.w1, c2.w2,
+                       CAST(c2.c2 * 1000000 // c1.c1 AS BIGINT) AS p_ppm
+                FROM c2 JOIN c1 USING (w1)),
+      sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                    CAST(sum(coalesce(m.p_ppm, 0)) AS BIGINT) AS psum
+             FROM bg b LEFT JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+             GROUP BY 1)
+      SELECT doc_id, n_bigrams, CAST(psum // n_bigrams AS BIGINT) AS lm_ppm
+      FROM sc ORDER BY doc_id""",
+
+    "llm_bloom_incr" -> {
+      // raw gram strings, no hash: the Spark side joins exact n-grams
+      // (Bloom positions are engine-internal and never reach the output)
+      val gram8 = (1 until BloomGramN)
+        .foldLeft("ws[i]")((acc, k) => s"$acc || ' ' || ws[i+$k]")
+      s"""
+      WITH d AS (SELECT doc_id, string_split($Norm, ' ') AS ws,
+                        ${TextAnalysisOps.splitBucketSql("doc_id")} AS bucket
+                 FROM documents),
+      gl AS (
+        SELECT doc_id, bucket,
+               list_transform(generate_series(1, len(ws) - ${BloomGramN - 1}),
+                 i -> $gram8) AS gs
+        FROM d WHERE len(ws) >= $BloomGramN),
+      gd AS (SELECT DISTINCT doc_id, bucket, unnest(gs) AS g FROM gl),
+      oldg AS (SELECT DISTINCT g FROM gd WHERE bucket < 80),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              FROM gd WHERE bucket >= 80 GROUP BY 1),
+      shr AS (SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM gd JOIN oldg USING (g) WHERE bucket >= 80
+              GROUP BY 1)
+      SELECT t.doc_id, t.n_grams, s.n_shared
+      FROM tot t JOIN shr s USING (doc_id)
+      WHERE s.n_shared >= 1 ORDER BY doc_id"""
+    })
 }

@@ -199,9 +199,30 @@ object RelationalQueries {
       val b = p.select($"p_partkey".as("id_b"), $"v".as("v_b"))
       a.join(b, abs($"v_a" - $"v_b") <= lit(10L) && $"id_a" < $"id_b")
         .orderBy("id_a", "id_b")
-    }))
+    }),
+
+    // hierarchical ROLLUP totals (SURVEY §2.4: grouping sets come free
+    // from Catalyst — one Expand + the same partial-agg shuffle as a
+    // plain groupBy; gid disambiguates a NULL group key from a subtotal)
+    "rel_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum(round($"l_quantity" * 100).cast("long")).as("qty_c"),
+          count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .select($"l_returnflag", $"l_linestatus",
+          ($"qty_c".cast("double") / 100.0).as("sum_qty"), $"n", $"gid")
+        .orderBy($"gid", $"l_returnflag", $"l_linestatus")))
 
   def oracles: Map[String, String] = Map(
+    "rel_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty,
+             count(*) AS n,
+             CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus""",
+
     "rel_band_join_auto" -> """
       SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
              CAST(round(a.p_retailprice*100) AS BIGINT) AS v_a,

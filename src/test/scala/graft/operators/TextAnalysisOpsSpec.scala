@@ -181,4 +181,88 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.size < q.length,
       "threshold should keep a strict subset")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("chunkWindows: geometry, coverage, and short-doc edge cases") {
+    val text100 = ("abcdefghij" * 10)
+    val d = Seq((1L, text100), (2L, "short"), (3L, "x" * 64), (4L, "y" * 65))
+      .toDF("doc_id", "text")
+    val got = TextAnalysisOps.chunkWindows(d, $"doc_id", $"text",
+        chunkLen = 64, overlap = 16)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // 100 chars, stride 48: windows at 1 (64 chars) and 49 (52 chars)
+    assert(got(1L) == Seq(
+      (1L, 0L, 1L, 64L, md5hex(text100.substring(0, 64))),
+      (1L, 1L, 49L, 52L, md5hex(text100.substring(48)))))
+    // shorter than the window: one whole-doc chunk
+    assert(got(2L) == Seq((2L, 0L, 1L, 5L, md5hex("short"))))
+    // exactly one window
+    assert(got(3L).map(c => (c._2, c._3, c._4)) == Seq((0L, 1L, 64L)))
+    // one char past: a second window with 17 chars (> overlap new content)
+    assert(got(4L).map(c => (c._2, c._3, c._4)) ==
+      Seq((0L, 1L, 64L), (1L, 49L, 17L)))
+  }
+
+  test("segmentDedup: shared 10-word blocks removed, docs reassembled") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ") // one full block
+    val d = Seq(
+      (1L, s"$shared alpha beta"),   // block 0 shared, block 1 = "alpha beta"
+      (2L, s"$shared gamma"),        // block 0 shared, block 1 = "gamma"
+      (3L, "totally original text"), // untouched
+      (4L, shared))                  // nothing survives
+      .toDF("doc_id", "text")
+    val got = TextAnalysisOps.segmentDedup(d, $"doc_id", $"text",
+        segWords = 10, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, md5hex("alpha beta")),
+      (2L, 2L, 1L, md5hex("gamma")),
+      (3L, 1L, 1L, md5hex("totally original text")),
+      (4L, 1L, 0L, md5hex(""))))
+  }
+
+  test("spanDedup: an UNALIGNED copied region is still detected " +
+      "(content-defined anchors)") {
+    // 200-char random-ish region copied at offsets 0 and 37 — a fixed-
+    // stride window scheme can never align these; winnowing anchors must
+    val rng = new scala.util.Random(11)
+    val region = (1 to 200).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val pad = (1 to 37).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val d = Seq(
+      (1L, region + "zzz unrelated tail here"),
+      (2L, pad + region),
+      (3L, "completely different content with no repeats at all, " +
+        "long enough to clear the span length threshold easily"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysisOps.spanDedup(d, $"doc_id", $"text",
+        spanLen = 60, anchorMod = 16, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty, "copied region produced no shared anchored span")
+    assert(got.forall { case (_, nDocs, nOcc, firstDoc) =>
+      nDocs == 2L && nOcc == 2L && firstDoc == 1L })
+  }
+
+  test("lmScore: hand-computed bigram model over a controlled split") {
+    import graft.functions.DetHash
+    def bucket(i: Long) = DetHash.h60Value(s"split:$i") % 100
+    val pool = (1L to 60L)
+    val train = pool.filter(bucket(_) < 80).take(2)
+    val eval = pool.filter(bucket(_) >= 80).head
+    val d = Seq(
+      (train(0), "a b a b"), // bigrams: (a,b) (b,a) (a,b)
+      (train(1), "a b c"),   // bigrams: (a,b) (b,c)
+      (eval, "a b x"))       // bigrams: (a,b) (b,x)=unseen
+      .toDF("doc_id", "text")
+    // model: c2(a,b)=3 c2(b,a)=1 c2(b,c)=1; histories c1(a)=3 c1(b)=2
+    // p(a,b)=1000000, p(b,a)=500000, p(b,c)=500000
+    val got = TextAnalysisOps.lmScore(d, $"doc_id", $"text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(train(0)) == (3L, (1000000L + 500000L + 1000000L) / 3))
+    assert(got(train(1)) == (2L, (1000000L + 500000L) / 2))
+    assert(got(eval) == (2L, (1000000L + 0L) / 2))
+  }
 }

@@ -413,8 +413,9 @@ object DedupOps {
     * Output: doc_id, b5 (distinct 5-gram keys), g3 (distinct 3-gram
     * hashes). Shared by [[ngramJaccard]] and [[contamination]]. */
   def gramArrays(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val gram3 = (i: Column) => concat_ws(" ", element_at($"ws", i),
-      element_at($"ws", i + lit(1)), element_at($"ws", i + lit(2)))
+    // concat_ws over slice, ONE ws reference per element (the
+    // element_at-per-word form measured far slower; see wordGramArrays)
+    val gram3 = (i: Column) => concat_ws(" ", slice($"ws", i, lit(3)))
     val b5key = (i: Column) => {
       val g = (o: Int) => element_at($"g3p", i + lit(o))
       ((((g(0) * DetHash.CombineC + g(1)) % DetHash.M31) * DetHash.CombineC)

@@ -457,8 +457,7 @@ object TextAnalysisOps {
     * Output: doc_id, n_grams, n_distinct, rep_ratio. */
   def repetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val grams = transform(sequence(lit(1), size($"ws") - 2),
-      i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + lit(1)),
-        element_at($"ws", i + lit(2))))
+      i => concat_ws(" ", slice($"ws", i, lit(3))))
     docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
       .filter(size($"ws") >= 3)
       .select($"doc_id", grams.as("gs"))

@@ -356,4 +356,74 @@ object VectorOps {
       .filter($"rk" <= k)
       .select($"probe_id", $"vec_id", $"cos", $"rk")
   }
+
+  /** Product-quantization encode + asymmetric-distance (ADC) top-k — the
+    * memory-bound scale path for ANN: each vector compresses to `m`
+    * small codes (its nearest codebook entry per subspace by exact
+    * integer L2), and a probe scores the whole corpus from an m×nCodes
+    * lookup table of subspace dot products without touching raw
+    * vectors. At 100 TB the serving scan reads the codes table only —
+    * m bytes per vector instead of the full embedding.
+    *
+    * Codebook: seeded from the subvectors of the `nCodes` lowest-id
+    * vectors (the same stable-seed rule as [[trainCentroids]]:
+    * deterministic, append-stable, oracle-reproducible). Encode:
+    * argmin exact-integer L2 per subspace, ties → lowest code. Score:
+    * `approx_dot(q, v) = Σ_j lut(q, j, code(v, j))` — exact integers end
+    * to end, so the ranking is deterministic across engines.
+    *
+    * Shuffle audit: the codebook (m·nCodes rows) broadcasts into the
+    * encode scan; building the per-vector code array is one bounded
+    * shuffle of m small rows per vector (an indexing cost — persistable,
+    * like the IVF index); serving is a narrow codes × broadcast-LUT pass
+    * plus the same per-probe top-k window as [[bruteKnn]]. No corpus-
+    * sized exchange on the query path.
+    * Output: probe_id, vec_id, approx_dot, rk (1-based). */
+  def pqKnn(vectors0: DataFrame, probeIds: Column => Column, k: Int,
+            m: Int = 8, nCodes: Int = 16): DataFrame = {
+    require(m > 0 && nCodes > 0)
+    val vectors = Pins.pin(vectors0)
+    // per-row split into m contiguous subvectors: (id, sub, sv)
+    def subSplit(df: DataFrame, idAs: String) =
+      df.select(col("vec_id").as(idAs), posexplode(expr(
+        s"transform(sequence(0, $m - 1)," +
+          s" j -> slice(qv, j * (size(qv) DIV $m) + 1, size(qv) DIV $m))")))
+        .select(col(idAs), $"pos".as("sub"), $"col".as("sv"))
+    val sub = subSplit(vectors, "vec_id")
+    val seedW = Window.orderBy($"vec_id")
+    val codebook = subSplit(
+        vectors.orderBy($"vec_id").limit(nCodes)
+          .withColumn("code", row_number().over(seedW) - 1)
+          .select($"code".as("vec_id"), $"qv"), "code")
+      .select($"code", $"sub", $"sv".as("cv"))
+      .withColumn("cn", LongArrayDot($"cv", $"cv"))
+    val codes = sub.join(broadcast(codebook), "sub")
+      .withColumn("d2", LongArrayDot($"sv", $"sv") + $"cn"
+        - lit(2L) * LongArrayDot($"sv", $"cv"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d2", $"code")).as("best"))
+      .select($"vec_id", $"sub", $"best.code".as("code"))
+      .groupBy($"vec_id")
+      .agg(sort_array(collect_list(struct($"sub", $"code"))).as("sc"))
+      .select($"vec_id", transform($"sc", x => x.getField("code")).as("codes"))
+    // per-probe LUT, flattened to one array indexed by sub·nCodes + code
+    val lut = sub.filter(probeIds($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"sub", $"sv")
+      .join(broadcast(codebook.select($"code", $"sub", $"cv")), "sub")
+      .select($"probe_id", ($"sub" * nCodes + $"code").as("slot"),
+        LongArrayDot($"sv", $"cv").as("t"))
+      .groupBy($"probe_id")
+      .agg(sort_array(collect_list(struct($"slot", $"t"))).as("st"))
+      .select($"probe_id", transform($"st", x => x.getField("t")).as("lut"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"approx_dot".desc, $"vec_id")
+    codes.crossJoin(broadcast(lut))
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("approx_dot", expr(
+        s"aggregate(sequence(0, $m - 1), 0L, (acc, j) ->" +
+          s" acc + element_at(lut, j * $nCodes + element_at(codes, j + 1) + 1))"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"probe_id", $"vec_id", $"approx_dot", $"rk")
+  }
 }

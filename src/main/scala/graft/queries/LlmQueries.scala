@@ -63,6 +63,8 @@ object LlmQueries {
   private val SpanLen = 60         // repeated-span detection window width
   private val SpanAnchorMod = 16   // content-defined anchor density (1/16)
   private val BloomGramN = 8       // Bloom incremental pass gram width
+  private val PqM = 8              // PQ subspaces (64 dims -> 8x8)
+  private val PqCodes = 16         // PQ codebook entries per subspace
 
   /** The curation funnel shared by llm_curate / llm_pipeline: quality
     * floor → exact-dedup keepers → near-dup cluster keepers → train
@@ -410,7 +412,15 @@ object LlmQueries {
           all.filter($"split" === "train"), all.filter($"split" =!= "train"),
           $"doc_id", $"text", BloomGramN)
         .orderBy("doc_id")
-    }))
+    }),
+
+    // product-quantization ANN: per-subspace codebook encode + ADC
+    // lookup-table scoring (the codes-only memory-bound serving path)
+    "llm_ann_pq" -> ((s, d) =>
+      VectorOps.pqKnn(
+          VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
+          _ < AnnProbeMax, AnnK, PqM, PqCodes)
+        .orderBy("probe_id", "rk")))
 
   // ---- DuckDB oracles, built from the same DetHash literals ----
 
@@ -1356,5 +1366,45 @@ object LlmQueries {
       SELECT t.doc_id, t.n_grams, s.n_shared
       FROM tot t JOIN shr s USING (doc_id)
       WHERE s.n_shared >= 1 ORDER BY doc_id"""
+    },
+
+    "llm_ann_pq" -> {
+      val subDim = EmbDim / PqM
+      s"""
+      WITH $QuantCte,
+      uu AS (SELECT vec_id, (i - 1) // $subDim AS sub,
+                    (i - 1) % $subDim AS ii, v FROM u),
+      seeds AS (SELECT vec_id,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS code
+                FROM (SELECT DISTINCT vec_id FROM u
+                      ORDER BY vec_id LIMIT $PqCodes)),
+      cu AS (SELECT s.code, uu.sub, uu.ii, uu.v
+             FROM uu JOIN seeds s USING (vec_id)),
+      encd AS (
+        SELECT uu.vec_id, uu.sub, cu.code,
+               CAST(sum((uu.v - cu.v) * (uu.v - cu.v)) AS BIGINT) AS d2
+        FROM uu JOIN cu ON cu.sub = uu.sub AND cu.ii = uu.ii
+        GROUP BY 1, 2, 3),
+      enc AS (SELECT vec_id, sub,
+                     (min(struct_pack(d := d2, c := code))).c AS code
+              FROM encd GROUP BY 1, 2),
+      lut AS (
+        SELECT uu.vec_id AS probe_id, cu.sub, cu.code,
+               CAST(sum(uu.v * cu.v) AS BIGINT) AS t
+        FROM uu JOIN cu ON cu.sub = uu.sub AND cu.ii = uu.ii
+        WHERE uu.vec_id < $AnnProbeMax
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT l.probe_id, e.vec_id, CAST(sum(l.t) AS BIGINT) AS approx_dot
+        FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        WHERE e.vec_id <> l.probe_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT probe_id, vec_id, approx_dot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY approx_dot DESC, vec_id) AS INTEGER) AS rk
+        FROM scored)
+      SELECT probe_id, vec_id, approx_dot, rk FROM ranked
+      WHERE rk <= $AnnK ORDER BY probe_id, rk"""
     })
 }

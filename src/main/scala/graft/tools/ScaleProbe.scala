@@ -78,6 +78,22 @@ object ScaleProbe {
       println("  shardShuffle, ONE shard")
       time(graft.operators.TextAnalysisOps
         .shardShuffle(d, $"doc_id", nShards = 1).count())
+      println("  segmentDedup (clone replicas: every segment shared)")
+      time(graft.operators.TextAnalysisOps
+        .segmentDedup(d, $"doc_id", $"text").count())
+      println("  spanDedup (content-defined anchors)")
+      time(graft.operators.TextAnalysisOps
+        .spanDedup(d, $"doc_id", $"text").count())
+      println("  lmScore (model partial agg + corpus-bigram join)")
+      time(graft.operators.TextAnalysisOps
+        .lmScore(d, $"doc_id", $"text").count())
+      if (k > 1) {
+        println("  bloomNgramFilter (last replica as the new batch)")
+        time(DedupOps.bloomNgramFilter(
+          d.filter($"doc_id" < (k - 1) * 10000000L),
+          d.filter($"doc_id" >= (k - 1) * 10000000L),
+          $"doc_id", $"text").count())
+      }
       Pins.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       docs.cache().count(); embs.cache().count()

@@ -517,14 +517,36 @@ object DedupOps {
   def bloomNgramFilter(oldDocs: DataFrame, newDocs: DataFrame,
                        id: Column, text: Column, n: Int = 8,
                        mBits: Int = 1 << 17, numHashes: Int = 3,
-                       minShared: Long = 1): DataFrame = {
+                       minShared: Long = 1): DataFrame =
+    // the old gram set feeds BOTH the bitset build and the exact confirm
+    // — pin it so the corpus-side gram pass runs once
+    bloomNgramFilterWithIndex(
+      Pins.pin(buildGramIndex(oldDocs, id, text, n)),
+      newDocs, id, text, n, mBits, numHashes, minShared)
+
+  /** The persistable gram index the Bloom pass probes: the old corpus's
+    * DISTINCT word-n-gram strings, one row each. A 100 TB deployment
+    * materializes this once (and appends each ingested batch's new
+    * grams), so nightly [[bloomNgramFilterWithIndex]] runs re-derive the
+    * bitset from the index — an O(index) scan, no re-tokenization of the
+    * historical corpus — and pay gram hashing only for the batch.
+    * Output: g (string). */
+  def buildGramIndex(docs: DataFrame, id: Column, text: Column,
+                     n: Int = 8): DataFrame =
+    wordGramArrays(docs, id, text, n)
+      .select(explode($"gs").as("g")).distinct()
+
+  /** [[bloomNgramFilter]] against a PERSISTED gram index (the production
+    * shape — [[bloomNgramFilter]] delegates here with an in-plan index,
+    * so both forms share every line of bitset/prefilter/confirm logic).
+    * `oldGrams` needs one string column `g`. */
+  def bloomNgramFilterWithIndex(oldGrams: DataFrame, newDocs: DataFrame,
+                                id: Column, text: Column, n: Int = 8,
+                                mBits: Int = 1 << 17, numHashes: Int = 3,
+                                minShared: Long = 1): DataFrame = {
     require(n > 0 && mBits > 0 && numHashes > 0 && minShared >= 1)
     def positions(g: Column): Column =
       array((0 until numHashes).map(j => pmod(hash(lit(j), g), lit(mBits))): _*)
-    // the old gram set feeds BOTH the bitset build and the exact confirm
-    // — pin it so the corpus-side gram pass runs once
-    val oldGrams = Pins.pin(wordGramArrays(oldDocs, id, text, n)
-      .select(explode($"gs").as("g")).distinct())
     val bits = oldGrams.select(explode(positions($"g")).as("bit")).distinct()
     val nw = Pins.pin(wordGramArrays(newDocs, id, text, n))
     val cand = nw.select($"doc_id", explode($"gs").as("g"))

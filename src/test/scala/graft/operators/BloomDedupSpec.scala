@@ -66,4 +66,15 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(DedupOps.bloomNgramFilter(oldDocs, newDocs,
       $"doc_id", $"text", n = 8, minShared = 6).isEmpty)
   }
+
+  test("a parquet-persisted gram index reproduces the derived run") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gram-index").toString
+    DedupOps.buildGramIndex(oldDocs, $"doc_id", $"text")
+      .write.mode("overwrite").parquet(dir)
+    val got = DedupOps.bloomNgramFilterWithIndex(
+        spark.read.parquet(dir), newDocs, $"doc_id", $"text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive(8))
+  }
 }

@@ -562,6 +562,9 @@ object TextAnalysisOps {
     docs.select(id.as("doc_id"), normText(text).as("norm"))
       .filter(length($"norm") >= spanLen)
       .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      // the anchor probe is an md5 per char position — the op's genuine,
+      // linearly-scaling cost (an exploded codegen variant measured the
+      // same: the md5 work dominates, not lambda interpretation)
       .select($"doc_id", $"norm", explode(filter(
         sequence(lit(1), length($"norm") - (spanLen - 1)),
         i => DetHash.h31($"norm".substr(i, lit(8))) % anchorMod === 0))

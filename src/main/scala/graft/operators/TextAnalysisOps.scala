@@ -577,6 +577,35 @@ object TextAnalysisOps {
       .filter($"n_docs" >= minDocs)
   }
 
+  /** Deterministic stratified sampling — per-stratum keep RATES (the
+    * exchange-free counterpart to [[mixSample]]'s exact quotas, and the
+    * scale path its scaladoc promises): a doc survives iff its salted id
+    * hash per-million falls below its stratum's rate. One narrow
+    * projection with a broadcast rates join — no window, no shuffle, no
+    * state — so the sample is reproducible, append-stable (new docs
+    * never flip old decisions), and exact only in expectation (the
+    * price of exchange-freedom; use [[mixSample]] when quotas must be
+    * exact). Output: stratum, doc_id, keep_ppm (kept docs only). */
+  def stratifiedSample(docs: DataFrame, id: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0,
+                       salt: String = "strat:"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0) &&
+      defaultRate >= 0.0 && defaultRate <= 1.0, "rates must be in [0,1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rdf = broadcast(rates.toSeq
+      .map { case (k, r) => (k, math.floor(r * 1000000).toLong) }
+      .toDF("stratum", "keep_ppm"))
+    docs.select(stratum.as("stratum"), id.as("doc_id"))
+      .join(rdf, Seq("stratum"), "left")
+      .withColumn("keep_ppm", coalesce($"keep_ppm",
+        lit(math.floor(defaultRate * 1000000).toLong)))
+      .filter(DetHash.h60(concat(lit(salt), $"doc_id".cast("string")))
+        % 1000000 < $"keep_ppm")
+      .select($"stratum", $"doc_id", $"keep_ppm")
+  }
+
   /** Bigram language-model scoring — the CCNet-style "how much does this
     * doc look like the reference corpus" quality signal: train bigram /
     * history counts on the train split (the deterministic [[withSplit]]
@@ -616,5 +645,53 @@ object TextAnalysisOps {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce($"p_ppm", lit(0L))).as("psum"))
       .select($"doc_id", $"n_bigrams", expr("psum DIV n_bigrams").as("lm_ppm"))
+  }
+
+  /** DSIR-style importance scoring — the data-selection signal of Xie et
+    * al.'s "Data Selection for Language Models via Importance Resampling":
+    * how much more a document looks like the TARGET domain than like the
+    * corpus at large. Two bigram models train on the train split — one on
+    * the `isTarget` rows only, one on everything — and every doc scores
+    * under both ([[lmScore]] semantics: mean scaled conditional
+    * probability, exact integers, unseen bigram = 0). The importance
+    * surrogate is the score DIFFERENCE (log-free, so the arithmetic stays
+    * exact); rank or threshold on it to upsample target-like data.
+    *
+    * Scale shape: one narrow bigram explode feeds both models and the
+    * scoring join; each model is a vocabulary-sized partial agg; scoring
+    * is two model joins on the same corpus-bigram pass. Output: doc_id,
+    * n_bigrams, target_ppm, base_ppm, importance. */
+  def importanceScore(docs: DataFrame, id: Column, text: Column,
+                      isTarget: Column, trainPct: Int = 80): DataFrame = {
+    require(trainPct > 0 && trainPct <= 100)
+    val big = Pins.pin(
+      docs.select(id.as("doc_id"), isTarget.as("is_t"),
+          split(normText(text), " ").as("ws"))
+        .filter(size($"ws") >= 2)
+        .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+        .select($"doc_id", $"is_t", explode(expr(
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          .as("bg"))
+        .select($"doc_id", $"is_t", $"bg.w1".as("w1"), $"bg.w2".as("w2")))
+    val train = big.filter(
+      DetHash.h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
+        < trainPct)
+    def model(side: DataFrame, p: String): DataFrame = {
+      val c2 = side.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val c1 = side.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      c2.join(c1, "w1")
+        .select($"w1", $"w2", expr("c2 * 1000000 DIV c1").as(p))
+    }
+    big.join(model(train.filter($"is_t"), "tp"), Seq("w1", "w2"), "left")
+      .join(model(train, "bp"), Seq("w1", "w2"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce($"tp", lit(0L))).as("ts"),
+        sum(coalesce($"bp", lit(0L))).as("bs"))
+      .select($"doc_id", $"n_bigrams",
+        expr("ts DIV n_bigrams").as("target_ppm"),
+        expr("bs DIV n_bigrams").as("base_ppm"))
+      .withColumn("importance", $"target_ppm" - $"base_ppm")
   }
 }

@@ -65,6 +65,9 @@ object LlmQueries {
   private val BloomGramN = 8       // Bloom incremental pass gram width
   private val PqM = 8              // PQ subspaces (64 dims -> 8x8)
   private val PqCodes = 16         // PQ codebook entries per subspace
+  // stratified-sample demo rates over the fixture's langs
+  private val StratRates = Map("en" -> 0.5, "fr" -> 1.0, "zh" -> 0.1)
+  private val StratDefault = 0.25
 
   /** The curation funnel shared by llm_curate / llm_pipeline: quality
     * floor → exact-dedup keepers → near-dup cluster keepers → train
@@ -420,7 +423,21 @@ object LlmQueries {
       VectorOps.pqKnn(
           VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
           _ < AnnProbeMax, AnnK, PqM, PqCodes)
-        .orderBy("probe_id", "rk")))
+        .orderBy("probe_id", "rk")),
+
+    // stratified per-language sampling: hash-threshold keep rates (the
+    // exchange-free counterpart to llm_mix's exact quotas)
+    "llm_stratified" -> ((s, d) =>
+      TextAnalysisOps.stratifiedSample(docs(s, d), $"doc_id", $"lang",
+          StratRates, StratDefault)
+        .orderBy("stratum", "doc_id")),
+
+    // DSIR-style importance: target-domain (en) bigram model vs the
+    // corpus-wide model, score difference as the selection signal
+    "llm_importance" -> ((s, d) =>
+      TextAnalysisOps.importanceScore(docs(s, d), $"doc_id", $"text",
+          $"lang" === "en")
+        .orderBy("doc_id")))
 
   // ---- DuckDB oracles, built from the same DetHash literals ----
 
@@ -1406,5 +1423,60 @@ object LlmQueries {
         FROM scored)
       SELECT probe_id, vec_id, approx_dot, rk FROM ranked
       WHERE rk <= $AnnK ORDER BY probe_id, rk"""
-    })
+    },
+
+    "llm_stratified" -> {
+      val cases = StratRates.toSeq.sortBy(_._1)
+        .map { case (k, r) =>
+          s"WHEN '$k' THEN ${math.floor(r * 1000000).toLong}" }
+        .mkString(" ")
+      val dflt = math.floor(StratDefault * 1000000).toLong
+      s"""
+      WITH s AS (
+        SELECT lang AS stratum, doc_id,
+               CASE lang $cases ELSE $dflt END AS keep_ppm
+        FROM documents)
+      SELECT stratum, doc_id, CAST(keep_ppm AS BIGINT) AS keep_ppm
+      FROM s
+      WHERE ${DetHash.h60Sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000000
+            < keep_ppm
+      ORDER BY stratum, doc_id"""
+    },
+
+    "llm_importance" -> s"""
+      WITH d AS (SELECT doc_id, lang = 'en' AS is_t,
+                        string_split($Norm, ' ') AS ws,
+                        ${TextAnalysisOps.splitBucketSql("doc_id")} AS bucket
+                 FROM documents),
+      bg AS (
+        SELECT doc_id, bucket, is_t, ws[i] AS w1, ws[i+1] AS w2
+        FROM (SELECT doc_id, bucket, is_t, ws,
+                unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM d WHERE len(ws) >= 2)),
+      tc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+              FROM bg WHERE bucket < 80 AND is_t GROUP BY 1, 2),
+      tc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+              FROM bg WHERE bucket < 80 AND is_t GROUP BY 1),
+      tm AS (SELECT tc2.w1, tc2.w2,
+                    CAST(tc2.c2 * 1000000 // tc1.c1 AS BIGINT) AS tp
+             FROM tc2 JOIN tc1 USING (w1)),
+      bc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+              FROM bg WHERE bucket < 80 GROUP BY 1, 2),
+      bc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+              FROM bg WHERE bucket < 80 GROUP BY 1),
+      bm AS (SELECT bc2.w1, bc2.w2,
+                    CAST(bc2.c2 * 1000000 // bc1.c1 AS BIGINT) AS bp
+             FROM bc2 JOIN bc1 USING (w1)),
+      sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                    CAST(sum(coalesce(tm.tp, 0)) AS BIGINT) AS ts,
+                    CAST(sum(coalesce(bm.bp, 0)) AS BIGINT) AS bs
+             FROM bg b
+             LEFT JOIN tm ON tm.w1 = b.w1 AND tm.w2 = b.w2
+             LEFT JOIN bm ON bm.w1 = b.w1 AND bm.w2 = b.w2
+             GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             CAST(ts // n_bigrams AS BIGINT) AS target_ppm,
+             CAST(bs // n_bigrams AS BIGINT) AS base_ppm,
+             CAST(ts // n_bigrams - bs // n_bigrams AS BIGINT) AS importance
+      FROM sc ORDER BY doc_id""")
 }

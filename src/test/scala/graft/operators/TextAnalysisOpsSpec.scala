@@ -246,6 +246,43 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       nDocs == 2L && nOcc == 2L && firstDoc == 1L })
   }
 
+  test("stratifiedSample: kept set matches the per-stratum hash threshold") {
+    val d = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rates = Map("en" -> 0.5, "fr" -> 1.0, "zh" -> 0.1)
+    val kept = TextAnalysisOps.stratifiedSample(d, $"doc_id", $"lang",
+        rates, defaultRate = 0.25)
+      .as[(String, Long, Long)].collect().map(r => r._2 -> (r._1, r._3)).toMap
+    val all = d.select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expect = all.flatMap { case (id, lang) =>
+      val ppm = math.floor(rates.getOrElse(lang, 0.25) * 1000000).toLong
+      val h = graft.functions.DetHash.h60Value(s"strat:$id") % 1000000
+      if (h < ppm) Some(id -> (lang, ppm)) else None
+    }.toMap
+    assert(kept == expect)
+    // fr keeps everything; zh keeps a strict minority
+    val frAll = all.count(_._2 == "fr")
+    assert(kept.values.count(_._1 == "fr") == frAll)
+    assert(kept.values.count(_._1 == "zh") < all.count(_._2 == "zh") / 2)
+  }
+
+  test("importanceScore: target-domain docs score above the rest") {
+    val d = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val imp = TextAnalysisOps.importanceScore(d, $"doc_id", $"text",
+        $"lang" === "en")
+      .join(d.select($"doc_id", $"lang"), "doc_id")
+      .select($"lang" === "en", $"importance")
+      .as[(Boolean, Long)].collect()
+    val enMean = imp.filter(_._1).map(_._2.toDouble).sum / imp.count(_._1)
+    val restMean = imp.filterNot(_._1).map(_._2.toDouble).sum / imp.count(!_._1)
+    info(s"mean importance: en=$enMean rest=$restMean")
+    // the en-trained target model must prefer en documents — the signal
+    // DSIR resampling relies on
+    assert(enMean > restMean,
+      s"target model does not separate: en=$enMean rest=$restMean")
+  }
+
   test("lmScore: hand-computed bigram model over a controlled split") {
     import graft.functions.DetHash
     def bucket(i: Long) = DetHash.h60Value(s"split:$i") % 100

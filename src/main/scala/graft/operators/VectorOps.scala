@@ -381,23 +381,42 @@ object VectorOps {
     * Output: probe_id, vec_id, approx_dot, rk (1-based). */
   def pqKnn(vectors0: DataFrame, probeIds: Column => Column, k: Int,
             m: Int = 8, nCodes: Int = 16): DataFrame = {
-    require(m > 0 && nCodes > 0)
     val vectors = Pins.pin(vectors0)
-    // per-row split into m contiguous subvectors: (id, sub, sv)
-    def subSplit(df: DataFrame, idAs: String) =
-      df.select(col("vec_id").as(idAs), posexplode(expr(
-        s"transform(sequence(0, $m - 1)," +
-          s" j -> slice(qv, j * (size(qv) DIV $m) + 1, size(qv) DIV $m))")))
-        .select(col(idAs), $"pos".as("sub"), $"col".as("sv"))
-    val sub = subSplit(vectors, "vec_id")
+    val codebook = Pins.pin(pqCodebook(vectors, m, nCodes))
+    pqKnnWithIndex(vectors, codebook, pqEncode(vectors, codebook, m),
+      probeIds, k, m, nCodes)
+  }
+
+  /** Per-row split into m contiguous subvectors: (id, sub, sv). */
+  private def subSplit(df: DataFrame, m: Int, idAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), posexplode(expr(
+      s"transform(sequence(0, $m - 1)," +
+        s" j -> slice(qv, j * (size(qv) DIV $m) + 1, size(qv) DIV $m))")))
+      .select(col(idAs), $"pos".as("sub"), $"col".as("cv"))
+
+  /** The persistable PQ codebook: `m`·`nCodes` rows of (code, sub, cv,
+    * cn), seeded from the subvectors of the `nCodes` lowest-id vectors.
+    * An indexing run writes this once alongside [[pqEncode]]'s codes
+    * table; serving reads both back ([[pqKnnWithIndex]]). */
+  def pqCodebook(vectors: DataFrame, m: Int, nCodes: Int): DataFrame = {
+    require(m > 0 && nCodes > 0)
     val seedW = Window.orderBy($"vec_id")
-    val codebook = subSplit(
+    subSplit(
         vectors.orderBy($"vec_id").limit(nCodes)
           .withColumn("code", row_number().over(seedW) - 1)
-          .select($"code".as("vec_id"), $"qv"), "code")
-      .select($"code", $"sub", $"sv".as("cv"))
+          .select($"code".as("vec_id"), $"qv"), m, "code")
       .withColumn("cn", LongArrayDot($"cv", $"cv"))
-    val codes = sub.join(broadcast(codebook), "sub")
+  }
+
+  /** The persistable PQ codes table: every vector's m nearest-codebook
+    * codes (exact-integer L2 argmin per subspace, ties → lowest code) as
+    * one compact array — the m-bytes-per-vector representation the ADC
+    * serving scan reads instead of raw embeddings.
+    * Output: vec_id, codes (array, sub order). */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    subSplit(vectors, m, "vec_id")
+      .withColumnRenamed("cv", "sv")
+      .join(broadcast(codebook), "sub")
       .withColumn("d2", LongArrayDot($"sv", $"sv") + $"cn"
         - lit(2L) * LongArrayDot($"sv", $"cv"))
       .groupBy($"vec_id", $"sub")
@@ -406,9 +425,20 @@ object VectorOps {
       .groupBy($"vec_id")
       .agg(sort_array(collect_list(struct($"sub", $"code"))).as("sc"))
       .select($"vec_id", transform($"sc", x => x.getField("code")).as("codes"))
+
+  /** PQ/ADC search against a PERSISTED index (the production serving
+    * shape, mirroring [[ivfKnnWithIndex]]): the codebook and codes
+    * tables are read back and searched; raw vectors are touched only to
+    * build each probe's lookup table (asymmetric distance — probes stay
+    * exact). [[pqKnn]] delegates here with an in-plan index, so the
+    * persisted and derived forms share every line of LUT/rank logic. */
+  def pqKnnWithIndex(vectors: DataFrame, codebook: DataFrame,
+                     codes: DataFrame, probeIds: Column => Column, k: Int,
+                     m: Int, nCodes: Int): DataFrame = {
+    require(m > 0 && nCodes > 0)
     // per-probe LUT, flattened to one array indexed by sub·nCodes + code
-    val lut = sub.filter(probeIds($"vec_id"))
-      .select($"vec_id".as("probe_id"), $"sub", $"sv")
+    val lut = subSplit(vectors.filter(probeIds($"vec_id")), m, "probe_id")
+      .withColumnRenamed("cv", "sv")
       .join(broadcast(codebook.select($"code", $"sub", $"cv")), "sub")
       .select($"probe_id", ($"sub" * nCodes + $"code").as("slot"),
         LongArrayDot($"sv", $"cv").as("t"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
@@ -40,7 +40,12 @@ object DedupStats {
   }
 
   private val seq = new AtomicLong(0)
-  private val registered = new AtomicBoolean(false)
+  // keyed by session: a JVM can host several sessions over its life
+  // (tests, restarts, concurrent apps — Pins documents the same case),
+  // and a once-per-process flag would leave every later session's
+  // metrics unharvested
+  private val registeredSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
   private val Prefix = "graft.capDrop."
 
   /** Attach the overflow observation to a bucket-counts DataFrame
@@ -60,7 +65,7 @@ object DedupStats {
   }
 
   private def ensureListener(spark: SparkSession): Unit =
-    if (registered.compareAndSet(false, true))
+    if (registeredSessions.add(spark))
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit = {

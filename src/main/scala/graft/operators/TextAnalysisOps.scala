@@ -482,9 +482,11 @@ object TextAnalysisOps {
     * character windows with `overlap` shared chars between neighbors.
     * Start positions step by `chunkLen - overlap`; the last window may be
     * short but every char is covered, and a doc no longer than the
-    * overlap still yields one chunk. Entirely narrow (a per-doc
-    * `transform` + explode — no shuffle, no state), so at 100 TB it rides
-    * the input scan; the explode factor is ~len/stride, bounded per row.
+    * overlap still yields one chunk. One spread exchange (the doc_id
+    * repartition shared with shingleHashArrays — parallelism must not
+    * depend on the input file layout) and then a per-doc `transform` +
+    * explode, no state; the explode factor is ~len/stride, bounded per
+    * row.
     * Output: doc_id, chunk_idx (0-based), start (1-based), n_chars,
     * chunk_hash. */
   def chunkWindows(docs: DataFrame, id: Column, text: Column,
@@ -606,6 +608,40 @@ object TextAnalysisOps {
       .select($"stratum", $"doc_id", $"keep_ppm")
   }
 
+  /** Per-doc bigram rows (doc_id [, extra carried cols], w1, w2) — the
+    * shared expansion behind [[lmScore]] and [[importanceScore]]; the
+    * caller pins it (both models and the scoring join re-read it). */
+  private def bigramRows(docs: DataFrame, id: Column, text: Column,
+                         extra: Seq[(Column, String)]): DataFrame = {
+    val carried = extra.map { case (_, n) => col(n) }
+    docs.select(id.as("doc_id") +: extra.map { case (c, n) => c.as(n) } :+
+        split(normText(text), " ").as("ws"): _*)
+      .filter(size($"ws") >= 2)
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .select($"doc_id" +: carried :+ explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("bg"): _*)
+      .select($"doc_id" +: carried :+ $"bg.w1".as("w1") :+
+        $"bg.w2".as("w2"): _*)
+  }
+
+  /** The [[withSplit]] train bucket as a filter over bigram rows. */
+  private def trainBucket(trainPct: Int): Column =
+    DetHash.h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100 <
+      trainPct
+
+  /** Bigram model from train-side bigram rows: scaled conditional
+    * probability `c(w1,w2)·10⁶ DIV c(w1·)` per seen bigram, named `p`.
+    * Vocabulary-sized partial aggs; the single source of the model rule
+    * shared by [[lmScore]] and [[importanceScore]]. */
+  private def bigramModel(side: DataFrame, p: String): DataFrame = {
+    val c2 = side.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = side.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    c2.join(c1, "w1")
+      .select($"w1", $"w2", expr("c2 * 1000000 DIV c1").as(p))
+  }
+
   /** Bigram language-model scoring — the CCNet-style "how much does this
     * doc look like the reference corpus" quality signal: train bigram /
     * history counts on the train split (the deterministic [[withSplit]]
@@ -624,22 +660,8 @@ object TextAnalysisOps {
   def lmScore(docs: DataFrame, id: Column, text: Column,
               trainPct: Int = 80): DataFrame = {
     require(trainPct > 0 && trainPct <= 100)
-    val big = Pins.pin(
-      docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
-        .filter(size($"ws") >= 2)
-        .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(ws) - 1)," +
-            " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
-          .as("bg"))
-        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2")))
-    val train = big.filter(
-      DetHash.h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
-        < trainPct)
-    val c2 = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val c1 = train.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val model = c2.join(c1, "w1")
-      .select($"w1", $"w2", expr("c2 * 1000000 DIV c1").as("p_ppm"))
+    val big = Pins.pin(bigramRows(docs, id, text, Nil))
+    val model = bigramModel(big.filter(trainBucket(trainPct)), "p_ppm")
     big.join(model, Seq("w1", "w2"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -664,27 +686,10 @@ object TextAnalysisOps {
   def importanceScore(docs: DataFrame, id: Column, text: Column,
                       isTarget: Column, trainPct: Int = 80): DataFrame = {
     require(trainPct > 0 && trainPct <= 100)
-    val big = Pins.pin(
-      docs.select(id.as("doc_id"), isTarget.as("is_t"),
-          split(normText(text), " ").as("ws"))
-        .filter(size($"ws") >= 2)
-        .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
-        .select($"doc_id", $"is_t", explode(expr(
-          "transform(sequence(1, size(ws) - 1)," +
-            " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
-          .as("bg"))
-        .select($"doc_id", $"is_t", $"bg.w1".as("w1"), $"bg.w2".as("w2")))
-    val train = big.filter(
-      DetHash.h60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
-        < trainPct)
-    def model(side: DataFrame, p: String): DataFrame = {
-      val c2 = side.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-      val c1 = side.groupBy($"w1").agg(count(lit(1)).as("c1"))
-      c2.join(c1, "w1")
-        .select($"w1", $"w2", expr("c2 * 1000000 DIV c1").as(p))
-    }
-    big.join(model(train.filter($"is_t"), "tp"), Seq("w1", "w2"), "left")
-      .join(model(train, "bp"), Seq("w1", "w2"), "left")
+    val big = Pins.pin(bigramRows(docs, id, text, Seq(isTarget -> "is_t")))
+    val train = big.filter(trainBucket(trainPct))
+    big.join(bigramModel(train.filter($"is_t"), "tp"), Seq("w1", "w2"), "left")
+      .join(bigramModel(train, "bp"), Seq("w1", "w2"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce($"tp", lit(0L))).as("ts"),

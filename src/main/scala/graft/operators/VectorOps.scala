@@ -156,9 +156,17 @@ object VectorOps {
     // grows — new high ids never displace them)
     var cents: DataFrame = train.orderBy($"vec_id").limit(nCentroids)
       .select($"vec_id".as("cent_id"), $"qv".as("cv"))
-    for (_ <- 0 until iters) {
-      val cur = cents.select($"cent_id", $"cv").as[(Long, Seq[Long])]
-        .collect().toSeq.toDF("cent_id", "cv")
+    for (it <- 0 until iters) {
+      val rows = cents.select($"cent_id", $"cv").as[(Long, Seq[Long])]
+        .collect().toSeq
+      // a too-aggressive sample mod silently trains fewer centroids than
+      // asked (or none: every downstream search would return empty) —
+      // surface it the first time the seeds materialize
+      if (it == 0 && rows.length < nCentroids)
+        System.err.println(s"[graft] trainCentroids: sample yielded only " +
+          s"${rows.length} seed(s) for $nCentroids centroids " +
+          s"(trainSampleMod=$trainSampleMod too large for this corpus?)")
+      val cur = rows.toDF("cent_id", "cv")
       val c = broadcast(cur.withColumn("cn", LongArrayDot($"cv", $"cv")))
       val assigned = train.crossJoin(c)
         .withColumn("cdot", LongArrayDot($"qv", $"cv"))
@@ -387,11 +395,19 @@ object VectorOps {
       probeIds, k, m, nCodes)
   }
 
-  /** Per-row split into m contiguous subvectors: (id, sub, sv). */
+  /** Per-row split into m contiguous subvectors: (id, sub, cv). Rejects
+    * (at execution, per row) a dimension not divisible by m — a silent
+    * integer-division split would drop the trailing dims from every
+    * distance while the oracle's (i-1)//subDim rule scores them, a
+    * divergence that only surfaces as a hash mismatch much later. */
   private def subSplit(df: DataFrame, m: Int, idAs: String): DataFrame =
-    df.select(col("vec_id").as(idAs), posexplode(expr(
-      s"transform(sequence(0, $m - 1)," +
-        s" j -> slice(qv, j * (size(qv) DIV $m) + 1, size(qv) DIV $m))")))
+    df.select(col("vec_id").as(idAs), expr(
+        s"IF(size(qv) % $m = 0, qv," +
+          s" raise_error('graft pq: vector dim not divisible by m=$m'))")
+        .as("qv"))
+      .select(col(idAs), posexplode(expr(
+        s"transform(sequence(0, $m - 1)," +
+          s" j -> slice(qv, j * (size(qv) DIV $m) + 1, size(qv) DIV $m))")))
       .select(col(idAs), $"pos".as("sub"), $"col".as("cv"))
 
   /** The persistable PQ codebook: `m`·`nCodes` rows of (code, sub, cv,

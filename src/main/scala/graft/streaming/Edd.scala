@@ -219,7 +219,9 @@ object EddMain {
   private def statusEvery(src: EddSource): Option[Int] =
     src.config.flatMap(_.split('|').collectFirst {
       case s if s.startsWith("statusEvery=") =>
-        s.stripPrefix("statusEvery=").trim.toInt
+        val v = s.stripPrefix("statusEvery=").trim
+        v.toIntOption.getOrElse(throw new EddConfig.EddConfigException(
+          s"statusEvery needs an integer, got '$v' (plugin ${src.plugin})"))
     })
 
   /** Rollup resolutions from the EDO `DC:` string (`res=60,300|...`),

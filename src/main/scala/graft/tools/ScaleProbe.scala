@@ -71,6 +71,9 @@ object ScaleProbe {
       time(VectorOps.trainCentroids(
         VectorOps.quantize(e, $"vec_id", $"embedding"), 16, 2,
         trainSampleMod = k).count())
+      println("  pqKnn (encode + ADC serve, codes-only corpus scan)")
+      time(VectorOps.pqKnn(
+        VectorOps.quantize(e, $"vec_id", $"embedding"), _ < 10, 5).count())
       println("  packSequences, ONE shard (two-phase prefix sum: must " +
         "grow linearly, not serialize into one window task)")
       time(graft.operators.TextAnalysisOps

@@ -419,4 +419,37 @@ object TimeSeriesOps {
         $"vmin", $"vmax", $"s.v".as("last"))
     }.reduce(_ unionByName _)
   }
+
+  /** Statistical outlier detection — the n-sigma rule as a distributed
+    * two-pass: per-channel moments (sum, sum-of-squares, count — EXACT
+    * cents-integer partial aggs that collapse map-side), then one flag
+    * scan against the broadcast per-channel (mu, variance). Mean and
+    * variance are single-rounded IEEE doubles derived from the exact
+    * integers, so the flag decision (and z itself) is bit-identical
+    * across engines and partitionings — the extension of the
+    * reference's static threshold predicates (`etsdQuery.h:30-33`) to a
+    * data-driven threshold.
+    *
+    * Scale note: sum-of-squares of cents values stays inside a signed
+    * long through ~10⁹ rows per channel at 10⁵-cent magnitudes; beyond
+    * that, widen the moment columns to DECIMAL(38,0) — the shape is
+    * unchanged. Output: channel, ts_us, value, z (flagged rows only). */
+  def statOutliers(df: DataFrame, chan: Column, ts: Column, value: Column,
+                   nSigma: Double = 3.0): DataFrame = {
+    require(nSigma > 0)
+    val v = df.filter(value.isNotNull)
+      .select(chan.as("channel"), unix_micros(ts).as("ts_us"),
+        cents(value).as("vc"))
+    val m = v.groupBy($"channel")
+      .agg(sum($"vc").as("s"), sum($"vc" * $"vc").as("sq"),
+        count(lit(1)).as("n"))
+      .select($"channel", ($"s".cast("double") / $"n").as("mu"),
+        ($"sq".cast("double") / $"n" -
+          ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n"))
+          .as("vr"))
+    v.join(broadcast(m), "channel")
+      .filter(($"vc" - $"mu") * ($"vc" - $"mu") > lit(nSigma * nSigma) * $"vr")
+      .select($"channel", $"ts_us", ($"vc".cast("double") / 100.0).as("value"),
+        (($"vc" - $"mu") / sqrt($"vr")).as("z"))
+  }
 }

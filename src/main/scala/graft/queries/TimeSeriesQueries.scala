@@ -70,6 +70,12 @@ object TimeSeriesQueries {
           $"event_id", lit(VatT).cast("timestamp"))
         .orderBy("channel")),
 
+    // data-driven 3-sigma outliers per channel (the reference's static
+    // threshold predicates, etsdQuery.h:30-33, with a learned threshold)
+    "ts_outliers" -> ((s, d) =>
+      TimeSeriesOps.statOutliers(events(s, d), $"event_type", $"ts", $"value")
+        .orderBy("channel", "ts_us", "value")),
+
     // ETSD_KS kitchen-sink single-pass stats (etsdQuery.h:25-55)
     "ts_ks" -> ((s, d) =>
       TimeSeriesOps.kitchenSink(events(s, d), $"event_type", $"ts", $"value",
@@ -233,6 +239,24 @@ object TimeSeriesQueries {
       FROM events
       WHERE ts <= TIMESTAMP '$VatT'
       GROUP BY 1 ORDER BY 1""",
+
+    "ts_outliers" -> """
+      WITH v AS (
+        SELECT event_type AS channel, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL),
+      m AS (
+        SELECT channel,
+               CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) / count(*) AS mu,
+               CAST(CAST(sum(vc * vc) AS BIGINT) AS DOUBLE) / count(*)
+                 - (CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) / count(*))
+                   * (CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) / count(*)) AS vr
+        FROM v GROUP BY 1)
+      SELECT v.channel, v.ts_us, CAST(vc AS DOUBLE) / 100.0 AS value,
+             (vc - mu) / sqrt(vr) AS z
+      FROM v JOIN m USING (channel)
+      WHERE (vc - mu) * (vc - mu) > 9.0 * vr
+      ORDER BY channel, ts_us, value""",
 
     "ts_ks" -> s"""
       WITH e AS (

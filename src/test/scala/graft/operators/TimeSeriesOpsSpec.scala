@@ -143,4 +143,30 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(None, None, Some(100L), Some(107L), None, Some(110L),
       Some(120L)))
   }
+
+  test("statOutliers flags exactly the brute-force 3-sigma set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two channels: "a" has one planted spike, "b" is flat (variance 0 —
+    // nothing may be flagged, and the guard must not divide by zero)
+    val aVals = (1 to 50).map(_.toDouble % 7 + 10.0) :+ 500.0
+    val rows = (aVals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) } ++
+      (0 until 20).map(i => (100L + i, "b", 42.0)))
+      .toDF("sec", "channel", "value")
+      .select(timestamp_seconds($"sec").as("ts"), $"channel", $"value")
+    val got = TimeSeriesOps.statOutliers(rows, $"channel", $"ts", $"value")
+      .as[(String, Long, Double, Double)].collect().toSet
+    // brute force in the same cents-integer space
+    val vc = aVals.map(v => math.round(v * 100))
+    val n = vc.length
+    val mu = vc.sum.toDouble / n
+    val vr = vc.map(x => x.toDouble * x).sum / n - mu * mu
+    val expect = vc.zipWithIndex.collect {
+      case (x, i) if (x - mu) * (x - mu) > 9.0 * vr =>
+        ("a", i.toLong * 1000000L, x / 100.0, (x - mu) / math.sqrt(vr))
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.forall(_._4 > 3.0))
+    assert(!got.exists(_._1 == "b"), "zero-variance channel must not flag")
+  }
 }

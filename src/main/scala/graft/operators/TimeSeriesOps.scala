@@ -452,4 +452,38 @@ object TimeSeriesOps {
       .select($"channel", $"ts_us", ($"vc".cast("double") / 100.0).as("value"),
         (($"vc" - $"mu") / sqrt($"vr")).as("z"))
   }
+
+  /** CUSUM change-point estimation per channel: the time where the
+    * cumulative deviation from the channel mean peaks — the classic
+    * level-shift detector. Exact integers throughout the heavy path: the
+    * running statistic is the prefix sum of `n·vc − T` (value scaled by
+    * the channel count minus the channel total), which equals
+    * `n · Σ(vc_j − μ)` without ever touching a fractional mean, and the
+    * prefix runs through [[counterReconstruct]]'s two-phase segment
+    * design — no task materializes a full channel history. The argmax of
+    * |S_i| (ties → earliest point) is a per-channel struct max; the
+    * reported peak is `S / n / 100` — the mean-deviation CUSUM in value
+    * units, one deterministic double division at the very end.
+    *
+    * Scale note: `n·vc` and its prefix stay inside a signed long through
+    * ~10⁸ rows per channel at 10⁵-cent magnitudes; widen to
+    * DECIMAL(38,0) beyond that — the shape is unchanged.
+    * Output: channel, n, change_ts_us, peak. */
+  def changePoints(df: DataFrame, chan: Column, ts: Column, value: Column,
+                   tieBreak: Column): DataFrame = {
+    val v = df.filter(value.isNotNull)
+      .select(chan.as("channel"), ts.as("ts"), tieBreak.as("tb"),
+        cents(value).as("vc"))
+    val m = Pins.pin(v.groupBy($"channel")
+      .agg(sum($"vc").as("t"), count(lit(1)).as("n")))
+    val rec = counterReconstruct(v.join(broadcast(m), "channel"),
+      $"channel", $"ts", $"n" * $"vc" - $"t", $"tb")
+    rec.select($"channel", $"ts", $"tb", $"cum")
+      .groupBy($"channel")
+      .agg(max(struct(abs($"cum").as("a"), (-unix_micros($"ts")).as("nt"),
+        (-$"tb").as("ntb"), $"cum".as("s"))).as("b"))
+      .join(broadcast(m), "channel")
+      .select($"channel", $"n", (-$"b.nt").as("change_ts_us"),
+        ($"b.s".cast("double") / $"n" / 100.0).as("peak"))
+  }
 }

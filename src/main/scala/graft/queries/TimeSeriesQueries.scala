@@ -76,6 +76,13 @@ object TimeSeriesQueries {
       TimeSeriesOps.statOutliers(events(s, d), $"event_type", $"ts", $"value")
         .orderBy("channel", "ts_us", "value")),
 
+    // CUSUM change-point per channel (level-shift detection; the
+    // running statistic rides counterReconstruct's two-phase prefix)
+    "ts_changepoint" -> ((s, d) =>
+      TimeSeriesOps.changePoints(events(s, d), $"event_type", $"ts", $"value",
+          $"event_id")
+        .orderBy("channel")),
+
     // ETSD_KS kitchen-sink single-pass stats (etsdQuery.h:25-55)
     "ts_ks" -> ((s, d) =>
       TimeSeriesOps.kitchenSink(events(s, d), $"event_type", $"ts", $"value",
@@ -257,6 +264,30 @@ object TimeSeriesQueries {
       FROM v JOIN m USING (channel)
       WHERE (vc - mu) * (vc - mu) > 9.0 * vr
       ORDER BY channel, ts_us, value""",
+
+    "ts_changepoint" -> """
+      WITH v AS (
+        SELECT event_type AS channel, ts, event_id AS tb,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL),
+      m AS (SELECT channel, CAST(sum(vc) AS BIGINT) AS t,
+                   count(*) AS n FROM v GROUP BY 1),
+      s AS (
+        SELECT v.channel, v.ts, v.tb, m.n,
+               CAST(sum(m.n * v.vc - m.t) OVER (
+                 PARTITION BY v.channel ORDER BY v.ts, v.tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM v JOIN m USING (channel)),
+      p AS (
+        SELECT channel, any_value(n) AS n,
+               max(struct_pack(a := abs(cum),
+                 nt := -CAST(epoch_us(ts) AS BIGINT),
+                 ntb := -tb, s := cum)) AS b
+        FROM s GROUP BY 1)
+      SELECT channel, CAST(n AS BIGINT) AS n,
+             CAST(-((b).nt) AS BIGINT) AS change_ts_us,
+             CAST((b).s AS DOUBLE) / n / 100.0 AS peak
+      FROM p ORDER BY channel""",
 
     "ts_ks" -> s"""
       WITH e AS (

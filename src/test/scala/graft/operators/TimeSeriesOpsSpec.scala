@@ -169,4 +169,25 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._4 > 3.0))
     assert(!got.exists(_._1 == "b"), "zero-variance channel must not flag")
   }
+
+  test("changePoints finds a planted level shift at the shift boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mean jumps 10 -> 20 at index 60: |CUSUM| peaks at the last
+    // pre-shift sample (the classic estimator property)
+    val vals = Seq.fill(60)(10.0) ++ Seq.fill(40)(20.0)
+    val rows = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v, i.toLong) }
+      .toDF("sec", "channel", "value", "tb")
+      .select(timestamp_seconds($"sec").as("ts"), $"channel", $"value", $"tb")
+    val got = TimeSeriesOps.changePoints(rows, $"channel", $"ts", $"value",
+        $"tb")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (ch, n, tsUs, peak) = got(0)
+    assert(ch == "a" && n == 100L)
+    assert(tsUs == 59L * 1000000L, s"change point at $tsUs, expected t=59s")
+    // peak = sum_{i<=59} (10 - 14) in value units = 60 * (10 - 14) = -240
+    assert(math.abs(peak - -240.0) < 1e-9, s"peak $peak")
+  }
 }

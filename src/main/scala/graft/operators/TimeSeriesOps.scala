@@ -422,33 +422,36 @@ object TimeSeriesOps {
 
   /** Statistical outlier detection — the n-sigma rule as a distributed
     * two-pass: per-channel moments (sum, sum-of-squares, count — EXACT
-    * cents-integer partial aggs that collapse map-side), then one flag
-    * scan against the broadcast per-channel (mu, variance). Mean and
-    * variance are single-rounded IEEE doubles derived from the exact
-    * integers, so the flag decision (and z itself) is bit-identical
-    * across engines and partitionings — the extension of the
-    * reference's static threshold predicates (`etsdQuery.h:30-33`) to a
-    * data-driven threshold.
-    *
-    * Scale note: sum-of-squares of cents values stays inside a signed
-    * long through ~10⁹ rows per channel at 10⁵-cent magnitudes; beyond
-    * that, widen the moment columns to DECIMAL(38,0) — the shape is
-    * unchanged. Output: channel, ts_us, value, z (flagged rows only). */
+    * partial aggs that collapse map-side, widened to DECIMAL(38,0) so
+    * nothing wraps at any realistic channel size; the DuckDB twin sums
+    * in HUGEINT), then one flag scan against the broadcast per-channel
+    * (mu, variance). Mean and variance are single-rounded IEEE doubles
+    * derived from the exact integers, so the flag decision (and z
+    * itself) is bit-identical across engines and partitionings — the
+    * extension of the reference's static threshold predicates
+    * (`etsdQuery.h:30-33`) to a data-driven threshold. Channels whose
+    * computed variance is ≤ 0 (constant, or a near-constant whose true
+    * variance sits below the double's cancellation error) flag nothing —
+    * without that guard a tiny negative `vr` would pass EVERY row with
+    * z = NaN. Output: channel, ts_us, value, z (flagged rows only). */
   def statOutliers(df: DataFrame, chan: Column, ts: Column, value: Column,
                    nSigma: Double = 3.0): DataFrame = {
     require(nSigma > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
     val v = df.filter(value.isNotNull)
       .select(chan.as("channel"), unix_micros(ts).as("ts_us"),
         cents(value).as("vc"))
     val m = v.groupBy($"channel")
-      .agg(sum($"vc").as("s"), sum($"vc" * $"vc").as("sq"),
+      .agg(sum($"vc".cast(dec)).as("s"),
+        sum($"vc".cast(dec) * $"vc".cast(dec)).as("sq"),
         count(lit(1)).as("n"))
       .select($"channel", ($"s".cast("double") / $"n").as("mu"),
         ($"sq".cast("double") / $"n" -
           ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n"))
           .as("vr"))
     v.join(broadcast(m), "channel")
-      .filter(($"vc" - $"mu") * ($"vc" - $"mu") > lit(nSigma * nSigma) * $"vr")
+      .filter($"vr" > 0 &&
+        ($"vc" - $"mu") * ($"vc" - $"mu") > lit(nSigma * nSigma) * $"vr")
       .select($"channel", $"ts_us", ($"vc".cast("double") / 100.0).as("value"),
         (($"vc" - $"mu") / sqrt($"vr")).as("z"))
   }
@@ -465,9 +468,10 @@ object TimeSeriesOps {
     * reported peak is `S / n / 100` — the mean-deviation CUSUM in value
     * units, one deterministic double division at the very end.
     *
-    * Scale note: `n·vc` and its prefix stay inside a signed long through
-    * ~10⁸ rows per channel at 10⁵-cent magnitudes; widen to
-    * DECIMAL(38,0) beyond that — the shape is unchanged.
+    * The statistic and its prefix are DECIMAL(38,0) (the DuckDB twin
+    * sums in HUGEINT): the worst case grows as n²·deviation — a long
+    * would silently wrap at only a few million rows for the very level
+    * shifts the detector exists to find. Decimal holds exactly to 10³⁸.
     * Output: channel, n, change_ts_us, peak. */
   def changePoints(df: DataFrame, chan: Column, ts: Column, value: Column,
                    tieBreak: Column): DataFrame = {
@@ -476,8 +480,9 @@ object TimeSeriesOps {
         cents(value).as("vc"))
     val m = Pins.pin(v.groupBy($"channel")
       .agg(sum($"vc").as("t"), count(lit(1)).as("n")))
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
     val rec = counterReconstruct(v.join(broadcast(m), "channel"),
-      $"channel", $"ts", $"n" * $"vc" - $"t", $"tb")
+      $"channel", $"ts", $"n".cast(dec) * $"vc" - $"t", $"tb")
     rec.select($"channel", $"ts", $"tb", $"cum")
       .groupBy($"channel")
       .agg(max(struct(abs($"cum").as("a"), (-unix_micros($"ts")).as("nt"),

@@ -252,17 +252,18 @@ object TimeSeriesQueries {
         SELECT event_type AS channel, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                CAST(round(value * 100) AS BIGINT) AS vc
         FROM events WHERE value IS NOT NULL),
-      m AS (
+      m AS ( -- HUGEINT sums (the Spark side is DECIMAL(38,0)): exact at
+             -- any channel size, then ONE rounding into double each
         SELECT channel,
-               CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) / count(*) AS mu,
-               CAST(CAST(sum(vc * vc) AS BIGINT) AS DOUBLE) / count(*)
-                 - (CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) / count(*))
-                   * (CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) / count(*)) AS vr
+               CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE) / count(*) AS mu,
+               CAST(sum(CAST(vc AS HUGEINT) * vc) AS DOUBLE) / count(*)
+                 - (CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE) / count(*))
+                   * (CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE) / count(*)) AS vr
         FROM v GROUP BY 1)
       SELECT v.channel, v.ts_us, CAST(vc AS DOUBLE) / 100.0 AS value,
              (vc - mu) / sqrt(vr) AS z
       FROM v JOIN m USING (channel)
-      WHERE (vc - mu) * (vc - mu) > 9.0 * vr
+      WHERE vr > 0 AND (vc - mu) * (vc - mu) > 9.0 * vr
       ORDER BY channel, ts_us, value""",
 
     "ts_changepoint" -> """
@@ -272,11 +273,12 @@ object TimeSeriesQueries {
         FROM events WHERE value IS NOT NULL),
       m AS (SELECT channel, CAST(sum(vc) AS BIGINT) AS t,
                    count(*) AS n FROM v GROUP BY 1),
-      s AS (
+      s AS ( -- HUGEINT statistic and prefix (Spark: DECIMAL(38,0)) —
+             -- the worst case grows as n^2 * deviation, far past BIGINT
         SELECT v.channel, v.ts, v.tb, m.n,
-               CAST(sum(m.n * v.vc - m.t) OVER (
+               sum(CAST(m.n AS HUGEINT) * v.vc - m.t) OVER (
                  PARTITION BY v.channel ORDER BY v.ts, v.tb
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM v JOIN m USING (channel)),
       p AS (
         SELECT channel, any_value(n) AS n,

@@ -283,6 +283,53 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       s"target model does not separate: en=$enMean rest=$restMean")
   }
 
+  test("chunkWindows covers every char: stitching chunks (overlap " +
+      "dropped) reproduces the document, for random lengths") {
+    val rng = new scala.util.Random(23)
+    val docs = (1L to 30L).map { i =>
+      val len = 1 + rng.nextInt(400)
+      (i, (1 to len).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    }
+    val d = docs.toDF("doc_id", "text")
+    val chunks = TextAnalysisOps.chunkWindows(d, $"doc_id", $"text",
+        chunkLen = 64, overlap = 16)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((id, text) <- docs) {
+      val cs = chunks(id)
+      // stitch: first chunk whole, then each successive chunk minus the
+      // chars its start overlaps with what's already covered
+      val stitched = cs.map { case (_, _, start, n, _) => (start, n) }
+        .foldLeft(("", 0L)) { case ((acc, covered), (start, n)) =>
+          val skip = (covered - (start - 1)).max(0L)
+          (acc + text.substring((start - 1 + skip).toInt,
+            (start - 1 + n).toInt), (start - 1 + n).max(covered))
+        }._1
+      assert(stitched == text, s"doc $id not covered")
+      // every chunk hash is the md5 of its substring
+      cs.foreach { case (_, _, start, n, h) =>
+        assert(h == md5hex(text.substring((start - 1).toInt,
+          (start - 1 + n).toInt)))
+      }
+    }
+  }
+
+  test("segmentDedup with nothing shared keeps every doc intact " +
+      "(clean_hash == md5(norm))") {
+    val rng = new scala.util.Random(29)
+    val docs = (1L to 20L).map { i =>
+      val words = (1 to 5 + rng.nextInt(40)).map(_ => s"u${i}w${rng.nextInt(1 << 20)}")
+      (i, words.mkString(" "))
+    }
+    val got = TextAnalysisOps.segmentDedup(docs.toDF("doc_id", "text"),
+        $"doc_id", $"text", segWords = 10, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    for (((id, text), (gid, nSegs, nKept, h)) <- docs.zip(got)) {
+      assert(id == gid && nSegs == nKept, s"doc $id lost segments")
+      assert(h == md5hex(text), s"doc $id reconstruction drifted")
+    }
+  }
+
   test("lmScore: hand-computed bigram model over a controlled split") {
     import graft.functions.DetHash
     def bucket(i: Long) = DetHash.h60Value(s"split:$i") % 100

@@ -79,4 +79,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pqRecall >= 0.25, s"PQ recall regressed: $pqRecall")
     assert(pq32Recall >= 0.2, s"PQ-32 recall regressed: $pq32Recall")
   }
+
+  test("two-stage PQ (ADC shortlist + exact re-rank) recall vs brute force") {
+    val q = VectorOps.quantize(
+      Tables.table(spark, sfDir, "embeddings"), $"vec_id", $"embedding")
+      .cache()
+    val brute = pairs(VectorOps.bruteKnn(q, q.filter($"vec_id" < 10), 5))
+    val rr = pairs(VectorOps.pqKnnReranked(q, _ < 10, 5, r = 50))
+    val rrRecall = rr.intersect(brute).size.toDouble / brute.size
+    info(s"recall: pq_rerank(r=50)=$rrRecall")
+    // the exact re-rank of a top-50 ADC shortlist lifts the weak raw ADC
+    // ranking (~0.3) well past the usable floor: any true neighbor that
+    // lands anywhere in the shortlist is recovered exactly
+    assert(rrRecall >= 0.6, s"re-ranked PQ recall regressed: $rrRecall")
+    // shortlist hits are re-scored EXACTLY, so every returned pair that
+    // brute force also returns must carry identical rank ordering rules;
+    // and widening r can only help — r = corpus degenerates to brute
+    val rrWide = pairs(VectorOps.pqKnnReranked(q, _ < 10, 5, r = 100))
+    val wideRecall = rrWide.intersect(brute).size.toDouble / brute.size
+    assert(wideRecall >= rrRecall - 1e-9,
+      s"wider shortlist lost recall: $rrRecall -> $wideRecall")
+  }
 }

@@ -65,9 +65,36 @@ object LlmQueries {
   private val BloomGramN = 8       // Bloom incremental pass gram width
   private val PqM = 8              // PQ subspaces (64 dims -> 8x8)
   private val PqCodes = 16         // PQ codebook entries per subspace
+  private val PqRerankR = 50       // ADC shortlist width for exact re-rank
   // stratified-sample demo rates over the fixture's langs
   private val StratRates = Map("en" -> 0.5, "fr" -> 1.0, "zh" -> 0.1)
   private val StratDefault = 0.25
+
+  // llm_domains / llm_boilerplate input derivation: the synthetic corpus
+  // carries no in-text URLs and (at the sf0.01 gate) no cross-doc
+  // sentences, so both queries used to hash-match empty result sets —
+  // which proves nothing about the extract → rank / shared-sentence
+  // paths. Each query now appends deterministic doc_id-derived content
+  // to `text`, expressed identically in the Spark plan and the DuckDB
+  // oracle, so the cross-engine gate compares real rows at every SF.
+  private val CiteSql =
+    "text || ' https://mirror' || CAST(doc_id % 7 AS VARCHAR) ||" +
+    " '.example.org/d/' || CAST(doc_id AS VARCHAR) ||" +
+    " ' http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/a'"
+  private def withCitations(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat($"text",
+      lit(" https://mirror"), ($"doc_id" % 7).cast("string"),
+      lit(".example.org/d/"), $"doc_id".cast("string"),
+      lit(" http://cdn"), ($"doc_id" % 3).cast("string"),
+      lit(".example.net/a")))
+  private val FooterSql =
+    "text || '. standard licensing footer variant ' ||" +
+    " CAST(doc_id % 5 AS VARCHAR) || ' redistribution requires attribution'"
+  private def withFooter(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat($"text",
+      lit(". standard licensing footer variant "),
+      ($"doc_id" % 5).cast("string"),
+      lit(" redistribution requires attribution")))
 
   /** The curation funnel shared by llm_curate / llm_pipeline: quality
     * floor → exact-dedup keepers → near-dup cluster keepers → train
@@ -320,9 +347,11 @@ object LlmQueries {
       TextAnalysisOps.qualitySample(docs(s, d), $"doc_id", $"text")
         .orderBy("doc_id")),
 
-    // per-domain citation stats from in-text URLs (domain filter input)
+    // per-domain citation stats from in-text URLs (domain filter input);
+    // runs over the doc_id-derived citation footer (see [[CiteSql]]) so
+    // the gate compares non-empty rows
     "llm_domains" -> ((s, d) =>
-      TextAnalysisOps.domainStats(docs(s, d), $"doc_id", $"text")),
+      TextAnalysisOps.domainStats(withCitations(docs(s, d)), $"doc_id", $"text")),
 
     // token-blocklist safety filter: docs containing a listed token
     "llm_blocklist" -> ((s, d) =>
@@ -346,9 +375,13 @@ object LlmQueries {
     "llm_label_centroids" -> ((s, d) =>
       VectorOps.labelCentroids(embs(s, d), $"label", $"embedding")),
 
-    // cross-doc boilerplate sentences (CCNet-style shared-sentence pass)
+    // cross-doc boilerplate sentences (CCNet-style shared-sentence pass);
+    // runs over the doc_id-derived footer sentence (see [[FooterSql]]) so
+    // shared sentences exist at every SF, not only where the fixture
+    // happens to carry duplicate docs
     "llm_boilerplate" -> ((s, d) =>
-      TextAnalysisOps.boilerplate(docs(s, d), $"doc_id", $"text", minDocs = 2)
+      TextAnalysisOps.boilerplate(withFooter(docs(s, d)), $"doc_id", $"text",
+          minDocs = 2)
         .orderBy("sent_h31")),
 
     // intra-doc 3-gram repetition ratio (Gopher-style quality rule)
@@ -425,6 +458,15 @@ object LlmQueries {
           _ < AnnProbeMax, AnnK, PqM, PqCodes)
         .orderBy("probe_id", "rk")),
 
+    // two-stage PQ serving: ADC top-R shortlist from the codes table,
+    // then exact integer-cosine re-rank of the bounded shortlist fetch
+    // (recall recovery — the corpus scan stays codes-only)
+    "llm_ann_pq_rr" -> ((s, d) =>
+      VectorOps.pqKnnReranked(
+          VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
+          _ < AnnProbeMax, AnnK, PqRerankR, PqM, PqCodes)
+        .orderBy("probe_id", "rk")),
+
     // stratified per-language sampling: hash-threshold keep rates (the
     // exchange-free counterpart to llm_mix's exact quotas)
     "llm_stratified" -> ((s, d) =>
@@ -442,6 +484,10 @@ object LlmQueries {
   // ---- DuckDB oracles, built from the same DetHash literals ----
 
   private val Norm = DedupOps.normTextSql("text")
+  // oracle twins of [[withCitations]] / [[withFooter]]: normalize the
+  // same augmented text expression, so both engines see identical input
+  private val NormCite = DedupOps.normTextSql(s"($CiteSql)")
+  private val NormFooter = DedupOps.normTextSql(s"($FooterSql)")
   private def h31(e: String): String = DetHash.h31Sql(e)
   private val WsTok = s"length(norm) - length(replace(norm, ' ', '')) + 1"
 
@@ -514,6 +560,46 @@ object LlmQueries {
 
   private val CosSql =
     "CAST(dot AS DOUBLE) / sqrt(CAST(pn AS DOUBLE) * CAST(nrm AS DOUBLE))"
+
+  /** PQ oracle CTE chain (codebook seed → encode → LUT → ADC ranking),
+    * shared by llm_ann_pq (raw ADC top-k) and llm_ann_pq_rr (top-R
+    * shortlist + exact re-rank). Ends at `ranked`. */
+  private val PqCtes = {
+    val subDim = EmbDim / PqM
+    s"""WITH $QuantCte,
+      uu AS (SELECT vec_id, (i - 1) // $subDim AS sub,
+                    (i - 1) % $subDim AS ii, v FROM u),
+      seeds AS (SELECT vec_id,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS code
+                FROM (SELECT DISTINCT vec_id FROM u
+                      ORDER BY vec_id LIMIT $PqCodes)),
+      cu AS (SELECT s.code, uu.sub, uu.ii, uu.v
+             FROM uu JOIN seeds s USING (vec_id)),
+      encd AS (
+        SELECT uu.vec_id, uu.sub, cu.code,
+               CAST(sum((uu.v - cu.v) * (uu.v - cu.v)) AS BIGINT) AS d2
+        FROM uu JOIN cu ON cu.sub = uu.sub AND cu.ii = uu.ii
+        GROUP BY 1, 2, 3),
+      enc AS (SELECT vec_id, sub,
+                     (min(struct_pack(d := d2, c := code))).c AS code
+              FROM encd GROUP BY 1, 2),
+      lut AS (
+        SELECT uu.vec_id AS probe_id, cu.sub, cu.code,
+               CAST(sum(uu.v * cu.v) AS BIGINT) AS t
+        FROM uu JOIN cu ON cu.sub = uu.sub AND cu.ii = uu.ii
+        WHERE uu.vec_id < $AnnProbeMax
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT l.probe_id, e.vec_id, CAST(sum(l.t) AS BIGINT) AS approx_dot
+        FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        WHERE e.vec_id <> l.probe_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT probe_id, vec_id, approx_dot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY approx_dot DESC, vec_id) AS INTEGER) AS rk
+        FROM scored)"""
+  }
 
   /** Unrolled Lloyd's iterations mirroring VectorOps.trainCentroids:
     * training runs on the deterministic hash-sample `h60("ivftrain:" ||
@@ -910,7 +996,7 @@ object LlmQueries {
     "llm_domains" -> s"""
       WITH urls AS (
         SELECT doc_id, unnest(regexp_extract_all(norm, '${TextAnalysisOps.UrlRe}')) AS url
-        FROM (SELECT doc_id, $Norm AS norm FROM documents)),
+        FROM (SELECT doc_id, $NormCite AS norm FROM documents)),
       hosts AS (
         SELECT DISTINCT doc_id,
                regexp_extract(url, '${TextAnalysisOps.DomainRe}', 1) AS domain
@@ -1242,7 +1328,7 @@ object LlmQueries {
       WITH sent AS (
         SELECT DISTINCT doc_id, ${h31("s")} AS sent_h31
         FROM (SELECT doc_id, unnest(regexp_split_to_array(norm, '[.!?]+\\s+')) AS s
-              FROM (SELECT doc_id, $Norm AS norm FROM documents))
+              FROM (SELECT doc_id, $NormFooter AS norm FROM documents))
         WHERE length(s) >= 20)
       SELECT sent_h31, count(*) AS n_docs, min(doc_id) AS first_doc
       FROM sent GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
@@ -1385,45 +1471,32 @@ object LlmQueries {
       WHERE s.n_shared >= 1 ORDER BY doc_id"""
     },
 
-    "llm_ann_pq" -> {
-      val subDim = EmbDim / PqM
-      s"""
-      WITH $QuantCte,
-      uu AS (SELECT vec_id, (i - 1) // $subDim AS sub,
-                    (i - 1) % $subDim AS ii, v FROM u),
-      seeds AS (SELECT vec_id,
-                       row_number() OVER (ORDER BY vec_id) - 1 AS code
-                FROM (SELECT DISTINCT vec_id FROM u
-                      ORDER BY vec_id LIMIT $PqCodes)),
-      cu AS (SELECT s.code, uu.sub, uu.ii, uu.v
-             FROM uu JOIN seeds s USING (vec_id)),
-      encd AS (
-        SELECT uu.vec_id, uu.sub, cu.code,
-               CAST(sum((uu.v - cu.v) * (uu.v - cu.v)) AS BIGINT) AS d2
-        FROM uu JOIN cu ON cu.sub = uu.sub AND cu.ii = uu.ii
-        GROUP BY 1, 2, 3),
-      enc AS (SELECT vec_id, sub,
-                     (min(struct_pack(d := d2, c := code))).c AS code
-              FROM encd GROUP BY 1, 2),
-      lut AS (
-        SELECT uu.vec_id AS probe_id, cu.sub, cu.code,
-               CAST(sum(uu.v * cu.v) AS BIGINT) AS t
-        FROM uu JOIN cu ON cu.sub = uu.sub AND cu.ii = uu.ii
-        WHERE uu.vec_id < $AnnProbeMax
-        GROUP BY 1, 2, 3),
-      scored AS (
-        SELECT l.probe_id, e.vec_id, CAST(sum(l.t) AS BIGINT) AS approx_dot
-        FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
-        WHERE e.vec_id <> l.probe_id
-        GROUP BY 1, 2),
-      ranked AS (
-        SELECT probe_id, vec_id, approx_dot,
-               CAST(row_number() OVER (PARTITION BY probe_id
-                 ORDER BY approx_dot DESC, vec_id) AS INTEGER) AS rk
-        FROM scored)
+    "llm_ann_pq" -> s"""
+      $PqCtes
       SELECT probe_id, vec_id, approx_dot, rk FROM ranked
-      WHERE rk <= $AnnK ORDER BY probe_id, rk"""
-    },
+      WHERE rk <= $AnnK ORDER BY probe_id, rk""",
+
+    // two-stage serving: ADC top-R shortlist, exact-cosine re-rank
+    "llm_ann_pq_rr" -> s"""
+      $PqCtes,
+      short AS (SELECT probe_id, vec_id FROM ranked WHERE rk <= $PqRerankR),
+      exd AS (
+        SELECT s.probe_id, s.vec_id,
+               CAST(sum(up.v * uv.v) AS BIGINT) AS dot,
+               any_value(qp.nrm) AS pn, any_value(qc.nrm) AS nrm
+        FROM short s
+        JOIN u up ON up.vec_id = s.probe_id
+        JOIN u uv ON uv.vec_id = s.vec_id AND uv.i = up.i
+        JOIN qn qp ON qp.vec_id = s.probe_id
+        JOIN qn qc ON qc.vec_id = s.vec_id
+        GROUP BY 1, 2),
+      rr AS (
+        SELECT probe_id, vec_id, $CosSql AS cos,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY $CosSql DESC, vec_id) AS INTEGER) AS rk
+        FROM exd)
+      SELECT probe_id, vec_id, cos, rk FROM rr
+      WHERE rk <= $AnnK ORDER BY probe_id, rk""",
 
     "llm_stratified" -> {
       val cases = StratRates.toSeq.sortBy(_._1)

@@ -89,11 +89,16 @@ object RelationalQueries {
         .orderBy($"p_brand")
     }),
 
-    // anti join: customers with no orders, per nation (left_anti — the
-    // NOT EXISTS shape; broadcast the nation dim)
+    // anti join: customers with no orders since 2000, per nation
+    // (left_anti — the NOT EXISTS shape; broadcast the nation dim).
+    // The synthetic orders table covers every custkey, so the order side
+    // is scoped to a date window — lapsed customers — to keep the
+    // anti-join result non-empty (a 0 = 0 row oracle match proves
+    // nothing about the join).
     "rel_cust_no_orders" -> ((s, d) => {
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
       val n = t(s, d, "nation")
       c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
@@ -278,7 +283,8 @@ object RelationalQueries {
       SELECT n_name, count(*) AS n_customers
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       GROUP BY 1 ORDER BY 1""",
 
     "rel_topk_customers" -> """

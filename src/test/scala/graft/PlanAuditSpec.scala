@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * side is a constant-bounded set by construction (probe set, centroid
     * set, or a 1-row corpus total). */
   private val broadcastLoopOk = Set("llm_ann_topk", "llm_ann_ivf",
-    "llm_semdedup", "llm_vocab", "llm_cluster_sizes", "llm_ann_pq")
+    "llm_semdedup", "llm_vocab", "llm_cluster_sizes", "llm_ann_pq",
+    "llm_ann_pq_rr")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no unbounded pair generation in the physical plan") {

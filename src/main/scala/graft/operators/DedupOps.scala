@@ -198,9 +198,13 @@ object DedupOps {
     * a contained doc shares ALL its shingles with its host, so sharing
     * survives any hash-keyed subset, and bucket rows (hence join cost)
     * drop ~sampleMod×. The miss probability is (1−1/mod)^k for a k-
-    * shingle doc — negligible beyond a few dozen shingles; set
-    * `sampleMod = 1` to scan exhaustively. Exact containment always uses
-    * the FULL shingle sets.
+    * shingle doc — negligible beyond a few dozen shingles (>10% only
+    * under ~17 shingles, i.e. docs shorter than ~21 normalized chars);
+    * set `sampleMod = 1` to scan exhaustively when such fragments
+    * matter. IncrementalDedupSpec ("short-doc containment") pins both
+    * sides of the trade: a planted all-shingles-dodge fragment the
+    * default misses and `sampleMod = 1` catches. Exact containment
+    * always uses the FULL shingle sets.
     * Output: doc_a < doc_b, n_common, cont_a (share of a's shingles in
     * b), cont_b. */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,

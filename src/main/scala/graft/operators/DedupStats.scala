@@ -43,9 +43,14 @@ object DedupStats {
   // keyed by session: a JVM can host several sessions over its life
   // (tests, restarts, concurrent apps — Pins documents the same case),
   // and a once-per-process flag would leave every later session's
-  // metrics unharvested
-  private val registeredSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // metrics unharvested. WEAKLY keyed (synchronized WeakHashMap-backed
+  // set): a strong key would pin every stopped session — and its whole
+  // object graph — for the life of the JVM, the very churn scenario
+  // this registry exists for. The listener itself dies with its
+  // session's listener bus, so no explicit deregistration is needed.
+  private val registeredSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private val Prefix = "graft.capDrop."
 
   /** Attach the overflow observation to a bucket-counts DataFrame

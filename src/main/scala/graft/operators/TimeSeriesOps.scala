@@ -422,9 +422,13 @@ object TimeSeriesOps {
 
   /** Statistical outlier detection — the n-sigma rule as a distributed
     * two-pass: per-channel moments (sum, sum-of-squares, count — EXACT
-    * partial aggs that collapse map-side, widened to DECIMAL(38,0) so
-    * nothing wraps at any realistic channel size; the DuckDB twin sums
-    * in HUGEINT), then one flag scan against the broadcast per-channel
+    * partial aggs that collapse map-side; cents cast to DECIMAL(20,0),
+    * so Spark's sum widening lands the total at DECIMAL(30,0) and the
+    * sum of squares at the DECIMAL(38,0) precision cap — room for 10¹⁸
+    * rows of 10¹⁰-cent values, and an overflow past the cap raises
+    * in-plan rather than nulling the channel out of flagging (the
+    * DuckDB twin sums in HUGEINT, which likewise errors on overflow),
+    * then one flag scan against the broadcast per-channel
     * (mu, variance). Mean and variance are single-rounded IEEE doubles
     * derived from the exact integers, so the flag decision (and z
     * itself) is bit-identical across engines and partitionings — the
@@ -445,6 +449,13 @@ object TimeSeriesOps {
       .agg(sum($"vc".cast(dec)).as("s"),
         sum($"vc".cast(dec) * $"vc".cast(dec)).as("sq"),
         count(lit(1)).as("n"))
+      // n >= 1 by construction and vc is never null here, so a NULL sum
+      // can only be a decimal-overflow marker (non-ANSI Spark nulls the
+      // aggregate past the 38-digit cap) — fail loudly like the oracle
+      .select($"channel", expr("IF(s IS NULL OR sq IS NULL," +
+          " raise_error('graft statOutliers: decimal(38,0) moment-sum" +
+          " overflow - pre-scale the input'), s)").as("s"),
+        $"sq", $"n")
       .select($"channel", ($"s".cast("double") / $"n").as("mu"),
         ($"sq".cast("double") / $"n" -
           ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n"))
@@ -468,10 +479,13 @@ object TimeSeriesOps {
     * reported peak is `S / n / 100` — the mean-deviation CUSUM in value
     * units, one deterministic double division at the very end.
     *
-    * The statistic and its prefix are DECIMAL(38,0) (the DuckDB twin
-    * sums in HUGEINT): the worst case grows as n²·deviation — a long
-    * would silently wrap at only a few million rows for the very level
-    * shifts the detector exists to find. Decimal holds exactly to 10³⁸.
+    * The statistic is DECIMAL(20,0)·long capped at DECIMAL(38,0) and
+    * its prefix sums at the same 38-digit cap (the DuckDB twin sums in
+    * HUGEINT): the worst case grows as n²·deviation — a long would
+    * silently wrap at only a few million rows for the very level shifts
+    * the detector exists to find. Decimal holds exactly to 10³⁸, and a
+    * prefix that overflows past the cap raises in-plan instead of
+    * silently dropping out of the argmax.
     * Output: channel, n, change_ts_us, peak. */
   def changePoints(df: DataFrame, chan: Column, ts: Column, value: Column,
                    tieBreak: Column): DataFrame = {
@@ -483,7 +497,11 @@ object TimeSeriesOps {
     val dec = org.apache.spark.sql.types.DecimalType(20, 0)
     val rec = counterReconstruct(v.join(broadcast(m), "channel"),
       $"channel", $"ts", $"n".cast(dec) * $"vc" - $"t", $"tb")
-    rec.select($"channel", $"ts", $"tb", $"cum")
+    rec.select($"channel", $"ts", $"tb",
+        // inputs are non-null, so NULL cum == decimal overflow: loud
+        expr("IF(cum IS NULL, raise_error('graft changePoints:" +
+          " decimal(38,0) prefix overflow - pre-scale the input'), cum)")
+          .as("cum"))
       .groupBy($"channel")
       .agg(max(struct(abs($"cum").as("a"), (-unix_micros($"ts")).as("nt"),
         (-$"tb").as("ntb"), $"cum".as("s"))).as("b"))

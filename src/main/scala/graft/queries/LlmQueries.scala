@@ -414,7 +414,9 @@ object LlmQueries {
         .orderBy("media_id", "frame_idx")),
 
     // context-window chunking: fixed-length char windows with overlap
-    // (RAG/embedding prep) — narrow explode, no shuffle
+    // (RAG/embedding prep) — one spread exchange (chunkWindows
+    // repartitions by doc_id for file-layout-independent parallelism)
+    // + narrow explode
     "llm_chunk" -> ((s, d) =>
       TextAnalysisOps.chunkWindows(docs(s, d), $"doc_id", $"text",
           ChunkLen, ChunkOverlap)

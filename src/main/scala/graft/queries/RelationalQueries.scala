@@ -216,7 +216,12 @@ object RelationalQueries {
           count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
         .select($"l_returnflag", $"l_linestatus",
           ($"qty_c".cast("double") / 100.0).as("sum_qty"), $"n", $"gid")
-        .orderBy($"gid", $"l_returnflag", $"l_linestatus")))
+        // explicit null ordering: Spark ascending defaults NULLS FIRST,
+        // DuckDB NULLS LAST — gid happens to segregate the subtotal
+        // NULLs on TPC-H's non-null keys, but a genuinely NULL group
+        // key must not make row order engine-dependent
+        .orderBy($"gid", $"l_returnflag".asc_nulls_last,
+          $"l_linestatus".asc_nulls_last)))
 
   def oracles: Map[String, String] = Map(
     "rel_rollup" -> """

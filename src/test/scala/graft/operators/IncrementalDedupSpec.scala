@@ -146,6 +146,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(jac == 0L)
   }
 
+  test("short-doc containment: a fragment whose few shingles all dodge " +
+      "the 1-in-8 sample rule is missed by default and caught at " +
+      "sampleMod = 1 (the documented (1-1/mod)^k trade)") {
+    import graft.functions.DetHash
+    // scala-side twin of normText + 5-char shingling
+    def shingles(s: String): Seq[String] = {
+      val n = s.toLowerCase.trim.replaceAll("\\s+", " ")
+      val m = math.max(n.length - 4, 1)
+      (1 to m).map(i => n.substring(i - 1, math.min(i + 4, n.length))).distinct
+    }
+    def h31(s: String): Long = DetHash.h60Value(s) % DetHash.M31
+    // deterministically pick a short fragment none of whose shingles
+    // satisfies h31 % 8 == 0 — candidate generation then has NO bucket
+    // for the pair, however perfect the containment
+    val frag = (1 to 10000).iterator.map(i => s"tiny doc $i")
+      .find(f => shingles(f).forall(h31(_) % 8 != 0)).get
+    val host = s"$frag with a much longer continuation that dilutes " +
+      "jaccard far below any symmetric threshold while the fragment " +
+      "stays wholly contained inside this host document"
+    val d = Seq(1L -> host, 2L -> frag,
+      3L -> "unrelated filler content entirely").toDF("doc_id", "text")
+    val (missed, caught) = Pins.scoped {
+      (DedupOps.containmentPairs(d, $"doc_id", $"text", 0.9).count(),
+       DedupOps.containmentPairs(d, $"doc_id", $"text", 0.9, sampleMod = 1)
+         .select($"doc_a", $"doc_b", $"cont_b")
+         .as[(Long, Long, Double)].collect().toSeq)
+    }
+    assert(missed == 0L, "sampled pass unexpectedly bucketed the fragment")
+    assert(caught.map(p => (p._1, p._2)) == Seq((1L, 2L)) &&
+      caught.head._3 == 1.0, s"exhaustive pass should flag the pair: $caught")
+  }
+
   test("degenerate corpus: mega-buckets are dropped by the cap, " +
     "and exactDedup still collapses the clones") {
     // 60 byte-identical docs: every LSH bucket holds all 60 > maxBucket,

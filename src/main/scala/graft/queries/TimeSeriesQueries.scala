@@ -34,6 +34,23 @@ object TimeSeriesQueries {
           lit(S).cast("timestamp"), lit(E).cast("timestamp"))
         .orderBy("channel")),
 
+    // time-scoped scan through Tables.eventsBetween: on a single-file
+    // layout this is the plain ts-range scan; on a date-partitioned
+    // relayout the SAME query plans only the touched partitions
+    // (partition pruning asserted in PlanAuditSpec) — results must be
+    // identical on every layout
+    "ts_pruned_range" -> ((s, d) =>
+      Tables.eventsBetween(s, d, SEpoch, EEpoch)
+        .groupBy($"event_type".as("channel"))
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("s_c"),
+          min(unix_micros($"ts")).as("first_us"),
+          max(unix_micros($"ts")).as("last_us"))
+        .select($"channel", $"n",
+          ($"s_c".cast("double") / 100.0).as("tot"),
+          $"first_us", $"last_us")
+        .orderBy("channel")),
+
     // head/tail partial-interval proration (etsdQuery.c:232-287)
     "ts_prorated_total" -> ((s, d) =>
       TimeSeriesOps.proratedTotal(events(s, d), $"event_type", $"ts", $"value",
@@ -195,6 +212,16 @@ object TimeSeriesQueries {
              max(value) AS vmax
       FROM events
       WHERE ts >= TIMESTAMP '$S' AND ts <= TIMESTAMP '$E'
+      GROUP BY 1 ORDER BY 1""",
+
+    "ts_pruned_range" -> s"""
+      SELECT event_type AS channel, count(*) AS n,
+             CAST($centsSum AS DOUBLE)/100.0 AS tot,
+             min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us
+      FROM events
+      WHERE (epoch_us(ts)//1000000) >= $SEpoch
+        AND (epoch_us(ts)//1000000) < $EEpoch
       GROUP BY 1 ORDER BY 1""",
 
     "ts_prorated_total" -> s"""

@@ -15,7 +15,9 @@ object Retention {
   /** Delete partitions/files whose epoch LABEL (the span/block start) is
     * strictly below `cutoff` — i.e. everything that STARTS before the
     * cutoff. To keep any span containing the cutoff, pass the cutoff
-    * rounded down to a span boundary. Returns the deleted paths. */
+    * rounded down to a span boundary (for `date=` partitions: midnight
+    * UTC — a calendar-day span whose label is its 00:00:00 epoch).
+    * Returns the deleted paths. */
   def dropBlocksBefore(spark: SparkSession, dir: String,
                        cutoffEpoch: Long): Seq[String] = {
     val root = new Path(dir)
@@ -23,11 +25,14 @@ object Retention {
     if (!fs.exists(root)) return Seq.empty
     val PartRe = "block_epoch=(-?\\d+)".r
     val TsdRe = "etsd-(\\d+)\\.tsd".r
+    val DateRe = "date=(\\d{4}-\\d{2}-\\d{2})".r
     fs.listStatus(root).toSeq.flatMap { st =>
       val name = st.getPath.getName
       val epoch = name match {
         case PartRe(e) => Some(e.toLong)
         case TsdRe(e)  => Some(e.toLong)
+        case DateRe(d) => // calendar-day partition: label = midnight UTC
+          Some(java.time.LocalDate.parse(d).toEpochDay * 86400L)
         case _         => None
       }
       epoch.filter(_ < cutoffEpoch).map { _ =>

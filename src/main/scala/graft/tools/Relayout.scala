@@ -16,12 +16,21 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.tools.Relayout /root/testdata/sf0.01 /tmp/sf_multi"
   *   sbt "runMain graft.Verify /tmp/sf_multi /tmp/verify_multi"
   *   python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_multi
-  */
+  *
+  * With `--date-partition-events`, `events` is instead written as a
+  * `date=YYYY-MM-DD`-partitioned table (multi-file within each
+  * partition) — the 100 TB deployment layout. The gate run against that
+  * copy proves results are partition-layout-independent, and
+  * `Tables.eventsBetween` / `Retention.dropBlocksBefore` operate on the
+  * same layout (partition pruning asserted in PlanAuditSpec). */
 object Relayout {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Relayout <srcSfDir> <dstDir> [nFiles]")
+    require(args.length >= 2, "usage: Relayout <srcSfDir> <dstDir>" +
+      " [nFiles] [--date-partition-events]")
     val (src, dst) = (args(0), args(1))
-    val nFiles = args.lift(2).map(_.toInt).getOrElse(7)
+    val dateEvents = args.contains("--date-partition-events")
+    val nFiles = args.drop(2).filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(7)
     val spark = SparkSession.builder().appName("relayout").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,10 +40,21 @@ object Relayout {
       .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     for (t <- tables) {
       val name = t.getFileName.toString
-      // round-robin repartition: deliberately destroys file/row order
-      spark.read.parquet(t.toString).repartition(nFiles)
-        .write.mode("overwrite").parquet(s"$dst/$name")
-      println(s"relaid $name -> $nFiles files")
+      if (dateEvents && name == "events.parquet") {
+        // deployment layout: one dir per calendar day of the (nanos) ts,
+        // still multi-file inside each partition
+        import org.apache.spark.sql.functions._
+        spark.read.parquet(t.toString)
+          .withColumn("date", to_date(timestamp_micros(expr("ts DIV 1000"))))
+          .repartition(nFiles)
+          .write.partitionBy("date").mode("overwrite").parquet(s"$dst/$name")
+        println(s"relaid $name -> date partitions x $nFiles files")
+      } else {
+        // round-robin repartition: deliberately destroys file/row order
+        spark.read.parquet(t.toString).repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$dst/$name")
+        println(s"relaid $name -> $nFiles files")
+      }
     }
     spark.stop()
   }

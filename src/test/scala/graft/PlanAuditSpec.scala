@@ -64,4 +64,86 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), plan)
     assert(plan.contains("__graft_band_bucket"), plan)
   }
+
+  // ---- date-partitioned deployment layout (the 100 TB table shape) ----
+
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  /** Write a `date=YYYY-MM-DD`-partitioned copy of the sf events table
+    * (raw int64-nanos ts preserved, as tools.Relayout does). */
+  private def writeDatePartitioned(dst: String): Unit = {
+    spark.conf.set(graft.queries.Tables.NanosConf, "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("date", to_date(timestamp_micros(expr("ts DIV 1000"))))
+      .write.partitionBy("date").mode("overwrite")
+      .parquet(s"$dst/events.parquet")
+  }
+
+  private def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    // AQE wrappers are leaves to TreeNode.collect — descend explicitly
+    case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
+
+  test("eventsBetween on a date-partitioned table prunes partitions " +
+      "at the scan node (not just row groups)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-datepart").toString
+    try {
+      writeDatePartitioned(dir)
+      val from = 1704844800L // 2024-01-10 00:00:00 UTC
+      val to = 1705320000L   // 2024-01-15 12:00:00 UTC -> 6 of 30 days
+      val df = graft.queries.Tables.eventsBetween(spark, dir, from, to)
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("s_c"))
+      val got = df.collect().head
+      // same rows as the raw ts-range scan of the single-file original
+      val want = graft.queries.Tables.events(spark, sfDir)
+        .filter($"ts" >= timestamp_seconds(lit(from)) &&
+          $"ts" < timestamp_seconds(lit(to)))
+        .agg(count(lit(1)), sum(round($"value" * 100).cast("long")))
+        .collect().head
+      assert(got.getLong(0) == want.getLong(0) && got.getLong(0) > 0)
+      assert(got.getLong(1) == want.getLong(1))
+      // the scan must carry the derived date predicate as a PARTITION
+      // filter and actually read 6 partitions, not all 30
+      // the aggregation query has exactly one file scan: events
+      val scan = fileScans(df.queryExecution.executedPlan).headOption
+        .getOrElse(fail("no FileSourceScan in plan:\n" +
+          df.queryExecution.executedPlan.toString))
+      assert(scan.partitionFilters.map(_.toString).exists(_.contains("date")),
+        s"no date partition filter in: ${scan.partitionFilters}")
+      assert(scan.metrics.contains("numPartitions"),
+        s"scan metrics: ${scan.metrics.keySet}")
+      val read = scan.metrics("numPartitions").value
+      assert(read == 6, s"expected 6 pruned-in partitions of 30, read $read")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("Retention.dropBlocksBefore drops date= partitions by their " +
+      "midnight-UTC epoch label") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dateret").toString
+    try {
+      writeDatePartitioned(dir)
+      val evDir = s"$dir/events.parquet"
+      val cutoff = java.time.LocalDate.parse("2024-01-05").toEpochDay * 86400L
+      val dropped = graft.sources.Retention
+        .dropBlocksBefore(spark, evDir, cutoff)
+      assert(dropped.size == 4, s"expected 4 dropped days, got $dropped")
+      val minDate = spark.read.parquet(evDir)
+        .agg(min($"date".cast("string"))).collect().head.getString(0)
+      assert(minDate == "2024-01-05", s"min surviving date $minDate")
+      // idempotent: nothing left below the cutoff
+      assert(graft.sources.Retention
+        .dropBlocksBefore(spark, evDir, cutoff).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

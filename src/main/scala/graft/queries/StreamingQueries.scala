@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft._
 import graft.streaming.{Ingest, SrcRow}
@@ -56,8 +57,69 @@ object StreamingQueries {
       .orderBy("channel")
   }
 
+  // ---- ts_stream_late fixture geometry (out-of-order replay) ----
+  private val LateT0 = 1700000000L
+  private val LateN = 600L
+  private val LateChans = Seq(("c0", 3L), ("c1", 5L))
+  /** Held back past the 20-minute watermark tolerance — MUST be dropped
+    * (window end far below the watermark when they finally arrive). */
+  private val LateDropped = Seq(30L, 80L, 130L)
+  /** Held back but re-injected within tolerance — MUST be admitted. */
+  private val LateAdmitted = Seq(230L, 280L, 350L)
+
+  /** The reference semantic the watermarked path claims superiority on —
+    * late/out-of-order arrivals (the C daemon's interval clock just
+    * records a MissedUpdate and drops the late sample, edd.c:354-368) —
+    * replayed INSIDE the oracle gate: a deterministic tick stream is fed
+    * out of order across four micro-batches through
+    * [[Ingest.blockAggregate]] (watermark + tumbling window), so three
+    * ticks return within tolerance and are admitted into already-open
+    * blocks, and three return beyond it and are dropped by the state
+    * store. The emitted per-block totals hash-compare against the
+    * closed form of exactly the admitted set, and the engine's own
+    * `numRowsDroppedByWatermark` metric is REQUIRED to equal the
+    * planted drop count — the run fails loudly if the watermark path
+    * admits or drops anything unplanned. */
+  def streamLateTotals(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val rows = mem.toDF().select($"value".as("n"))
+      .select($"n", explode(typedLit(LateChans)).as("ch"))
+      .select(((lit(LateT0) + $"n" * 10L) * 1000000L).as("ts_us"),
+        $"ch._1".as("channel"),
+        (($"n" * $"ch._2") % 101L).cast("double").as("value"),
+        ($"n" % 7L =!= 0L).as("valid"))
+    val agg = Ingest.blockAggregate(rows, 600L, "20 minutes")
+    val sink = s"late_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val held = (LateDropped ++ LateAdmitted).toSet
+      // b1 advances the watermark to t0+1800s; the two sub-300 admits
+      // return in b2 against still-open blocks. b3 re-injects the
+      // dropped set (block ends <= watermark t0+3300s) plus the last
+      // admit. The final sentinel (n=800) only pushes the watermark past
+      // every real block end so Append mode emits them; its own block
+      // stays open and never reaches the sink.
+      val batches = Seq(
+        (1L to 300L).filterNot(held),
+        (301L to 450L).filterNot(held) ++ Seq(230L, 280L),
+        (451L to 600L) ++ Seq(350L) ++ LateDropped,
+        Seq(800L))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val dropped = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark)).sum
+      require(dropped == LateDropped.size * LateChans.size,
+        s"watermark dropped $dropped rows, planted ${LateDropped.size *
+          LateChans.size} - late-data semantics drifted")
+    } finally q.stop()
+    spark.table(sink).orderBy("block_epoch", "channel")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_stream_ingest" -> ((s, _) => streamIngestTotals(s)))
+    "ts_stream_ingest" -> ((s, _) => streamIngestTotals(s)),
+    "ts_stream_late" -> ((s, _) => streamLateTotals(s)))
 
   def oracles: Map[String, String] = Map(
     // the generator's closed form, recomputed from scratch: valid ticks
@@ -85,5 +147,26 @@ object StreamingQueries {
              CAST(count(podo) AS BIGINT) AS n_deltas,
              CAST($N - count(podo) AS BIGINT) AS n_invalid,
              CAST(sum((odo - podo) // (n - pn)) AS BIGINT) AS total
-      FROM d GROUP BY 1 ORDER BY 1""")
+      FROM d GROUP BY 1 ORDER BY 1""",
+
+    // closed form of exactly the ADMITTED tick set: every n in 1..LateN
+    // except the ticks planted beyond the watermark tolerance — if the
+    // streaming path dropped an admit or admitted a drop, counts or
+    // totals shift and the hash compare fails
+    "ts_stream_late" -> s"""
+      WITH chans(channel, k) AS (VALUES
+        ${LateChans.map { case (c, k) => s"('$c', $k)" }.mkString(", ")}),
+      t AS (SELECT n FROM generate_series(1, $LateN) g(n)
+            WHERE n NOT IN (${LateDropped.mkString(", ")})),
+      r AS (
+        SELECT channel,
+               (($LateT0 + n*10) // 600) * 600 AS block_epoch,
+               (n * k) % 101 AS v,
+               n % 7 <> 0 AS valid
+        FROM chans CROSS JOIN t)
+      SELECT block_epoch, channel,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN NOT valid THEN 1 END) AS BIGINT) AS n_invalid,
+             CAST(sum(CASE WHEN valid THEN v END) AS DOUBLE) AS total
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""")
 }

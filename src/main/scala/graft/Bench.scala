@@ -30,6 +30,7 @@ object Bench {
     // min of 3 timed iterations. Any throw — at construction or in a
     // timed run — reports the -1 sentinel so a broken query shows up as
     // a visible failure rather than an implausibly fast ~0s success.
+    val capRows = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // build the plan once (the streaming and iterative queries do real
       // work at construction — that cost lands in the warmup, matching
@@ -39,12 +40,30 @@ object Bench {
       val best = Pins.scoped {
         timeQuery(() => fn(spark, sfDir))
       }
+      // one extra instrumented pass: exact per-query cap-drop counters
+      // (the capped generators' deliberate recall trade must be a
+      // diffable round artifact, not a stderr line). Separate from the
+      // timed runs so the listener drain never skews a timing.
+      Pins.scoped {
+        try {
+          import graft.operators.DedupStats
+          DedupStats.awaitQuiesce(spark); DedupStats.reset()
+          fn(spark, sfDir).count()
+          DedupStats.awaitQuiesce(spark)
+          val b = DedupStats.droppedBuckets.get
+          if (b > 0) capRows(name) = (b, DedupStats.droppedRows.get,
+            DedupStats.maxDroppedBucket.get)
+        } catch { case _: Throwable => () }
+      }
       name -> best
     } // keep the name-sorted Seq: stable JSON field order run-to-run
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val caps = capRows.map { case (k, (b, r, m)) =>
+      s"""\"$k\":{\"dropped_buckets\":$b,\"dropped_rows\":$r,\"max_bucket\":$m}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cap_drops":$caps,"sf":"$sfDir"}""")
     spark.stop()
   }
 

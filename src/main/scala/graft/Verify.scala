@@ -19,16 +19,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query cap-drop counters (exact: one execution per query here),
+    // dumped as a sidecar so the capped generators' recall trade is a
+    // diffable artifact of every verify run
+    val capRows = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try Pins.scoped {
+        import graft.operators.DedupStats
+        DedupStats.awaitQuiesce(spark); DedupStats.reset()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        DedupStats.awaitQuiesce(spark)
+        val b = DedupStats.droppedBuckets.get
+        if (b > 0) capRows(name) = (b, DedupStats.droppedRows.get,
+          DedupStats.maxDroppedBucket.get)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/cap_drops.json"),
+      capRows.map { case (k, (b, r, m)) =>
+        s"""\"$k\": {\"dropped_buckets\": $b, \"dropped_rows\": $r, \"max_bucket\": $m}"""
+      }.mkString("{", ", ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -240,6 +240,40 @@ object EtsdCmd {
     (header +: lines.toSeq).mkString("\n")
   }
 
+  /** Interactive N/P/Q dump navigation (etsdCmd.c:511-546): render the
+    * current sector, prompt, and step next/previous until Q (or EOF).
+    * The reference's single-key `getch()` becomes line reads so the
+    * loop is drivable by a scripted stdin (EtsdCmdSpec) and a terminal
+    * alike; stepping past the end clamps to the last sector with the
+    * reference's notice (its 15-blank-line screen-clear theatrics are
+    * not replicated); unknown keys just re-display, like a switch with
+    * no matching case. */
+  def dumpInteractive(path: String, startSector: Int,
+                      in: java.io.BufferedReader, out: Appendable): Unit = {
+    val end = (Files.size(firstFile(path)) / BlockBuffer.BlockSize).toInt - 1
+    var sector = math.min(math.max(startSector, 0), end)
+    var done = false
+    while (!done) {
+      out.append(s"Block: #$sector of $end\n")
+      out.append(dumpSector(path, sector)).append("\n")
+      out.append("Display (N)ext block, (P)revious block, or (Q)uit (N/P/Q) ")
+      Option(in.readLine()) match {
+        case None => done = true // EOF behaves like Q
+        case Some(line) => line.trim.headOption.map(_.toLower) match {
+          case Some('n') =>
+            sector += 1
+            if (sector > end) {
+              sector = end
+              out.append("\n     You have reached the end of the file \n")
+            }
+          case Some('p') => if (sector > 0) sector -= 1
+          case Some('q') => done = true
+          case _ => ()
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: EtsdCmd create|query|examine|dump <path> [args]")
@@ -274,7 +308,14 @@ object EtsdCmd {
       case 'e' =>
         println(examine(loadSchema(path), Files.size(firstFile(path))))
       case 'd' =>
-        println(dumpSector(path, rest.headOption.map(_.toInt).getOrElse(1)))
+        // `dump <path> [sector]` one-shot; `dump <path> [sector] i`
+        // enters the reference's interactive N/P/Q loop
+        val sector = rest.filterNot(_.equalsIgnoreCase("i"))
+          .headOption.map(_.toInt).getOrElse(1)
+        if (rest.exists(_.equalsIgnoreCase("i")))
+          dumpInteractive(path, sector, new java.io.BufferedReader(
+            new java.io.InputStreamReader(System.in)), System.out)
+        else println(dumpSector(path, sector))
       case _ =>
         throw new IllegalArgumentException(s"unknown verb '$verb'")
     }

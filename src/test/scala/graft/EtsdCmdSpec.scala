@@ -55,6 +55,34 @@ class EtsdCmdSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EtsdCmd.dumpSector(dir, 9))
   }
 
+  test("interactive dump drives N/P/Q over a scripted stdin " +
+      "(etsdCmd.c:511-546)") {
+    val dir = writeTsd()
+    def drive(keys: String): String = {
+      val out = new java.lang.StringBuilder
+      EtsdCmd.dumpInteractive(dir, 1,
+        new java.io.BufferedReader(new java.io.StringReader(keys)), out)
+      out.toString
+    }
+    // the prompt deliberately has no trailing newline (the reference's
+    // inline getch prompt), so scan displays by pattern, not line starts
+    val Head = "Block: #(\\d+) of (\\d+)".r
+    def heads(s: String): Seq[(Int, Int)] =
+      Head.findAllMatchIn(s).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    // N, P, Q: sectors 1 -> 2 -> 1, then quit
+    val walked = drive("n\np\nq\n")
+    val endSector = heads(walked).head._2
+    assert(heads(walked).map(_._1) == Seq(1, 2, 1), heads(walked))
+    assert(walked.contains("sector 2 ts="), "block dumps rendered")
+    // unknown keys re-display the same sector; EOF quits like Q
+    val idle = drive("x\n")
+    assert(heads(idle).map(_._1) == Seq(1, 1), heads(idle))
+    // stepping past the last sector clamps there and prints the notice
+    val end = drive(Seq.fill(20)("n").mkString("\n") + "\nq\n")
+    assert(end.contains("You have reached the end of the file"))
+    assert(heads(end).last._1 == endSector, heads(end))
+  }
+
   test("create reproduces the golden reference fixture's header schema") {
     // the exact spec the reference's own createETSD was driven with for
     // the golden fixture (INTERCHANGE.md: five 16-bit Full counters with

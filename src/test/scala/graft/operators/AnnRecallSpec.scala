@@ -73,9 +73,15 @@ class AnnRecallSpec extends AnyFunSuite {
     // random near-orthogonal vectors are PQ's worst case (everything is
     // roughly equidistant and a seeded codebook quantizes coarsely; with
     // SEEDED codes more entries is not monotonically better — measured
-    // 0.30 @16 vs 0.24 @32 — a trained codebook would be, but seeding is
-    // the deterministic oracle-reproducible contract). The floors pin
-    // the observed values so a codebook/LUT regression still fails.
+    // 0.30 @16 vs 0.24 @32). Round 6 built and measured a per-subspace
+    // Lloyd's-trained codebook as the would-be fix: recall@5 DROPPED to
+    // 0.18-0.24 across (iters, sampleMod) sweeps, and even shortlist
+    // quality under the exact re-rank fell (0.78-0.82 vs 0.84 seeded) —
+    // k-means shrinks centroid norms toward the mean, flattening ADC
+    // dots on exactly this isotropic data, so the trained form was NOT
+    // shipped (BENCH_NOTES r6). Re-ranking, not training, is the recall
+    // lever here. The floors pin the observed values so a codebook/LUT
+    // regression still fails.
     assert(pqRecall >= 0.25, s"PQ recall regressed: $pqRecall")
     assert(pq32Recall >= 0.2, s"PQ-32 recall regressed: $pq32Recall")
   }

@@ -393,6 +393,29 @@ object TextAnalysisOps {
         lit(0.2) * ($"n_punct".cast("double") / greatest($"n_chars", lit(1L))))
   }
 
+  /** Per-stratum exact top-`keepPct`% by quality — curation where the
+    * keep threshold is a RANK, not a score (robust to score drift
+    * across corpora: "the best fifth of every language" stays the best
+    * fifth as the corpus grows). Ranking runs through the two-phase
+    * [[rankedByRange]] prefix, so a stratum that dominates the corpus
+    * never serializes into one window task, and the per-stratum sizes
+    * broadcast. Keeps ceil(keepPct·n/100) docs per stratum; ties break
+    * on doc_id, so the kept set is deterministic under any
+    * partitioning. Output: stratum, doc_id, quality, rk (kept only). */
+  def qualityTopP(docs: DataFrame, id: Column, stratum: Column, text: Column,
+                  keepPct: Int): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, "keepPct in 1..100")
+    val q = Pins.pin(qualityScore(docs, id, text)
+      .join(docs.select(id.as("doc_id"), stratum.as("shard")), "doc_id")
+      .select($"shard", $"doc_id", $"quality"))
+    val sizes = q.groupBy($"shard").agg(count(lit(1)).as("n"))
+      .select($"shard", expr(s"(n * $keepPct + 99) DIV 100").as("keep_n"))
+    rankedByRange(q, lit(1L), Seq($"quality".desc, $"doc_id"))
+      .join(broadcast(sizes), "shard")
+      .filter($"cum" <= $"keep_n")
+      .select($"shard".as("stratum"), $"doc_id", $"quality", $"cum".as("rk"))
+  }
+
   /** Character trigrams (multiset) per doc. Spread by doc before the
     * generator so the ~n_chars× explode parallelizes independently of the
     * input file layout (see DedupOps.shingleHashes). */

@@ -365,6 +365,43 @@ object VectorOps {
       .select($"probe_id", $"vec_id", $"cos", $"rk")
   }
 
+  /** Bucketed kNN GRAPH — approximate top-k neighbors for EVERY vector
+    * (the probe set is the corpus): the input to graph-based curation
+    * (SemDeDup-style cluster pruning, connected components over cosine
+    * edges, diversity sampling). A bruteKnn sweep is k·N per probe and
+    * N probes — structurally impossible at corpus scale — so every
+    * vector instead probes its own hyperplane bucket plus the
+    * `planes` Hamming-1 flips (the [[lshKnn]] multi-probe trick turned
+    * corpus-wide), and candidates come only from corpus buckets inside
+    * the standard [2, maxBucket] skew cap ([[DedupStats]]-observed).
+    * The flip set is distinct, so a neighbor pairs with a probe at most
+    * once — no dedup stage. Per-vector candidate state is bounded by
+    * (1+planes)·maxBucket; planes is the bucket-size dial at scale.
+    * Output: vec_id, nbr_id, cos, rk (1-based, ≤ k rows per vec). */
+  def knnGraph(vectors: DataFrame, k: Int, planes: Int, dim: Int,
+               maxBucket: Int): DataFrame = {
+    val b = Pins.pin(vectors.withColumn("bucket", lshBucket(planes, dim)))
+    val caps = DedupStats.observeCapDrops(
+        b.groupBy($"bucket").count(), "knngraph", maxBucket)
+      .filter($"count" >= 2 && $"count" <= maxBucket).select($"bucket")
+    val corpus = b.join(caps, "bucket")
+      .select($"bucket", $"vec_id".as("nbr_id"), $"qv".as("nv"),
+        $"nrm".as("nn"))
+    val flips = array(($"bucket" +: (0 until planes).map(pl =>
+      $"bucket".bitwiseXOR(lit(1L << pl)))): _*)
+    val probes = b.select(explode(flips).as("bucket"), $"vec_id", $"qv",
+      $"nrm")
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr_id")
+    probes.join(corpus, "bucket")
+      .filter($"vec_id" =!= $"nbr_id")
+      .withColumn("dot", LongArrayDot($"qv", $"nv"))
+      .withColumn("cos", $"dot".cast("double") /
+        sqrt($"nrm".cast("double") * $"nn".cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"vec_id", $"nbr_id", $"cos", $"rk")
+  }
+
   /** Product-quantization encode + asymmetric-distance (ADC) top-k — the
     * memory-bound scale path for ANN: each vector compresses to `m`
     * small codes (its nearest codebook entry per subspace by exact

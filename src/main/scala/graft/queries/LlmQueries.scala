@@ -347,6 +347,14 @@ object LlmQueries {
       TextAnalysisOps.qualitySample(docs(s, d), $"doc_id", $"text")
         .orderBy("doc_id")),
 
+    // per-language exact top-20% by quality: rank-threshold curation
+    // through the two-phase range-partition prefix (no single-stratum
+    // window task however skewed the language mix)
+    "llm_quality_topp" -> ((s, d) =>
+      TextAnalysisOps.qualityTopP(docs(s, d), $"doc_id", $"lang", $"text",
+          keepPct = 20)
+        .orderBy("stratum", "rk")),
+
     // per-domain citation stats from in-text URLs (domain filter input);
     // runs over the doc_id-derived citation footer (see [[CiteSql]]) so
     // the gate compares non-empty rows
@@ -358,6 +366,15 @@ object LlmQueries {
       TextAnalysisOps.blocklistFilter(docs(s, d), $"doc_id", $"text",
           Blocklist)
         .orderBy("doc_id")),
+
+    // corpus-wide kNN graph: every vector's approximate top-k neighbors
+    // from multi-probe LSH buckets (the graph-curation input; capped,
+    // no all-pairs)
+    "llm_knn_graph" -> ((s, d) =>
+      VectorOps.knnGraph(
+          VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"),
+          AnnK, EmbedPlanes, EmbDim, maxBucket = 500)
+        .orderBy("vec_id", "rk")),
 
     // embedding-cosine near-dup pairs (LSH buckets, capped, no all-pairs)
     "llm_embed_dedup" -> ((s, d) =>
@@ -774,6 +791,32 @@ object LlmQueries {
              + 0.3 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
              - 0.2 * (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) AS quality
       FROM f ORDER BY 1"""
+    },
+
+    "llm_quality_topp" -> {
+      val inList = TextAnalysisOps.StopWords.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH b AS (
+        SELECT doc_id, stratum,
+               CAST(length(norm) AS BIGINT) AS n_chars,
+               CAST($WsTok AS BIGINT) AS n_tokens,
+               CAST(length(norm) - length(regexp_replace(norm, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(norm, ' '), w -> w IN ($inList))) AS BIGINT) AS n_stop
+        FROM (SELECT doc_id, lang AS stratum, $Norm AS norm FROM documents)),
+      f AS (
+        SELECT doc_id, stratum,
+               0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+               + 0.3 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+               - 0.2 * (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) AS quality
+        FROM b),
+      r AS (
+        SELECT stratum, doc_id, quality,
+               CAST(row_number() OVER (PARTITION BY stratum
+                 ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+               count(*) OVER (PARTITION BY stratum) AS n
+        FROM f)
+      SELECT stratum, doc_id, quality, rk FROM r
+      WHERE rk <= (n * 20 + 99) // 100 ORDER BY 1, 4"""
     },
 
     "llm_exact_dedup" -> s"""
@@ -1219,6 +1262,51 @@ object LlmQueries {
         FROM dots)
       SELECT probe_id, vec_id, cos, rk FROM scored
       WHERE rk <= $AnnK ORDER BY probe_id, rk"""
+    },
+
+    "llm_knn_graph" -> {
+      val signs = DetHash.lshSigns(EmbedPlanes, EmbDim)
+      val signRows = (0 until EmbedPlanes)
+        .map(p => s"($p, [${signs(p).mkString(",")}])").mkString(", ")
+      val buckVal = "CASE pl " + (0 until EmbedPlanes)
+        .map(p => s"WHEN $p THEN ${1L << p}").mkString(" ") + " END"
+      val flipList = (0 until EmbedPlanes)
+        .map(pl => s"xor(bucket, ${1L << pl})").mkString(", ")
+      s"""
+      WITH $QuantCte,
+      signs AS (SELECT pl, unnest(ss) AS s, unnest(generate_series(1, $EmbDim)) AS i
+                FROM (VALUES $signRows) t(pl, ss)),
+      bdot AS (SELECT u.vec_id, signs.pl, CAST(sum(u.v * signs.s) AS BIGINT) AS d
+               FROM u JOIN signs ON signs.i = u.i GROUP BY 1, 2),
+      bucket AS (SELECT vec_id,
+               CAST(sum(CASE WHEN d >= 0 THEN $buckVal ELSE 0 END) AS BIGINT) AS bucket
+               FROM bdot GROUP BY 1),
+      cap AS (SELECT bucket FROM (SELECT bucket, count(*) AS cnt
+                                  FROM bucket GROUP BY 1)
+              WHERE cnt >= 2 AND cnt <= 500),
+      corpus AS (SELECT b.vec_id, b.bucket
+                 FROM bucket b JOIN cap USING (bucket)),
+      pbuckets AS ( -- every vector probes its own + Hamming-1 buckets
+        SELECT vec_id AS probe_id, unnest([bucket, $flipList]) AS bucket
+        FROM bucket),
+      dots AS (
+        SELECT pl.probe_id, pb.vec_id AS nbr_id,
+               CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+               any_value(pa.nrm) AS pn, any_value(pb.nrm) AS nrm
+        FROM pbuckets pl
+        JOIN corpus bb ON bb.bucket = pl.bucket
+        JOIN qn pa ON pa.vec_id = pl.probe_id
+        JOIN qn pb ON pb.vec_id = bb.vec_id AND pb.vec_id <> pl.probe_id
+        JOIN u ua ON ua.vec_id = pl.probe_id
+        JOIN u ub ON ub.vec_id = pb.vec_id AND ub.i = ua.i
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT probe_id AS vec_id, nbr_id, $CosSql AS cos,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY $CosSql DESC, nbr_id) AS INTEGER) AS rk
+        FROM dots)
+      SELECT vec_id, nbr_id, cos, rk FROM scored
+      WHERE rk <= $AnnK ORDER BY vec_id, rk"""
     },
 
     "llm_ann_ivf" -> s"""

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft._
+import graft.operators.TimeSeriesOps
 
 /** Relational operators the reference lacks but our engine exposes for free
   * through Catalyst (SURVEY.md §2.3 joins, §2.6 sort/limit/top-k, §2.7 set
@@ -206,6 +207,16 @@ object RelationalQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // sessionization: split each user's event stream at 30-minute
+    // inactivity gaps (the classic clickstream operator) — lag +
+    // running flag-sum in per-user bounded windows, one per-session agg
+    "rel_sessions" -> ((s, d) =>
+      TimeSeriesOps.sessionize(t(s, d, "events"),
+          $"user_id", $"ts", $"event_id", gapSec = 1800L)
+        .select($"key".as("user_id"), $"session_idx", $"start_us",
+          $"end_us", $"n_events")
+        .orderBy("user_id", "session_idx")),
+
     // hierarchical ROLLUP totals (SURVEY §2.4: grouping sets come free
     // from Catalyst — one Expand + the same partial-agg shuffle as a
     // plain groupBy; gid disambiguates a NULL group key from a subtotal)
@@ -224,6 +235,26 @@ object RelationalQueries {
           $"l_linestatus".asc_nulls_last)))
 
   def oracles: Map[String, String] = Map(
+    "rel_sessions" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS tb
+                 FROM events),
+      l AS (SELECT user_id, ts_us, tb,
+                   lag(ts_us) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, tb) AS prev
+            FROM e),
+      f AS (SELECT user_id, ts_us, tb,
+                   CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM l),
+      s AS (SELECT user_id, ts_us,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, tb
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM f)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             min(ts_us) AS start_us, max(ts_us) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "rel_rollup" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty,

@@ -86,6 +86,31 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pq32Recall >= 0.2, s"PQ-32 recall regressed: $pq32Recall")
   }
 
+  test("corpus-wide kNN graph recall vs brute force on a probe subset") {
+    val q = VectorOps.quantize(
+      Tables.table(spark, sfDir, "embeddings"), $"vec_id", $"embedding")
+      .cache()
+    val brute = pairs(VectorOps.bruteKnn(q, q.filter($"vec_id" < 10), 5))
+    val graph = Pins.scoped {
+      VectorOps.knnGraph(q, 5, planes = 6, dim = 64, maxBucket = 500)
+        .filter($"vec_id" < 10)
+        .select($"vec_id".as("probe_id"), $"nbr_id").as[(Long, Long)]
+        .collect().toSet
+    }
+    val recall = graph.intersect(brute).size.toDouble / brute.size
+    info(s"recall: knn_graph(planes=6, r1)=$recall")
+    // 64 buckets over 500 vectors, radius-1 probes: the graph sees its
+    // own + 6 flipped buckets — the N-probe analogue of lshKnn's dial
+    assert(recall >= 0.25, s"kNN-graph recall regressed: $recall")
+    // shape: at most k neighbors per vector, ranks contiguous from 1
+    val byVec = Pins.scoped {
+      VectorOps.knnGraph(q, 5, planes = 6, dim = 64, maxBucket = 500)
+        .select($"vec_id", $"rk").as[(Long, Long)].collect().toSeq
+    }.groupBy(_._1).values
+    assert(byVec.forall(rs => rs.map(_._2).sorted == (1L to rs.size)))
+    assert(byVec.forall(_.size <= 5))
+  }
+
   test("two-stage PQ (ADC shortlist + exact re-rank) recall vs brute force") {
     val q = VectorOps.quantize(
       Tables.table(spark, sfDir, "embeddings"), $"vec_id", $"embedding")

@@ -349,4 +349,28 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(got(train(1)) == (2L, (1000000L + 500000L) / 2))
     assert(got(eval) == (2L, (1000000L + 0L) / 2))
   }
+
+  test("qualityTopP keeps exactly ceil(p% of n) per stratum, best first") {
+    val d = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val keepPct = 20
+    val got = Pins.scoped {
+      TextAnalysisOps.qualityTopP(d, $"doc_id", $"lang", $"text", keepPct)
+        .as[(String, Long, Double, Long)].collect().toSeq
+    }
+    val scores = Pins.scoped {
+      TextAnalysisOps.qualityScore(d, $"doc_id", $"text")
+        .join(d.select($"doc_id", $"lang"), "doc_id")
+        .select($"lang", $"doc_id", $"quality")
+        .as[(String, Long, Double)].collect().toSeq
+    }
+    for ((lang, docs) <- scores.groupBy(_._1)) {
+      val keepN = (docs.size * keepPct + 99) / 100
+      val expect = docs.sortBy(r => (-r._3, r._2)).take(keepN)
+        .zipWithIndex.map { case ((l, id, q), i) => (l, id, q, i + 1L) }
+      val kept = got.filter(_._1 == lang).sortBy(_._4)
+      assert(kept == expect, s"stratum $lang: kept ${kept.size}, " +
+        s"want $keepN of ${docs.size}")
+    }
+  }
 }

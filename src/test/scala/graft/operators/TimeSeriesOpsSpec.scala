@@ -190,4 +190,29 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     // peak = sum_{i<=59} (10 - 14) in value units = 60 * (10 - 14) = -240
     assert(math.abs(peak - -240.0) < 1e-9, s"peak $peak")
   }
+
+  test("sessionize splits on inactivity gaps, exact-gap events stay " +
+      "in-session, tie timestamps are ordered by the tie-break") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = 1700000000L
+    val ev = Seq(
+      // user 1: two sessions — gap of exactly 1800s stays (strict >),
+      // the 1801s gap splits
+      (1L, t0, 1L), (1L, t0 + 1800L, 2L), (1L, t0 + 3601L, 3L),
+      (1L, t0 + 3602L, 4L),
+      // user 2: one single-event session; same ts as user 1's first
+      (2L, t0, 5L),
+      // user 1: a duplicate timestamp — tie-break keeps the order total
+      (1L, t0, 6L))
+      .toDF("user_id", "sec", "event_id")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_id")
+    val got = TimeSeriesOps.sessionize(ev, $"user_id", $"ts", $"event_id",
+        gapSec = 1800L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, t0 * 1000000L, (t0 + 1800L) * 1000000L, 3L),
+      (1L, 2L, (t0 + 3601L) * 1000000L, (t0 + 3602L) * 1000000L, 2L),
+      (2L, 1L, t0 * 1000000L, t0 * 1000000L, 1L)), got.toSeq)
+  }
 }

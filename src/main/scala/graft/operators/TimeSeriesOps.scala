@@ -510,6 +510,64 @@ object TimeSeriesOps {
         ($"b.s".cast("double") / $"n" / 100.0).as("peak"))
   }
 
+  /** Exact per-channel order statistics (p50/p95/p99-style): the value
+    * whose rank is ceil(pct·n/100) under the total order (value,
+    * tieBreak). Extends the reference's AMT min/max (etsdQuery.c:
+    * 326-331) to arbitrary ranks — the threshold-analytics primitive a
+    * static-predicate engine can't express. Ranking runs through the
+    * two-phase [[TextAnalysisOps.rankedByRange]] prefix, so one hot
+    * channel never serializes into a single window task (the same
+    * reason a naive PARTITION BY channel sort is wrong at 100 TB), and
+    * the per-channel counts/targets broadcast. NULL values are
+    * excluded, like the AMT family. Output: channel, pct, value, n —
+    * one row per requested percentile per channel. */
+  def percentiles(df: DataFrame, chan: Column, value: Column,
+                  tieBreak: Column, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val v = Pins.pin(df.filter(value.isNotNull)
+      .select(chan.as("shard"), cents(value).as("vc"), tieBreak.as("tb")))
+    val targets = v.groupBy($"shard").agg(count(lit(1)).as("n"))
+      .select($"shard", $"n",
+        explode(array(pcts.map(p => lit(p)): _*)).as("p"))
+      .select($"shard", $"n", $"p", expr("(n * p + 99) DIV 100").as("k"))
+    TextAnalysisOps.rankedByRange(v, lit(1L), Seq($"vc", $"tb"))
+      .join(broadcast(targets), Seq("shard"))
+      .filter($"cum" === $"k")
+      .select($"shard".as("channel"), $"p".cast("long").as("pct"),
+        ($"vc".cast("double") / 100.0).as("value"), $"n")
+  }
+
+  /** Time-weighted average over irregular samples — trapezoidal
+    * integration per channel: Σ (v_i + v_{i+1})·(t_{i+1} − t_i) /
+    * (2·(t_last − t_first)), the honest mean of a signal whose sampling
+    * cadence drifts (a plain AVG over-weights bursts; the reference's
+    * interval grid sidesteps this only because its cadence is fixed,
+    * etsd.c:113-121). The numerator accumulates exactly in
+    * DECIMAL(38,0) (cents × µs products overflow a long on big
+    * channels; the DuckDB twin sums in HUGEINT), and only the final
+    * division is IEEE double, so results are engine- and
+    * partitioning-identical. Channels with < 2 samples have no
+    * trapezoid and are excluded. Lag runs per channel — bounded by one
+    * channel's history, the same shape as every per-channel op here.
+    * Output: channel, n, twa. */
+  def timeWeightedAvg(df: DataFrame, chan: Column, ts: Column,
+                      value: Column, tieBreak: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+    val w = Window.partitionBy($"channel").orderBy($"t", $"tb")
+    df.filter(value.isNotNull)
+      .select(chan.as("channel"), unix_micros(ts).as("t"),
+        cents(value).as("vc"), tieBreak.as("tb"))
+      .withColumn("pt", lag($"t", 1).over(w))
+      .withColumn("pv", lag($"vc", 1).over(w))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n"),
+        sum((($"vc" + $"pv").cast(dec)) * ($"t" - $"pt")).as("num"),
+        (max($"t") - min($"t")).as("span"))
+      .filter($"n" >= 2)
+      .select($"channel", $"n",
+        ($"num".cast("double") / 2.0 / $"span" / 100.0).as("twa"))
+  }
+
   /** Sessionization — split each key's event stream into sessions at
     * inactivity gaps > `gapSec` (the classic clickstream/telemetry
     * operator; the reference's nearest notion is the block boundary,

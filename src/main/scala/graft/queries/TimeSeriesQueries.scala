@@ -51,6 +51,21 @@ object TimeSeriesQueries {
           $"first_us", $"last_us")
         .orderBy("channel")),
 
+    // exact per-channel order statistics (p50/p95/p99): rank-targeted
+    // selection through the two-phase range-partition prefix — no
+    // per-channel sort task however hot one channel runs
+    "ts_percentiles" -> ((s, d) =>
+      TimeSeriesOps.percentiles(events(s, d), $"event_type", $"value",
+          $"event_id", Seq(50, 95, 99))
+        .orderBy("channel", "pct")),
+
+    // trapezoidal time-weighted average per channel (irregular-cadence
+    // honest mean; exact decimal numerator, one final double division)
+    "ts_twa" -> ((s, d) =>
+      TimeSeriesOps.timeWeightedAvg(events(s, d), $"event_type", $"ts",
+          $"value", $"event_id")
+        .orderBy("channel")),
+
     // head/tail partial-interval proration (etsdQuery.c:232-287)
     "ts_prorated_total" -> ((s, d) =>
       TimeSeriesOps.proratedTotal(events(s, d), $"event_type", $"ts", $"value",
@@ -223,6 +238,40 @@ object TimeSeriesQueries {
       WHERE (epoch_us(ts)//1000000) >= $SEpoch
         AND (epoch_us(ts)//1000000) < $EEpoch
       GROUP BY 1 ORDER BY 1""",
+
+    "ts_percentiles" -> """
+      WITH v AS (SELECT event_type AS channel,
+                        CAST(round(value*100) AS BIGINT) AS vc,
+                        event_id AS tb
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT channel, vc,
+                   CAST(row_number() OVER (PARTITION BY channel
+                     ORDER BY vc, tb) AS BIGINT) AS rk,
+                   CAST(count(*) OVER (PARTITION BY channel) AS BIGINT) AS n
+            FROM v),
+      t AS (SELECT channel, n, unnest([50, 95, 99]) AS p
+            FROM (SELECT DISTINCT channel, n FROM r))
+      SELECT r.channel, CAST(t.p AS BIGINT) AS pct,
+             CAST(r.vc AS DOUBLE)/100.0 AS value, t.n
+      FROM t JOIN r ON r.channel = t.channel
+                   AND r.rk = (t.n * t.p + 99) // 100
+      ORDER BY 1, 2""",
+
+    "ts_twa" -> """
+      WITH v AS (SELECT event_type AS channel, epoch_us(ts) AS t,
+                        CAST(round(value*100) AS BIGINT) AS vc,
+                        event_id AS tb
+                 FROM events WHERE value IS NOT NULL),
+      l AS (SELECT channel, t, vc,
+                   lag(t) OVER (PARTITION BY channel ORDER BY t, tb) AS pt,
+                   lag(vc) OVER (PARTITION BY channel ORDER BY t, tb) AS pv
+            FROM v),
+      s AS (SELECT channel, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(vc + pv AS HUGEINT) * (t - pt)) AS num,
+                   max(t) - min(t) AS span
+            FROM l GROUP BY 1)
+      SELECT channel, n, CAST(num AS DOUBLE)/2.0/span/100.0 AS twa
+      FROM s WHERE n >= 2 ORDER BY 1""",
 
     "ts_prorated_total" -> s"""
       WITH b AS (

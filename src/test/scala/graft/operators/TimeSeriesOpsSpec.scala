@@ -191,6 +191,46 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(peak - -240.0) < 1e-9, s"peak $peak")
   }
 
+  test("percentiles picks the ceil(p% of n)-th order statistic per channel") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ev = ((1 to 10).map(i => ("a", i.toDouble, i.toLong)) :+
+      (("b", 7.0, 99L)))
+      .toDF("channel", "value", "event_id")
+    val got = Pins.scoped {
+      TimeSeriesOps.percentiles(ev, $"channel", $"value", $"event_id",
+          Seq(50, 95, 99))
+        .as[(String, Long, Double, Long)].collect().toSeq.sorted
+    }
+    assert(got == Seq(
+      ("a", 50L, 5.0, 10L),  // ceil(5.0)  -> 5th smallest
+      ("a", 95L, 10.0, 10L), // ceil(9.5)  -> 10th
+      ("a", 99L, 10.0, 10L), // ceil(9.9)  -> 10th
+      ("b", 50L, 7.0, 1L), ("b", 95L, 7.0, 1L), ("b", 99L, 7.0, 1L)), got)
+  }
+
+  test("timeWeightedAvg integrates trapezoids; bursts don't over-weight") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = 1700000000L
+    val ev = Seq(
+      ("a", t0, 0.0, 1L), ("a", t0 + 10L, 10.0, 2L), ("a", t0 + 11L, 10.0, 3L),
+      ("lonely", t0, 42.0, 4L)) // < 2 samples: no trapezoid, excluded
+      .toDF("channel", "sec", "value", "event_id")
+      .select($"channel", timestamp_seconds($"sec").as("ts"), $"value",
+        $"event_id")
+    val got = TimeSeriesOps.timeWeightedAvg(ev, $"channel", $"ts", $"value",
+        $"event_id")
+      .as[(String, Long, Double)].collect().toSeq
+    // trapezoids: (0+10)/2·10 + (10+10)/2·1 = 60 value·s over 11 s
+    // (a naive AVG says 6.67 — the burst at t+11 over-weights). The
+    // expectation replays the op's exact division chain (cents·µs
+    // numerator, then /2 /span /100) — a rearranged 60.0/11.0 differs
+    // by one ULP, which is precisely why the oracle uses one chain.
+    val num = (0L + 1000L) * 10000000L + (1000L + 1000L) * 1000000L
+    assert(got == Seq(("a", 3L, num.toDouble / 2.0 / 11000000L / 100.0)), got)
+  }
+
   test("sessionize splits on inactivity gaps, exact-gap events stay " +
       "in-session, tie timestamps are ordered by the tie-break") {
     val spark = TestSpark.spark

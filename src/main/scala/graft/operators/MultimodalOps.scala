@@ -114,4 +114,27 @@ object MultimodalOps {
       hex(substring($"payload", 1, 8)).as("head_hex"),
       (floor((octet_length($"payload") + FrameBytes - 1) / FrameBytes))
         .cast("long").as("n_frames"))
+
+  /** Cross-media frame dedup — the keyframe-overlap near-dup signal for
+    * binary columns (shared intros/outros, watermarked stills, re-cut
+    * copies): every sampled frame whose exact content appears in ≥
+    * `minMedia` distinct media. Frames are hashed via their hex form
+    * (the same representation [[sampleFrames]]' oracle compares, since
+    * DuckDB cannot hash BLOB subranges), then it is one hash-keyed
+    * partial-agg count with a two-phase distinct-media pass — the
+    * [[graft.operators.TextAnalysisOps.spanDedup]] shape on bytes
+    * instead of text, and the same corpus-sized-state-free plan.
+    * Output: frame_h (md5 of frame hex), n_media, n_occ, first_media. */
+  def frameDedup(frames: Dataset[MediaFrame], minMedia: Long = 2): DataFrame = {
+    import frames.sparkSession.implicits._
+    val f = Pins.pin(frames.toDF()
+      .select($"media_id", md5(hex($"frame")).as("frame_h")))
+    val media = f.select($"frame_h", $"media_id").distinct()
+      .groupBy($"frame_h")
+      .agg(count(lit(1)).as("n_media"), min($"media_id").as("first_media"))
+      .filter($"n_media" >= minMedia)
+    f.groupBy($"frame_h").agg(count(lit(1)).as("n_occ"))
+      .join(media, "frame_h")
+      .select($"frame_h", $"n_media", $"n_occ", $"first_media")
+  }
 }

@@ -430,6 +430,13 @@ object LlmQueries {
           hex($"frame").as("frame_hex"))
         .orderBy("media_id", "frame_idx")),
 
+    // cross-media frame dedup: sampled frames whose exact bytes appear
+    // in >= 2 distinct media (keyframe-overlap near-dup signal)
+    "llm_frame_dedup" -> ((s, d) =>
+      MultimodalOps.frameDedup(
+          MultimodalOps.sampleFrames(MultimodalOps.mediaFromDocs(docs(s, d))))
+        .orderBy("frame_h")),
+
     // context-window chunking: fixed-length char windows with overlap
     // (RAG/embedding prep) — one spread exchange (chunkWindows
     // repartitions by doc_id for file-layout-independent parallelism)
@@ -1365,6 +1372,30 @@ object LlmQueries {
       SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
              CAST(length(frame_hex) // 2 AS BIGINT) AS n_bytes, frame_hex
       FROM fr ORDER BY media_id, frame_idx"""
+    },
+
+    "llm_frame_dedup" -> {
+      val fb = MultimodalOps.FrameBytes
+      s"""
+      WITH media AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents),
+      idx AS (
+        SELECT media_id, ph,
+               unnest(generate_series(0,
+                 (length(ph) // 2 + ${fb - 1}) // $fb - 1, 2)) AS frame_idx
+        FROM media),
+      fr AS (
+        SELECT media_id,
+               md5(substring(ph, frame_idx * ${2 * fb} + 1, ${2 * fb})) AS frame_h
+        FROM idx),
+      dm AS (SELECT DISTINCT frame_h, media_id FROM fr),
+      md AS (SELECT frame_h, CAST(count(*) AS BIGINT) AS n_media,
+                    min(media_id) AS first_media
+             FROM dm GROUP BY 1 HAVING count(*) >= 2),
+      oc AS (SELECT frame_h, CAST(count(*) AS BIGINT) AS n_occ
+             FROM fr GROUP BY 1)
+      SELECT md.frame_h, md.n_media, oc.n_occ, md.first_media
+      FROM md JOIN oc USING (frame_h) ORDER BY 1"""
     },
 
     "llm_embed_dedup" -> {

@@ -46,4 +46,23 @@ class MultimodalOpsSpec extends AnyFunSuite {
       .select($"n_bytes", $"n_frames").as[(Long, Long)].collect().toSeq
     assert(stats == Seq((40L, 3L), (16L, 1L), (33L, 3L)))
   }
+
+  test("frameDedup flags a frame shared across media, counts occurrences") {
+    import spark.implicits._
+    val shared = Array.tabulate(16)(i => (i * 3).toByte)
+    val dup = Seq(
+      // media 10/11 share their first frame; 11 also repeats it at
+      // sampled index 2 (n_occ counts occurrences, n_media distinct)
+      MediaRow(10L, "video", shared ++ Array.fill(16)(1.toByte), 0, 0, 0),
+      MediaRow(11L, "video",
+        shared ++ Array.fill(16)(2.toByte) ++ shared, 0, 0, 0),
+      MediaRow(12L, "image", Array.fill(16)(9.toByte), 0, 0, 0)).toDS()
+    val got = graft.Pins.scoped {
+      MultimodalOps.frameDedup(MultimodalOps.sampleFrames(dup))
+        .as[(String, Long, Long, Long)].collect().toSeq
+    }
+    assert(got.size == 1, got)
+    val (_, nMedia, nOcc, firstMedia) = got.head
+    assert(nMedia == 2L && nOcc == 3L && firstMedia == 10L, got)
+  }
 }

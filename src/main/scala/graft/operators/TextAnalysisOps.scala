@@ -416,6 +416,33 @@ object TextAnalysisOps {
       .select($"shard".as("stratum"), $"doc_id", $"quality", $"cum".as("rk"))
   }
 
+  /** Temperature-balanced mixture sampling — the multilingual mix rule
+    * at τ = 1/2 (mT5/XLM-R style): stratum keep rate
+    * `sqrt(n_smallest / n_stratum)`, so the smallest stratum is kept
+    * whole and one 100× its size keeps 1 in 10; the per-doc keep
+    * decision is the same exchange-free salted-hash threshold as
+    * [[stratifiedSample]]. Rates derive FROM the data (two tiny
+    * aggregates that broadcast), so the mix self-adjusts as the corpus
+    * grows while every decision stays reproducible and append-stable
+    * within a fixed stratum census. The exponent is fixed at 1/2
+    * deliberately: division and sqrt are correctly-rounded IEEE ops, so
+    * the ppm threshold is bit-identical across engines — a general
+    * `pow(x, τ)` is not. Output: stratum, doc_id, keep_ppm (kept). */
+  def temperatureMix(docs: DataFrame, id: Column, stratum: Column,
+                     salt: String = "tmix:"): DataFrame = {
+    val d = Pins.pin(docs.select(id.as("doc_id"), stratum.as("stratum")))
+    val sizes = d.groupBy($"stratum").agg(count(lit(1)).as("n"))
+    val nmin = sizes.agg(min($"n").as("nmin"))
+    val rates = sizes.crossJoin(broadcast(nmin)) // 1-row corpus total
+      .select($"stratum",
+        floor(lit(1000000.0) * sqrt($"nmin".cast("double") / $"n"))
+          .cast("long").as("keep_ppm"))
+    d.join(broadcast(rates), "stratum")
+      .filter(DetHash.h60(concat(lit(salt), $"doc_id".cast("string")))
+        % 1000000L < $"keep_ppm")
+      .select($"stratum", $"doc_id", $"keep_ppm")
+  }
+
   /** Character trigrams (multiset) per doc. Spread by doc before the
     * generator so the ~n_chars× explode parallelizes independently of the
     * input file layout (see DedupOps.shingleHashes). */

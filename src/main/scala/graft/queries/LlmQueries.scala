@@ -347,6 +347,12 @@ object LlmQueries {
       TextAnalysisOps.qualitySample(docs(s, d), $"doc_id", $"text")
         .orderBy("doc_id")),
 
+    // temperature-balanced mixture (tau = 1/2): per-language keep rates
+    // derived from the stratum census, smallest language kept whole
+    "llm_temp_mix" -> ((s, d) =>
+      TextAnalysisOps.temperatureMix(docs(s, d), $"doc_id", $"lang")
+        .orderBy("stratum", "doc_id")),
+
     // per-language exact top-20% by quality: rank-threshold curation
     // through the two-phase range-partition prefix (no single-stratum
     // window task however skewed the language mix)
@@ -799,6 +805,20 @@ object LlmQueries {
              - 0.2 * (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) AS quality
       FROM f ORDER BY 1"""
     },
+
+    "llm_temp_mix" -> s"""
+      WITH d AS (SELECT doc_id, lang AS stratum FROM documents),
+      s AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      m AS (SELECT min(n) AS nmin FROM s),
+      r AS (SELECT stratum,
+                   CAST(floor(1000000.0 * sqrt(CAST(m.nmin AS DOUBLE) / s.n))
+                     AS BIGINT) AS keep_ppm
+            FROM s, m)
+      SELECT r.stratum, d.doc_id, r.keep_ppm
+      FROM d JOIN r USING (stratum)
+      WHERE ${DetHash.h60Sql("'tmix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+            < keep_ppm
+      ORDER BY 1, 2""",
 
     "llm_quality_topp" -> {
       val inList = TextAnalysisOps.StopWords.map(w => s"'$w'").mkString(", ")

@@ -117,9 +117,61 @@ object StreamingQueries {
     spark.table(sink).orderBy("block_epoch", "channel")
   }
 
+  // ---- ts_stream_sessions fixture geometry ----
+  private val SessU = 3       // users
+  private val SessN = 90L     // ticks: 30 per user
+  private val SessGap = 1800L // session gap (s); every 5th tick jumps 1h
+  private val SessDelay = "36000 seconds" // watermark covers the replay
+
+  /** Structured Streaming's `session_window` (activity-aligned state,
+    * the streaming twin of [[TimeSeriesOps.sessionize]]) inside the
+    * oracle gate: a deterministic multi-user tick stream — 5-minute
+    * cadence with an hour jump every 5 ticks, so sessions are
+    * non-trivial — is replayed OUT OF ORDER (odd ticks, then even
+    * ticks interleaving an hours-older past back in) under a watermark
+    * wide enough to admit everything; a sentinel then pushes the
+    * watermark past every session end so Append mode emits them. The
+    * emitted (user, window, count) rows hash-compare against the
+    * closed form computed by the gap-split rule in DuckDB. NOTE
+    * session_window splits at gaps >= gap (a new event at exactly
+    * last + gap starts a new session) — one strict-vs-inclusive
+    * boundary different from the batch operator, pinned by the oracle. */
+  def streamSessionTotals(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sentinelTs = LateT0 + 80000L
+    val rows = mem.toDF().select($"value".as("n"))
+      .select(
+        when($"n" < 0, lit(99L))
+          .otherwise(expr(s"CAST(n % $SessU AS BIGINT)")).as("user_id"),
+        timestamp_seconds(when($"n" < 0, lit(sentinelTs))
+          .otherwise(lit(LateT0) + expr(s"n DIV $SessU") * 300L +
+            expr(s"(n DIV $SessU) DIV 5") * 3600L)).as("ts"))
+      .withWatermark("ts", SessDelay)
+    val agg = rows
+      .groupBy(session_window($"ts", s"$SessGap seconds"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("start_us"),
+        unix_micros($"session_window.end").as("end_us"), $"n_events")
+    val sink = s"sess_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val batches = Seq(
+        (1L to SessN).filter(_ % 2 == 1),
+        (1L to SessN).filter(_ % 2 == 0), // hours-older ticks return late
+        Seq(-1L))                         // flush sentinel (user 99 only)
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sink).orderBy("user_id", "start_us")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_stream_ingest" -> ((s, _) => streamIngestTotals(s)),
-    "ts_stream_late" -> ((s, _) => streamLateTotals(s)))
+    "ts_stream_late" -> ((s, _) => streamLateTotals(s)),
+    "ts_stream_sessions" -> ((s, _) => streamSessionTotals(s)))
 
   def oracles: Map[String, String] = Map(
     // the generator's closed form, recomputed from scratch: valid ticks
@@ -168,5 +220,31 @@ object StreamingQueries {
              CAST(count(*) AS BIGINT) AS n,
              CAST(count(CASE WHEN NOT valid THEN 1 END) AS BIGINT) AS n_invalid,
              CAST(sum(CASE WHEN valid THEN v END) AS DOUBLE) AS total
-      FROM r GROUP BY 1, 2 ORDER BY 1, 2""")
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // closed form of session_window over every fed tick (the watermark
+    // admits the whole out-of-order replay; the sentinel user 99 never
+    // closes and is not in the output): split at gaps >= SessGap,
+    // window end = last event + gap
+    "ts_stream_sessions" -> s"""
+      WITH t AS (
+        SELECT n, n % $SessU AS user_id,
+               $LateT0 + (n // $SessU)*300 + ((n // $SessU) // 5)*3600 AS ts_s
+        FROM generate_series(1, $SessN) g(n)),
+      l AS (SELECT user_id, ts_s,
+                   lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS prev
+            FROM t),
+      f AS (SELECT user_id, ts_s,
+                   CASE WHEN prev IS NULL OR ts_s - prev >= $SessGap
+                        THEN 1 ELSE 0 END AS ns
+            FROM l),
+      s AS (SELECT user_id, ts_s,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s
+                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM f)
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             min(ts_s)*1000000 AS start_us,
+             (max(ts_s) + $SessGap)*1000000 AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sess ORDER BY 1, 2""")
 }

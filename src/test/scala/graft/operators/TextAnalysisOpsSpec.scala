@@ -350,6 +350,29 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(got(eval) == (2L, (1000000L + 0L) / 2))
   }
 
+  test("temperatureMix: sqrt(nmin/n) rates, smallest stratum kept whole") {
+    // strata of 4, 16, 64 docs: rates 1.0, 0.5, 0.25 exactly (powers of
+    // four, so sqrt is exact and the floor boundary is not in play)
+    val d = ((1L to 4L).map(i => (i, "small")) ++
+      (101L to 116L).map(i => (i, "mid")) ++
+      (201L to 264L).map(i => (i, "big"))).toDF("doc_id", "lang")
+    val got = Pins.scoped {
+      TextAnalysisOps.temperatureMix(d, $"doc_id", $"lang")
+        .as[(String, Long, Long)].collect().toSeq
+    }
+    val ppm = got.groupBy(_._1).map { case (s, rs) => s -> rs.head._3 }
+    assert(ppm == Map("small" -> 1000000L, "mid" -> 500000L,
+      "big" -> 250000L), ppm)
+    // the smallest stratum survives completely; every kept doc matches
+    // the salted-hash threshold recomputed scala-side
+    assert(got.count(_._1 == "small") == 4)
+    val expect = d.as[(Long, String)].collect().filter { case (id, lang) =>
+      val p = Map("small" -> 1000000L, "mid" -> 500000L, "big" -> 250000L)(lang)
+      graft.functions.DetHash.h60Value(s"tmix:$id") % 1000000 < p
+    }.map(_._1).toSet
+    assert(got.map(_._2).toSet == expect)
+  }
+
   test("qualityTopP keeps exactly ceil(p% of n) per stratum, best first") {
     val d = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -568,6 +568,65 @@ object TimeSeriesOps {
         ($"num".cast("double") / 2.0 / $"span" / 100.0).as("twa"))
   }
 
+  /** Per-channel derivative — the PromQL-style `deriv`/`rate` for gauge
+    * series: (v_i − v_{i−1}) / (t_i − t_{i−1}) in value units per
+    * second at every sample after a channel's first. The division runs
+    * on exact cents/µs integers cast once to double with a fixed
+    * expression order, so rates are engine-identical. Lag per channel —
+    * bounded by one channel's history, like every per-channel op here.
+    * Output: channel, ts_us, rate. */
+  def derivative(df: DataFrame, chan: Column, ts: Column, value: Column,
+                 tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy($"channel").orderBy($"t", $"tb")
+    df.filter(value.isNotNull)
+      .select(chan.as("channel"), unix_micros(ts).as("t"),
+        cents(value).as("vc"), tieBreak.as("tb"))
+      .withColumn("pt", lag($"t", 1).over(w))
+      .withColumn("pv", lag($"vc", 1).over(w))
+      .filter($"pt".isNotNull && $"t" > $"pt")
+      .select($"channel", $"t".as("ts_us"),
+        ((($"vc" - $"pv").cast("double") / 100.0) /
+          (($"t" - $"pt").cast("double") / 1000000.0)).as("rate"))
+  }
+
+  /** Cross-channel Pearson correlation over aligned time buckets — the
+    * "which signals move together" analytic (load vs temperature, …):
+    * per-channel bucket totals in exact cents, buckets inner-joined per
+    * channel pair (a < b), then one pass of exact integer moment sums
+    * widened to DECIMAL(38,0); r is assembled from the moments with a
+    * fixed double expression order, so it is bit-identical across
+    * engines. Channel-pair count is channels², which for a telemetry
+    * deployment (≤63 channels here, per the reference's cap) is tiny —
+    * the corpus-sized work is the one bucket aggregation; the pair join
+    * runs on channels × buckets rows. Zero-variance pairs are excluded
+    * (r undefined). Output: chan_a, chan_b, n, r. */
+  def channelCorrelation(df: DataFrame, chan: Column, ts: Column,
+                         value: Column, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+    val b = Pins.pin(df.filter(value.isNotNull)
+      .select(chan.as("channel"),
+        (floor(unix_micros(ts) / 1000000L / bucketSec) * bucketSec)
+          .cast("long").as("bucket"),
+        cents(value).as("vc"))
+      .groupBy($"channel", $"bucket").agg(sum($"vc").as("x")))
+    val r = b.select($"channel".as("chan_b"), $"bucket", $"x".as("y"))
+    val m = b.join(r, Seq("bucket")).filter($"channel" < $"chan_b")
+      .groupBy($"channel".as("chan_a"), $"chan_b")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("syy"))
+    val nD = $"n".cast("double")
+    val (sx, sy) = ($"sx".cast("double"), $"sy".cast("double"))
+    val cov = nD * $"sxy".cast("double") - sx * sy
+    val vx = nD * $"sxx".cast("double") - sx * sx
+    val vy = nD * $"syy".cast("double") - sy * sy
+    m.filter(vx > 0.0 && vy > 0.0)
+      .select($"chan_a", $"chan_b", $"n", (cov / sqrt(vx * vy)).as("r"))
+  }
+
   /** Sessionization — split each key's event stream into sessions at
     * inactivity gaps > `gapSec` (the classic clickstream/telemetry
     * operator; the reference's nearest notion is the block boundary,

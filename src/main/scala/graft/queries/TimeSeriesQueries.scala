@@ -66,6 +66,20 @@ object TimeSeriesQueries {
           $"value", $"event_id")
         .orderBy("channel")),
 
+    // per-channel derivative (PromQL-style deriv for gauges): dv/dt in
+    // units per second at every sample after a channel's first
+    "ts_deriv" -> ((s, d) =>
+      TimeSeriesOps.derivative(events(s, d), $"event_type", $"ts", $"value",
+          $"event_id")
+        .orderBy("channel", "ts_us")),
+
+    // cross-channel Pearson correlation over aligned hourly buckets
+    // (exact integer moments, one fixed double expression at the end)
+    "ts_corr" -> ((s, d) =>
+      TimeSeriesOps.channelCorrelation(events(s, d), $"event_type", $"ts",
+          $"value", Hour)
+        .orderBy("chan_a", "chan_b")),
+
     // head/tail partial-interval proration (etsdQuery.c:232-287)
     "ts_prorated_total" -> ((s, d) =>
       TimeSeriesOps.proratedTotal(events(s, d), $"event_type", $"ts", $"value",
@@ -272,6 +286,46 @@ object TimeSeriesQueries {
             FROM l GROUP BY 1)
       SELECT channel, n, CAST(num AS DOUBLE)/2.0/span/100.0 AS twa
       FROM s WHERE n >= 2 ORDER BY 1""",
+
+    "ts_deriv" -> """
+      WITH v AS (SELECT event_type AS channel, epoch_us(ts) AS t,
+                        CAST(round(value*100) AS BIGINT) AS vc,
+                        event_id AS tb
+                 FROM events WHERE value IS NOT NULL),
+      l AS (SELECT channel, t, vc,
+                   lag(t) OVER (PARTITION BY channel ORDER BY t, tb) AS pt,
+                   lag(vc) OVER (PARTITION BY channel ORDER BY t, tb) AS pv
+            FROM v)
+      SELECT channel, t AS ts_us,
+             (CAST(vc - pv AS DOUBLE)/100.0)
+               / (CAST(t - pt AS DOUBLE)/1000000.0) AS rate
+      FROM l WHERE pt IS NOT NULL AND t > pt ORDER BY 1, 2""",
+
+    "ts_corr" -> """
+      WITH v AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket,
+                        CAST(round(value*100) AS BIGINT) AS vc
+                 FROM events WHERE value IS NOT NULL),
+      b AS (SELECT channel, bucket, CAST(sum(vc) AS BIGINT) AS x
+            FROM v GROUP BY 1, 2),
+      p AS (SELECT a.channel AS chan_a, c.channel AS chan_b, a.x AS x, c.x AS y
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.channel < c.channel),
+      m AS (SELECT chan_a, chan_b, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT)*y) AS sxy,
+                   sum(CAST(x AS HUGEINT)*x) AS sxx,
+                   sum(CAST(y AS HUGEINT)*y) AS syy
+            FROM p GROUP BY 1, 2),
+      d AS (SELECT chan_a, chan_b, n,
+                   CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cov,
+                   CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                   CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+            FROM m)
+      SELECT chan_a, chan_b, n, cov / sqrt(vx * vy) AS r
+      FROM d WHERE vx > 0 AND vy > 0 ORDER BY 1, 2""",
 
     "ts_prorated_total" -> s"""
       WITH b AS (

@@ -231,6 +231,52 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3L, num.toDouble / 2.0 / 11000000L / 100.0)), got)
   }
 
+  test("derivative emits dv/dt per second, skips first samples and " +
+      "zero-dt duplicates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = 1700000000L
+    val ev = Seq(
+      ("a", t0, 0.0, 1L), ("a", t0 + 10L, 5.0, 2L), ("a", t0 + 30L, 4.0, 3L),
+      ("a", t0 + 30L, 9.0, 4L), // duplicate ts: no defined rate, dropped
+      ("b", t0, 7.0, 5L))       // single sample: no rate
+      .toDF("channel", "sec", "value", "event_id")
+      .select($"channel", timestamp_seconds($"sec").as("ts"), $"value",
+        $"event_id")
+    val got = TimeSeriesOps.derivative(ev, $"channel", $"ts", $"value",
+        $"event_id")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq(
+      ("a", (t0 + 10L) * 1000000L, 0.5),    // +5 over 10 s
+      ("a", (t0 + 30L) * 1000000L, -0.05))) // -1 over 20 s
+  }
+
+  test("channelCorrelation: exact r = ±1 on linear pairs, constant " +
+      "channels excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = 1700000000L
+    val ev = (0 until 4).flatMap { h =>
+      val t = t0 + h * 3600L
+      Seq(("x", t, 1.0 + h), ("y", t, 2.0 + 2 * h), // y = 2x: r = 1
+        ("z", t, 9.0 - h),                          // z = 10 - x: r = -1
+        ("const", t, 5.0))                          // zero variance
+    }.zipWithIndex.map { case ((c, t, v), i) => (c, t, v, i.toLong) }
+      .toDF("channel", "sec", "value", "event_id")
+      .select($"channel", timestamp_seconds($"sec").as("ts"), $"value",
+        $"event_id")
+    val got = Pins.scoped {
+      TimeSeriesOps.channelCorrelation(ev, $"channel", $"ts", $"value", 3600L)
+        .as[(String, String, Long, Double)].collect().toSeq.sorted
+    }
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("x", "y"), ("x", "z"), ("y", "z")), got)
+    val r = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(math.abs(r(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(r(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(r(("y", "z")) + 1.0) < 1e-12)
+  }
+
   test("sessionize splits on inactivity gaps, exact-gap events stay " +
       "in-session, tie timestamps are ordered by the tie-break") {
     val spark = TestSpark.spark

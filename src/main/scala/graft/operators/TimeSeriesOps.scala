@@ -627,6 +627,31 @@ object TimeSeriesOps {
       .select($"chan_a", $"chan_b", $"n", (cov / sqrt(vx * vy)).as("r"))
   }
 
+  /** Sliding moving average over bucketed totals — the RRD-style
+    * consolidation readout (e.g. "24-hour average at every hour"): one
+    * bucket aggregation (cents-exact, map-side partial), then a RANGE
+    * frame over the per-channel bucket series, so SPARSE series average
+    * over the buckets that exist (a missing hour does not dilute), and
+    * frame state is bounded by `windowBuckets` rows. The division is
+    * the single double op at the end. Output: channel, bucket_epoch,
+    * n_buckets (present buckets in the frame), ma. */
+  def movingAverage(df: DataFrame, chan: Column, ts: Column, value: Column,
+                    bucketSec: Long, windowBuckets: Int): DataFrame = {
+    require(bucketSec > 0 && windowBuckets > 0)
+    val b = df.filter(value.isNotNull)
+      .select(chan.as("channel"),
+        (floor(unix_micros(ts) / 1000000L / bucketSec) * bucketSec)
+          .cast("long").as("bucket_epoch"),
+        cents(value).as("vc"))
+      .groupBy($"channel", $"bucket_epoch").agg(sum($"vc").as("s_c"))
+    val w = Window.partitionBy($"channel").orderBy($"bucket_epoch")
+      .rangeBetween(-(windowBuckets - 1L) * bucketSec, 0L)
+    b.select($"channel", $"bucket_epoch",
+      count(lit(1)).over(w).as("n_buckets"),
+      (sum($"s_c").over(w).cast("double") /
+        count(lit(1)).over(w) / 100.0).as("ma"))
+  }
+
   /** Sessionization — split each key's event stream into sessions at
     * inactivity gaps > `gapSec` (the classic clickstream/telemetry
     * operator; the reference's nearest notion is the block boundary,

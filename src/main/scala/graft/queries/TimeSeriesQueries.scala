@@ -80,6 +80,13 @@ object TimeSeriesQueries {
           $"value", Hour)
         .orderBy("chan_a", "chan_b")),
 
+    // 24-hour sliding average at every hourly bucket (RRD-style
+    // consolidation readout; sparse-bucket-aware RANGE frame)
+    "ts_moving_avg" -> ((s, d) =>
+      TimeSeriesOps.movingAverage(events(s, d), $"event_type", $"ts",
+          $"value", Hour, windowBuckets = 24)
+        .orderBy("channel", "bucket_epoch")),
+
     // head/tail partial-interval proration (etsdQuery.c:232-287)
     "ts_prorated_total" -> ((s, d) =>
       TimeSeriesOps.proratedTotal(events(s, d), $"event_type", $"ts", $"value",
@@ -326,6 +333,22 @@ object TimeSeriesQueries {
             FROM m)
       SELECT chan_a, chan_b, n, cov / sqrt(vx * vy) AS r
       FROM d WHERE vx > 0 AND vy > 0 ORDER BY 1, 2""",
+
+    "ts_moving_avg" -> """
+      WITH v AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+                        CAST(round(value*100) AS BIGINT) AS vc
+                 FROM events WHERE value IS NOT NULL),
+      b AS (SELECT channel, bucket_epoch, CAST(sum(vc) AS BIGINT) AS s_c
+            FROM v GROUP BY 1, 2)
+      SELECT channel, bucket_epoch,
+             CAST(count(*) OVER w AS BIGINT) AS n_buckets,
+             CAST(CAST(sum(s_c) OVER w AS BIGINT) AS DOUBLE)
+               / (count(*) OVER w) / 100.0 AS ma
+      FROM b
+      WINDOW w AS (PARTITION BY channel ORDER BY bucket_epoch
+                   RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+      ORDER BY 1, 2""",
 
     "ts_prorated_total" -> s"""
       WITH b AS (

@@ -277,6 +277,28 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(r(("y", "z")) + 1.0) < 1e-12)
   }
 
+  test("movingAverage: RANGE frame over sparse buckets, missing hours " +
+      "neither dilute nor extend the window") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = 1700000000L - (1700000000L % 3600L) // bucket-aligned
+    val ev = Seq((t0, 10.0, 1L), (t0 + 3600L, 20.0, 2L),
+      (t0 + 25L * 3600L, 30.0, 3L))
+      .map { case (t, v, id) => ("a", t, v, id) }
+      .toDF("channel", "sec", "value", "event_id")
+      .select($"channel", timestamp_seconds($"sec").as("ts"), $"value",
+        $"event_id")
+    val got = TimeSeriesOps.movingAverage(ev, $"channel", $"ts", $"value",
+        3600L, windowBuckets = 24)
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq(
+      ("a", t0, 1L, 10.0),           // only itself in frame
+      ("a", t0 + 3600L, 2L, 15.0),   // hours 0+1 present -> (10+20)/2
+      // hour 25's frame starts at hour 2: hours 0/1 aged out, the 22
+      // EMPTY hours between do not appear as zeros
+      ("a", t0 + 25L * 3600L, 1L, 30.0)), got)
+  }
+
   test("sessionize splits on inactivity gaps, exact-gap events stay " +
       "in-session, tie timestamps are ordered by the tie-break") {
     val spark = TestSpark.spark

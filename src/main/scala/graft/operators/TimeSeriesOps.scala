@@ -627,6 +627,43 @@ object TimeSeriesOps {
       .select($"chan_a", $"chan_b", $"n", (cov / sqrt(vx * vy)).as("r"))
   }
 
+  /** Robust outliers — median/MAD flagging, the n-sigma detector's
+    * robust sibling ([[statOutliers]]): one wild spike inflates a
+    * mean/σ threshold and masks everything after it, while the
+    * median/MAD pair ignores any <50% contamination. Median = the
+    * ceil(n/2)-th order statistic per channel, MAD = the same statistic
+    * over |v − median| — both through the two-phase rank (no hot-channel
+    * sort task) — and the flag rule `|v − median| > k·MAD` compares
+    * exact cents integers end to end: no doubles anywhere, so
+    * cross-engine parity is trivial. Channels with MAD = 0 (≥ half the
+    * samples identical) flag nothing, mirroring statOutliers'
+    * degenerate-variance guard. Output: channel, ts_us, value, dev_c,
+    * mad_c (flagged rows only). */
+  def madOutliers(df: DataFrame, chan: Column, ts: Column, value: Column,
+                  tieBreak: Column, k: Long = 3L): DataFrame = {
+    require(k > 0)
+    val v = Pins.pin(df.filter(value.isNotNull)
+      .select(chan.as("shard"), unix_micros(ts).as("ts_us"),
+        cents(value).as("vc"), tieBreak.as("tb")))
+    def medianOf(in: DataFrame, col: Column): DataFrame = {
+      val n = in.groupBy($"shard").agg(count(lit(1)).as("n"))
+        .select($"shard", expr("(n + 1) DIV 2").as("target"))
+      TextAnalysisOps.rankedByRange(in.select($"shard", col.as("m"), $"tb"),
+          lit(1L), Seq($"m", $"tb"))
+        .join(broadcast(n), "shard")
+        .filter($"cum" === $"target")
+        .select($"shard", $"m")
+    }
+    val med = medianOf(v, $"vc").withColumnRenamed("m", "med_c")
+    val dev = Pins.pin(v.join(broadcast(med), "shard")
+      .withColumn("dev_c", abs($"vc" - $"med_c")))
+    val mad = medianOf(dev, $"dev_c").withColumnRenamed("m", "mad_c")
+    dev.join(broadcast(mad), "shard")
+      .filter($"mad_c" > 0 && $"dev_c" > lit(k) * $"mad_c")
+      .select($"shard".as("channel"), $"ts_us",
+        ($"vc".cast("double") / 100.0).as("value"), $"dev_c", $"mad_c")
+  }
+
   /** Sliding moving average over bucketed totals — the RRD-style
     * consolidation readout (e.g. "24-hour average at every hour"): one
     * bucket aggregation (cents-exact, map-side partial), then a RANGE

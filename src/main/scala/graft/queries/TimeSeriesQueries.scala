@@ -80,6 +80,13 @@ object TimeSeriesQueries {
           $"value", Hour)
         .orderBy("chan_a", "chan_b")),
 
+    // robust median/MAD outliers (integer-exact; immune to the spike
+    // masking that inflates a mean/sigma threshold)
+    "ts_outliers_mad" -> ((s, d) =>
+      TimeSeriesOps.madOutliers(events(s, d), $"event_type", $"ts",
+          $"value", $"event_id")
+        .orderBy("channel", "ts_us")),
+
     // 24-hour sliding average at every hourly bucket (RRD-style
     // consolidation readout; sparse-bucket-aware RANGE frame)
     "ts_moving_avg" -> ((s, d) =>
@@ -333,6 +340,32 @@ object TimeSeriesQueries {
             FROM m)
       SELECT chan_a, chan_b, n, cov / sqrt(vx * vy) AS r
       FROM d WHERE vx > 0 AND vy > 0 ORDER BY 1, 2""",
+
+    "ts_outliers_mad" -> """
+      WITH v AS (SELECT event_type AS channel, epoch_us(ts) AS ts_us,
+                        CAST(round(value*100) AS BIGINT) AS vc,
+                        event_id AS tb
+                 FROM events WHERE value IS NOT NULL),
+      r1 AS (SELECT channel, vc,
+                    row_number() OVER (PARTITION BY channel
+                      ORDER BY vc, tb) AS rk,
+                    count(*) OVER (PARTITION BY channel) AS n
+             FROM v),
+      med AS (SELECT channel, vc AS med_c FROM r1 WHERE rk = (n + 1) // 2),
+      d AS (SELECT v.channel, v.ts_us, v.vc, v.tb,
+                   abs(v.vc - m.med_c) AS dev_c
+            FROM v JOIN med m USING (channel)),
+      r2 AS (SELECT channel, dev_c,
+                    row_number() OVER (PARTITION BY channel
+                      ORDER BY dev_c, tb) AS rk,
+                    count(*) OVER (PARTITION BY channel) AS n
+             FROM d),
+      mad AS (SELECT channel, dev_c AS mad_c FROM r2 WHERE rk = (n + 1) // 2)
+      SELECT d.channel, d.ts_us, CAST(d.vc AS DOUBLE)/100.0 AS value,
+             d.dev_c, m.mad_c
+      FROM d JOIN mad m USING (channel)
+      WHERE m.mad_c > 0 AND d.dev_c > 3 * m.mad_c
+      ORDER BY 1, 2""",
 
     "ts_moving_avg" -> """
       WITH v AS (SELECT event_type AS channel,

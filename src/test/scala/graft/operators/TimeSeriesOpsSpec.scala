@@ -277,6 +277,32 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(r(("y", "z")) + 1.0) < 1e-12)
   }
 
+  test("madOutliers flags the moderate spike a wild spike masks from " +
+      "the 3-sigma rule") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = 1700000000L
+    // baseline 10.0/10.1, one moderate (50) and one wild (1000) spike:
+    // the wild spike inflates sigma so 3-sigma misses the moderate one;
+    // median 10.1 and MAD 0.10 flag both
+    val vals = (Seq.fill(10)(10.0) ++ Seq.fill(10)(10.1)) :+ 50.0 :+ 1000.0
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      ("a", t0 + i * 60L, v, i.toLong)
+    }.toDF("channel", "sec", "value", "event_id")
+      .select($"channel", timestamp_seconds($"sec").as("ts"), $"value",
+        $"event_id")
+    val mad = Pins.scoped {
+      TimeSeriesOps.madOutliers(ev, $"channel", $"ts", $"value", $"event_id")
+        .as[(String, Long, Double, Long, Long)].collect().toSeq.sortBy(_._2)
+    }
+    assert(mad.map(_._3) == Seq(50.0, 1000.0), mad)
+    assert(mad.forall(_._5 == 10L), s"MAD should be 10 cents: $mad")
+    val sigma = TimeSeriesOps.statOutliers(ev, $"channel", $"ts", $"value")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(sigma.map(_._3) == Seq(1000.0),
+      s"3-sigma should be masked into flagging only the wild spike: $sigma")
+  }
+
   test("movingAverage: RANGE frame over sparse buckets, missing hours " +
       "neither dilute nor extend the window") {
     val spark = TestSpark.spark

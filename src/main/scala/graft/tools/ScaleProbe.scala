@@ -97,6 +97,29 @@ object ScaleProbe {
           d.filter($"doc_id" >= (k - 1) * 10000000L),
           $"doc_id", $"text").count())
       }
+      println("  knnGraph (corpus-wide probes; clone replicas push " +
+        "buckets into the cap at 16x - the documented skew guard)")
+      time(VectorOps.knnGraph(
+        VectorOps.quantize(e, $"vec_id", $"embedding"), 5, 6, 64, 500)
+        .count())
+      // events-based ops: channels are NOT offset, so every replica
+      // lands in the same 5 channels — the hot-channel growth case the
+      // two-phase rank forms exist for
+      val ev = expand(Tables.events(spark, sf), "event_id", k, 10000000L)
+      val evU = ev.withColumn("user_id",
+        $"user_id" + expr("(event_id DIV 10000000) * 10000000"))
+      println("  percentiles (two-phase rank; one hot channel grows kx)")
+      time(graft.operators.TimeSeriesOps.percentiles(
+        ev, $"event_type", $"value", $"event_id", Seq(50, 95, 99)).count())
+      println("  madOutliers (two chained two-phase ranks)")
+      time(graft.operators.TimeSeriesOps.madOutliers(
+        ev, $"event_type", $"ts", $"value", $"event_id").count())
+      println("  sessionize (distinct replica users)")
+      time(graft.operators.TimeSeriesOps.sessionize(
+        evU, $"user_id", $"ts", $"event_id", 1800L).count())
+      println("  channelCorrelation (bucket totals -> tiny pair join)")
+      time(graft.operators.TimeSeriesOps.channelCorrelation(
+        ev, $"event_type", $"ts", $"value", 3600L).count())
       Pins.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       docs.cache().count(); embs.cache().count()

@@ -627,6 +627,40 @@ object TimeSeriesOps {
       .select($"chan_a", $"chan_b", $"n", (cov / sqrt(vx * vy)).as("r"))
   }
 
+  /** Ordered funnel analysis — how many users complete step 1, then
+    * step 2 STRICTLY AFTER their step 1, … (the product-analytics
+    * conversion funnel; out-of-order events don't count, which a plain
+    * "did both" semi-join gets wrong). Stage i is one conditional
+    * aggregate per user joined back on user_id — every stage's join and
+    * groupBy share the same key, so after the first shuffle the chain
+    * is co-partitioned; per-user state is one timestamp per stage.
+    * Strict `>` means a same-microsecond pair does not convert, on
+    * both engines identically. Output: step_idx (1-based), step,
+    * n_users — one row per step, monotonically non-increasing. */
+  def funnelSteps(df: DataFrame, user: Column, ts: Column, typ: Column,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps, "distinct steps")
+    val base = Pins.pin(df.select(user.as("user_id"),
+      unix_micros(ts).as("t"), typ.as("et")))
+    val stages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var cur = base.filter($"et" === steps.head).groupBy($"user_id")
+      .agg(min($"t").as("prev_t"))
+    stages += cur
+    for (s <- steps.tail) {
+      cur = base.filter($"et" === s)
+        .join(cur, "user_id")
+        .filter($"t" > $"prev_t")
+        .groupBy($"user_id")
+        .agg(min($"t").as("prev_t"))
+      stages += cur
+    }
+    stages.zip(steps).zipWithIndex.map { case ((st, name), i) =>
+      st.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(name).as("step"),
+          $"n_users")
+    }.reduce(_ unionByName _)
+  }
+
   /** Robust outliers — median/MAD flagging, the n-sigma detector's
     * robust sibling ([[statOutliers]]): one wild spike inflates a
     * mean/σ threshold and masks everything after it, while the

@@ -207,6 +207,20 @@ object RelationalQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ordered conversion funnel: users completing view, then click
+    // strictly after their first view, then purchase strictly after
+    // that click (out-of-order events do not convert). Scoped to the
+    // fixture's first day so conversion is PARTIAL (56 -> 19 -> 3 at
+    // sf0.01) — over the full month every user trivially completes all
+    // three steps and the gate would not discriminate the ordering rule
+    "rel_funnel" -> ((s, d) =>
+      TimeSeriesOps.funnelSteps(
+          t(s, d, "events")
+            .filter($"ts" < lit("2024-01-02 00:00:00").cast("timestamp")),
+          $"user_id", $"ts", $"event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("step_idx")),
+
     // sessionization: split each user's event stream at 30-minute
     // inactivity gaps (the classic clickstream operator) — lag +
     // running flag-sum in per-user bounded windows, one per-session agg
@@ -235,6 +249,27 @@ object RelationalQueries {
           $"l_linestatus".asc_nulls_last)))
 
   def oracles: Map[String, String] = Map(
+    "rel_funnel" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et
+                 FROM events
+                 WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+      s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             WHERE et = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.t) AS t2
+             FROM e JOIN s1 USING (user_id)
+             WHERE e.et = 'click' AND e.t > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.t) AS t3
+             FROM e JOIN s2 USING (user_id)
+             WHERE e.et = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+               CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+               CAST(count(*) AS BIGINT) FROM s3)
+      ORDER BY step_idx""",
+
     "rel_sessions" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS tb
                  FROM events),

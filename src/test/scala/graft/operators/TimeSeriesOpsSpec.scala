@@ -277,6 +277,30 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(r(("y", "z")) + 1.0) < 1e-12)
   }
 
+  test("funnelSteps counts only STRICTLY ordered conversions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = 1700000000L
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, t0, "view"), (1L, t0 + 10, "click"), (1L, t0 + 20, "purchase"),
+      // user 2: purchase BEFORE click — reaches step 2 only
+      (2L, t0, "view"), (2L, t0 + 5, "purchase"), (2L, t0 + 10, "click"),
+      // user 3: click at the SAME instant as view — strict > rejects it
+      (3L, t0, "view"), (3L, t0, "click"),
+      // user 4: never views — not even step 1
+      (4L, t0, "click"), (4L, t0 + 5, "purchase"))
+      .toDF("user_id", "sec", "event_type")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_type")
+    val got = Pins.scoped {
+      TimeSeriesOps.funnelSteps(ev, $"user_id", $"ts", $"event_type",
+          Seq("view", "click", "purchase"))
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    }
+    assert(got == Seq((1L, "view", 3L), (2L, "click", 2L),
+      (3L, "purchase", 1L)), got)
+  }
+
   test("madOutliers flags the moderate spike a wild spike masks from " +
       "the 3-sigma rule") {
     val spark = TestSpark.spark

@@ -661,6 +661,33 @@ object TimeSeriesOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Cohort retention — the companion readout to [[funnelSteps]]: users
+    * bucketed by the period of their FIRST `anchorType` event (the
+    * cohort), counted as active in every later period they produce any
+    * event in. One per-user anchor aggregate, one (user, period)
+    * distinct, then a user-keyed join (co-partitioned with both
+    * aggregates) and a tiny (cohort × period) count — nothing
+    * corpus-sized ever groups on a non-user key. Periods are
+    * `bucketSec` epochs (not calendar-aligned; deterministic).
+    * Output: cohort_epoch, bucket_epoch (≥ cohort), n_active. */
+  def cohortRetention(df: DataFrame, user: Column, ts: Column, typ: Column,
+                      anchorType: String, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0)
+    val e = Pins.pin(df.select(user.as("user_id"), unix_micros(ts).as("t"),
+      typ.as("et")))
+    val cohort = e.filter($"et" === anchorType).groupBy($"user_id")
+      .agg((floor(min($"t") / 1000000L / bucketSec) * bucketSec)
+        .cast("long").as("cohort_epoch"))
+    val active = e.select($"user_id",
+        (floor($"t" / 1000000L / bucketSec) * bucketSec)
+          .cast("long").as("bucket_epoch"))
+      .distinct()
+    cohort.join(active, "user_id")
+      .filter($"bucket_epoch" >= $"cohort_epoch")
+      .groupBy($"cohort_epoch", $"bucket_epoch")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Robust outliers — median/MAD flagging, the n-sigma detector's
     * robust sibling ([[statOutliers]]): one wild spike inflates a
     * mean/σ threshold and masks everything after it, while the

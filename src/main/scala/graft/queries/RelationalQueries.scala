@@ -221,6 +221,13 @@ object RelationalQueries {
           Seq("view", "click", "purchase"))
         .orderBy("step_idx")),
 
+    // weekly cohort retention: users by the week of their first signup,
+    // counted active in every later week they produce any event
+    "rel_cohorts" -> ((s, d) =>
+      TimeSeriesOps.cohortRetention(t(s, d, "events"), $"user_id", $"ts",
+          $"event_type", "signup", bucketSec = 604800L)
+        .orderBy("cohort_epoch", "bucket_epoch")),
+
     // sessionization: split each user's event stream at 30-minute
     // inactivity gaps (the classic clickstream operator) — lag +
     // running flag-sum in per-user bounded windows, one per-session agg
@@ -269,6 +276,21 @@ object RelationalQueries {
         UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
                CAST(count(*) AS BIGINT) FROM s3)
       ORDER BY step_idx""",
+
+    "rel_cohorts" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et
+                 FROM events),
+      cohort AS (SELECT user_id,
+                        (min(t) // 1000000 // 604800) * 604800 AS cohort_epoch
+                 FROM e WHERE et = 'signup' GROUP BY 1),
+      active AS (SELECT DISTINCT user_id,
+                        (t // 1000000 // 604800) * 604800 AS bucket_epoch
+                 FROM e)
+      SELECT c.cohort_epoch, a.bucket_epoch,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM cohort c JOIN active a USING (user_id)
+      WHERE a.bucket_epoch >= c.cohort_epoch
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "rel_sessions" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS tb

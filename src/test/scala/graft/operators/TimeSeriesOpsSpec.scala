@@ -301,6 +301,35 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       (3L, "purchase", 1L)), got)
   }
 
+  test("cohortRetention: first-anchor cohorts, pre-signup activity and " +
+      "never-signed users excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val week = 604800L
+    val t0 = 1700000000L - (1700000000L % week) // week-aligned
+    def at(w: Long, off: Long = 10L) = t0 + w * week + off
+    val ev = Seq(
+      (1L, at(0), "signup"), (1L, at(0, 20), "view"), (1L, at(2), "click"),
+      (2L, at(0, 30), "signup"),
+      (3L, at(1), "signup"), (3L, at(2, 40), "purchase"),
+      (4L, at(0), "view"),              // never signs up: no cohort
+      (5L, at(0), "view"), (5L, at(1), "signup")) // week-0 activity
+                                                  // predates the cohort
+      .toDF("user_id", "sec", "event_type")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_type")
+    val got = Pins.scoped {
+      TimeSeriesOps.cohortRetention(ev, $"user_id", $"ts", $"event_type",
+          "signup", week)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    }
+    assert(got == Seq(
+      (t0, t0, 2L),                          // users 1+2 in week 0
+      (t0, t0 + 2 * week, 1L),               // user 1 returns in week 2
+      (t0 + week, t0 + week, 2L),            // users 3+5 (5's week-0
+                                             // view never counts)
+      (t0 + week, t0 + 2 * week, 1L)), got)  // user 3 in week 2
+  }
+
   test("madOutliers flags the moderate spike a wild spike masks from " +
       "the 3-sigma rule") {
     val spark = TestSpark.spark

@@ -479,6 +479,28 @@ object DedupOps {
       .filter($"jaccard" >= minJaccard)
   }
 
+  /** Per-doc n-gram novelty — the duplication-risk score: the fraction
+    * of a doc's DISTINCT word n-grams that appear in no other document.
+    * The inverse view of [[bloomNgramFilter]]'s shared-gram count: a doc
+    * near 1.0 is fresh content; a low score is assembled from
+    * corpus-common material even when no single pair clears a near-dup
+    * threshold. One gram explode (raw strings — see [[wordGramArrays]]
+    * on why no hashing), one gram-keyed distinct-doc count collapsing
+    * map-side, one join back. Docs under `n` words have no grams and
+    * are excluded. Output: doc_id, n_grams, n_unique, novelty. */
+  def ngramNovelty(docs: DataFrame, id: Column, text: Column,
+                   n: Int = 8): DataFrame = {
+    val g = Pins.pin(wordGramArrays(docs, id, text, n)
+      .select($"doc_id", explode($"gs").as("g")))
+    val counts = g.groupBy($"g").agg(count(lit(1)).as("nd"))
+    g.join(counts, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"nd" === 1, lit(1))).as("n_unique"))
+      .select($"doc_id", $"n_grams", $"n_unique",
+        ($"n_unique".cast("double") / $"n_grams").as("novelty"))
+  }
+
   /** Per-doc DISTINCT word-`n`-gram set (raw strings), array form — the
     * Bloom pass's granularity: word grams, not char shingles, so a shared
     * sentence fragment is one key. Docs under `n` words have no grams. */

@@ -661,6 +661,40 @@ object TimeSeriesOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Linear interpolation onto a fixed grid — the alignment step before
+    * cross-series math on irregular samples (the gauge complement of
+    * [[valueAtTime]]'s last-before rule): every grid point strictly
+    * inside a consecutive-sample pair (pt, t] gets the linearly
+    * interpolated value. NARROW by construction: each sample pair
+    * explodes exactly the grid points it covers (half-open intervals,
+    * so a point lands in one pair; a point equal to a sample time
+    * reproduces that sample exactly), so work is O(samples + grid
+    * points), never samples × grid. Points before a channel's first
+    * sample or after its last are undefined and absent. The fraction
+    * and value are a fixed double expression over exact cents/µs longs
+    * — engine-identical. Output: channel, grid_us, value. */
+  def gridInterpolate(df: DataFrame, chan: Column, ts: Column,
+                      value: Column, tieBreak: Column,
+                      stepSec: Long): DataFrame = {
+    require(stepSec > 0)
+    val stepUs = stepSec * 1000000L
+    val w = Window.partitionBy($"channel").orderBy($"t", $"tb")
+    df.filter(value.isNotNull)
+      .select(chan.as("channel"), unix_micros(ts).as("t"),
+        cents(value).as("vc"), tieBreak.as("tb"))
+      .withColumn("pt", lag($"t", 1).over(w))
+      .withColumn("pv", lag($"vc", 1).over(w))
+      .filter($"pt".isNotNull && $"t" > $"pt")
+      .select($"channel", $"pt", $"pv", $"t", $"vc", explode(expr(
+        s"IF(t DIV $stepUs >= pt DIV $stepUs + 1," +
+          s" sequence(pt DIV $stepUs + 1, t DIV $stepUs)," +
+          " CAST(array() AS ARRAY<BIGINT>))")).as("gi"))
+      .select($"channel", ($"gi" * stepUs).as("grid_us"),
+        (($"pv".cast("double") + ($"vc" - $"pv").cast("double") *
+          (($"gi" * stepUs - $"pt").cast("double") /
+            ($"t" - $"pt").cast("double"))) / 100.0).as("value"))
+  }
+
   /** Cohort retention — the companion readout to [[funnelSteps]]: users
     * bucketed by the period of their FIRST `anchorType` event (the
     * cohort), counted as active in every later period they produce any

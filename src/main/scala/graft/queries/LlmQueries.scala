@@ -436,6 +436,12 @@ object LlmQueries {
           hex($"frame").as("frame_hex"))
         .orderBy("media_id", "frame_idx")),
 
+    // per-doc 8-gram novelty: fraction of a doc's distinct word grams
+    // found in no other document (duplication-risk / freshness score)
+    "llm_novelty" -> ((s, d) =>
+      DedupOps.ngramNovelty(docs(s, d), $"doc_id", $"text", BloomGramN)
+        .orderBy("doc_id")),
+
     // cross-media frame dedup: sampled frames whose exact bytes appear
     // in >= 2 distinct media (keyframe-overlap near-dup signal)
     "llm_frame_dedup" -> ((s, d) =>
@@ -1392,6 +1398,26 @@ object LlmQueries {
       SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
              CAST(length(frame_hex) // 2 AS BIGINT) AS n_bytes, frame_hex
       FROM fr ORDER BY media_id, frame_idx"""
+    },
+
+    "llm_novelty" -> {
+      val gram8 = (1 until BloomGramN)
+        .foldLeft("ws[i]")((acc, k) => s"$acc || ' ' || ws[i+$k]")
+      s"""
+      WITH d AS (SELECT doc_id, string_split($Norm, ' ') AS ws
+                 FROM documents),
+      gl AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(ws) - ${BloomGramN - 1}),
+                      i -> $gram8)) AS gs
+             FROM d WHERE len(ws) >= $BloomGramN),
+      g AS (SELECT doc_id, unnest(gs) AS g FROM gl),
+      c AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY 1)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(CASE WHEN c.nd = 1 THEN 1 END) AS BIGINT) AS n_unique,
+             CAST(count(CASE WHEN c.nd = 1 THEN 1 END) AS DOUBLE)/count(*)
+               AS novelty
+      FROM g JOIN c USING (g) GROUP BY 1 ORDER BY 1"""
     },
 
     "llm_frame_dedup" -> {

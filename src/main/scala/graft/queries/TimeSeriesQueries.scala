@@ -80,6 +80,13 @@ object TimeSeriesQueries {
           $"value", Hour)
         .orderBy("chan_a", "chan_b")),
 
+    // linear interpolation onto the hourly grid (alignment before
+    // cross-series math; each sample pair explodes only its own points)
+    "ts_interp" -> ((s, d) =>
+      TimeSeriesOps.gridInterpolate(events(s, d), $"event_type", $"ts",
+          $"value", $"event_id", Hour)
+        .orderBy("channel", "grid_us")),
+
     // robust median/MAD outliers (integer-exact; immune to the spike
     // masking that inflates a mean/sigma threshold)
     "ts_outliers_mad" -> ((s, d) =>
@@ -340,6 +347,26 @@ object TimeSeriesQueries {
             FROM m)
       SELECT chan_a, chan_b, n, cov / sqrt(vx * vy) AS r
       FROM d WHERE vx > 0 AND vy > 0 ORDER BY 1, 2""",
+
+    "ts_interp" -> """
+      WITH v AS (SELECT event_type AS channel, epoch_us(ts) AS t,
+                        CAST(round(value*100) AS BIGINT) AS vc,
+                        event_id AS tb
+                 FROM events WHERE value IS NOT NULL),
+      l AS (SELECT channel, t, vc,
+                   lag(t) OVER (PARTITION BY channel ORDER BY t, tb) AS pt,
+                   lag(vc) OVER (PARTITION BY channel ORDER BY t, tb) AS pv
+            FROM v),
+      p AS (SELECT * FROM l WHERE pt IS NOT NULL AND t > pt),
+      g AS (SELECT channel, pt, pv, t, vc,
+                   unnest(generate_series(pt // 3600000000 + 1,
+                                          t // 3600000000)) AS gi
+            FROM p)
+      SELECT channel, gi * 3600000000 AS grid_us,
+             (CAST(pv AS DOUBLE) + CAST(vc - pv AS DOUBLE)
+               * (CAST(gi * 3600000000 - pt AS DOUBLE)
+                  / CAST(t - pt AS DOUBLE))) / 100.0 AS value
+      FROM g ORDER BY 1, 2""",
 
     "ts_outliers_mad" -> """
       WITH v AS (SELECT event_type AS channel, epoch_us(ts) AS ts_us,

@@ -77,4 +77,24 @@ class BloomDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == naive(8))
   }
+
+  test("ngramNovelty: shared grams score down, unique docs score 1.0, " +
+      "short docs excluded") {
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ") // 9 words: 2 grams
+    val d = Seq(
+      (1L, s"$shared alpha beta gamma delta"), // shares 2 of its grams
+      (2L, shared),                            // ONLY the 2 shared grams
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")), // all unique
+      (4L, "too short"))                       // < 8 words: excluded
+      .toDF("doc_id", "text")
+    val got = Pins.scoped {
+      DedupOps.ngramNovelty(d, $"doc_id", $"text", n = 8)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    }
+    // doc 1: 13 words -> 6 grams, the first 2 shared with doc 2
+    assert(got == Seq(
+      (1L, 6L, 4L, 4.0 / 6.0),
+      (2L, 2L, 0L, 0.0),
+      (3L, 5L, 5L, 1.0)), got)
+  }
 }

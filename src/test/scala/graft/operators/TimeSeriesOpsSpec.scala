@@ -301,6 +301,28 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       (3L, "purchase", 1L)), got)
   }
 
+  test("gridInterpolate: exact linear values at covered grid points only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ev = Seq(
+      // samples at 0.5h and 2.5h: grid hours 1 and 2 interpolate
+      ("a", 1800L, 10.0, 1L), ("a", 9000L, 30.0, 2L),
+      // a sample exactly ON the grid reproduces itself (frac = 1)
+      ("b", 3600L, 10.0, 3L), ("b", 7200L, 20.0, 4L))
+      .toDF("channel", "sec", "value", "event_id")
+      .select($"channel", timestamp_seconds($"sec").as("ts"), $"value",
+        $"event_id")
+    val got = TimeSeriesOps.gridInterpolate(ev, $"channel", $"ts", $"value",
+        $"event_id", 3600L)
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(got == Seq(
+      ("a", 3600000000L, 15.0),  // 1/4 of the way from 10 to 30
+      ("a", 7200000000L, 25.0),  // 3/4
+      // b: hour 2 covered by the pair, reproducing the sample; hour 1
+      // is b's FIRST sample - no pair covers it, so it is absent
+      ("b", 7200000000L, 20.0)), got)
+  }
+
   test("cohortRetention: first-anchor cohorts, pre-signup activity and " +
       "never-signed users excluded") {
     val spark = TestSpark.spark

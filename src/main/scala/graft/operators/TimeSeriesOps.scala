@@ -695,6 +695,27 @@ object TimeSeriesOps {
             ($"t" - $"pt").cast("double"))) / 100.0).as("value"))
   }
 
+  /** Last-touch attribution — for every `targetType` event, the type of
+    * the same user's LATEST strictly-earlier event of any other type
+    * (the marketing-attribution readout; `'none'` when the target is
+    * the user's first event). One per-user ordered window with an
+    * ignore-nulls running last over the preceding frame — state bounded
+    * by one user's history — then a tiny count by attributed type.
+    * Output: attributed_type, n — one row per source type. */
+  def lastTouchAttribution(df: DataFrame, user: Column, ts: Column,
+                           typ: Column, targetType: String,
+                           tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"tb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(user.as("user_id"), unix_micros(ts).as("t"), typ.as("et"),
+        tieBreak.as("tb"))
+      .withColumn("attr", last(
+        when($"et" =!= targetType, $"et"), ignoreNulls = true).over(w))
+      .filter($"et" === targetType)
+      .groupBy(coalesce($"attr", lit("none")).as("attributed_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention — the companion readout to [[funnelSteps]]: users
     * bucketed by the period of their FIRST `anchorType` event (the
     * cohort), counted as active in every later period they produce any

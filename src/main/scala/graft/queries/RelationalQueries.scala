@@ -221,6 +221,13 @@ object RelationalQueries {
           Seq("view", "click", "purchase"))
         .orderBy("step_idx")),
 
+    // last-touch attribution: for every purchase, the user's latest
+    // strictly-earlier non-purchase event type ('none' if first)
+    "rel_attribution" -> ((s, d) =>
+      TimeSeriesOps.lastTouchAttribution(t(s, d, "events"), $"user_id",
+          $"ts", $"event_type", "purchase", $"event_id")
+        .orderBy("attributed_type")),
+
     // weekly cohort retention: users by the week of their first signup,
     // counted active in every later week they produce any event
     "rel_cohorts" -> ((s, d) =>
@@ -276,6 +283,22 @@ object RelationalQueries {
         UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
                CAST(count(*) AS BIGINT) FROM s3)
       ORDER BY step_idx""",
+
+    "rel_attribution" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et,
+                        event_id AS tb
+                 FROM events),
+      a AS (SELECT user_id, t, et,
+                   last_value(CASE WHEN et <> 'purchase' THEN et END
+                     IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY t, tb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS attr
+            FROM e)
+      SELECT coalesce(attr, 'none') AS attributed_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a WHERE et = 'purchase'
+      GROUP BY 1 ORDER BY 1""",
 
     "rel_cohorts" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et

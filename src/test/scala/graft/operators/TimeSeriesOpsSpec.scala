@@ -323,6 +323,30 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       ("b", 7200000000L, 20.0)), got)
   }
 
+  test("lastTouchAttribution skips earlier targets and uses the LATEST " +
+      "prior source; first-event purchases attribute to none") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t0 = 1700000000L
+    val ev = Seq(
+      // user 1: click then view then purchase -> view (latest wins)
+      (1L, t0, "click"), (1L, t0 + 1, "view"), (1L, t0 + 2, "purchase"),
+      // user 1 again: second purchase right after the first - the
+      // intervening PURCHASE is skipped, view still attributes
+      (1L, t0 + 3, "purchase"),
+      // user 2: purchase with no prior events at all
+      (2L, t0, "purchase"),
+      // user 3: view AFTER the purchase must not attribute
+      (3L, t0, "purchase"), (3L, t0 + 1, "view"))
+      .toDF("user_id", "sec", "event_type")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_type",
+        monotonically_increasing_id().as("event_id"))
+    val got = TimeSeriesOps.lastTouchAttribution(ev, $"user_id", $"ts",
+        $"event_type", "purchase", $"event_id")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("view" -> 2L, "none" -> 2L), got)
+  }
+
   test("cohortRetention: first-anchor cohorts, pre-signup activity and " +
       "never-signed users excluded") {
     val spark = TestSpark.spark

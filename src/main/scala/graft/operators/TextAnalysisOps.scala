@@ -37,6 +37,26 @@ object TextAnalysisOps {
         $"sum_tokens",
         ($"sum_tokens".cast("double") / $"n_docs").as("avg_tokens"))
 
+  /** Per-stratum equi-width length histogram — the corpus-profiling
+    * readout behind every curation decision (where to set length
+    * filters, whether a source ships truncated docs). One narrow bin
+    * projection and one (stratum, bin) partial-agg shuffle; the key
+    * space is strata × occupied bins, so hot strata collapse map-side
+    * and the shuffled row count is tiny at any corpus size. All counts
+    * and bounds are exact integers; the mean is the single double
+    * division. Output: stratum, bin (floor(len/width)), n, min_len,
+    * max_len, avg_len. */
+  def lengthHistogram(docs: DataFrame, stratum: Column, len: Column,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    docs.select(stratum.as("stratum"), len.cast("long").as("len"))
+      .groupBy($"stratum", expr(s"len DIV $binWidth").as("bin"))
+      .agg(count(lit(1)).as("n"), min($"len").as("min_len"),
+        max($"len").as("max_len"), sum($"len").as("sum_len"))
+      .select($"stratum", $"bin", $"n", $"min_len", $"max_len",
+        ($"sum_len".cast("double") / $"n").as("avg_len"))
+  }
+
   /** BPE-ish lexer pattern: letter runs, digit runs, single other glyphs.
     * Kept to constructs with identical semantics in Java regex and RE2. */
   val LexerPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"

@@ -832,4 +832,172 @@ object TimeSeriesOps {
       .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Lag-`lagBuckets` autocorrelation of each channel's bucketed totals —
+    * the self-correlation readout that makes [[channelCorrelation]]'s
+    * machinery answer "is this series periodic / trending?" (a seasonality
+    * probe the reference's AMT verbs cannot express). One bucket
+    * aggregation, then a per-channel equi-join of the series against
+    * itself shifted by `lagBuckets` (bucket keys are exact epoch longs, so
+    * the shift is a join predicate, not a window over the whole series),
+    * then the same exact DECIMAL(38,0) moment sums and fixed double
+    * Pearson assembly as channelCorrelation — bit-identical across
+    * engines. Only consecutive-in-grid pairs correlate; missing buckets
+    * drop out of the pair set on both engines identically. Zero-variance
+    * channels are excluded (r undefined).
+    * Output: channel, n (pairs), r. */
+  def autocorrelation(df: DataFrame, chan: Column, ts: Column,
+                      value: Column, bucketSec: Long,
+                      lagBuckets: Int = 1): DataFrame = {
+    require(bucketSec > 0 && lagBuckets > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+    val b = Pins.pin(df.filter(value.isNotNull)
+      .select(chan.as("channel"),
+        (floor(unix_micros(ts) / 1000000L / bucketSec) * bucketSec)
+          .cast("long").as("bucket"),
+        cents(value).as("vc"))
+      .groupBy($"channel", $"bucket").agg(sum($"vc").as("x")))
+    val shifted = b.select($"channel",
+      ($"bucket" + lagBuckets * bucketSec).as("bucket"), $"x".as("y"))
+    val m = b.join(shifted, Seq("channel", "bucket"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("syy"))
+    val nD = $"n".cast("double")
+    val (sx, sy) = ($"sx".cast("double"), $"sy".cast("double"))
+    val cov = nD * $"sxy".cast("double") - sx * sy
+    val vx = nD * $"sxx".cast("double") - sx * sx
+    val vy = nD * $"syy".cast("double") - sy * sy
+    m.filter(vx > 0.0 && vy > 0.0)
+      .select($"channel", $"n", (cov / sqrt(vx * vy)).as("r"))
+  }
+
+  /** Per-channel availability/SLA readout: how many `bucketSec` intervals
+    * between a channel's first and last bucket actually carry data, and
+    * the longest dead stretch — the monitoring question behind the
+    * reference's missed-interval bookkeeping (`MissedUpdate`,
+    * etsdSave.c:445-459) asked of the whole archive rather than one
+    * block. One distinct-bucket aggregation (map-side partial collapses
+    * the corpus to channels × buckets), then a per-channel lag window
+    * over the bucket GRID — task state is bounded by one channel's bucket
+    * count, never its raw samples. Expected/observed are exact integers;
+    * coverage is the one double division. Channels with a single bucket
+    * report coverage 1.0 and gap 0.
+    * Output: channel, observed, expected, coverage, longest_gap_sec. */
+  def uptime(df: DataFrame, chan: Column, ts: Column,
+             bucketSec: Long): DataFrame = {
+    require(bucketSec > 0)
+    val b = df.select(chan.as("channel"),
+        (floor(unix_micros(ts) / 1000000L / bucketSec) * bucketSec)
+          .cast("long").as("bucket"))
+      .groupBy($"channel", $"bucket").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"channel").orderBy($"bucket")
+    b.select($"channel", $"bucket",
+        ($"bucket" - lag($"bucket", 1).over(w) - bucketSec).as("gap"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("observed"),
+        (expr("(max(bucket) - min(bucket))") / bucketSec + 1L)
+          .cast("long").as("expected"),
+        coalesce(max($"gap"), lit(0L)).as("longest_gap_sec"))
+      .select($"channel", $"observed", $"expected",
+        ($"observed".cast("double") / $"expected".cast("double"))
+          .as("coverage"),
+        $"longest_gap_sec")
+  }
+
+  /** Exponentially-weighted moving average over bucketed totals with
+    * DYADIC weights (decay ½ per bucket over a finite `horizon`): at
+    * every present bucket, ewma = Σ s_c(age)·2^(horizon−1−age) /
+    * Σ 2^(horizon−1−age) over the present buckets in the lookback. The
+    * power-of-two weights are the whole trick: numerator and denominator
+    * are exact 128-bit integer sums (DECIMAL(38,0); the DuckDB twin uses
+    * HUGEINT), so unlike a float EWMA the result is independent of
+    * partitioning and engine — the recursive form is unimplementable as
+    * a parallel fold precisely because float decay isn't associative.
+    * Each source bucket explodes into its ≤ `horizon` future grid slots
+    * (narrow, like [[gridInterpolate]]), one (channel, slot) partial-agg
+    * shuffle, then a semi-join back onto present buckets so the readout
+    * grid matches the series. Sparse-aware: missing buckets contribute
+    * nothing and don't dilute the denominator.
+    * Output: channel, bucket_epoch, w_den (present weight mass), ewma. */
+  def dyadicEwma(df: DataFrame, chan: Column, ts: Column, value: Column,
+                 bucketSec: Long, horizon: Int = 24): DataFrame = {
+    require(bucketSec > 0 && horizon > 0 && horizon <= 62)
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+    val b = Pins.pin(df.filter(value.isNotNull)
+      .select(chan.as("channel"),
+        (floor(unix_micros(ts) / 1000000L / bucketSec) * bucketSec)
+          .cast("long").as("bucket"),
+        cents(value).as("vc"))
+      .groupBy($"channel", $"bucket").agg(sum($"vc").as("s_c")))
+    val contrib = b
+      .select($"channel", $"bucket", $"s_c",
+        explode(sequence(lit(0), lit(horizon - 1))).as("age"))
+      .select($"channel",
+        ($"bucket" + $"age".cast("long") * bucketSec).as("bucket"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${horizon - 1} - age)").as("w"),
+        $"s_c")
+    val agg = contrib.groupBy($"channel", $"bucket")
+      .agg(sum($"s_c".cast(dec) * $"w".cast(dec)).as("num"),
+        sum($"w").as("w_den"))
+      // inputs non-null ⇒ NULL num is the decimal(38,0) overflow marker
+      .select($"channel", $"bucket",
+        expr("IF(num IS NULL, raise_error('graft dyadicEwma: decimal" +
+          "(38,0) weighted-sum overflow - shrink horizon or pre-scale')," +
+          " num)").as("num"),
+        $"w_den")
+    b.select($"channel", $"bucket")
+      .join(agg, Seq("channel", "bucket"))
+      .select($"channel", $"bucket".as("bucket_epoch"), $"w_den",
+        ($"num".cast("double") / $"w_den".cast("double") / 100.0)
+          .as("ewma"))
+  }
+
+  /** Seasonal anomalies — [[statOutliers]] with the baseline keyed by
+    * phase-of-period (e.g. hour-of-day) instead of the whole channel: a
+    * value is anomalous against what this channel USUALLY does at this
+    * time of day, the standard shape for diurnal telemetry where a
+    * global σ either masks rush-hour structure or flags all of it. Same
+    * exact-integer moment sums (DECIMAL(20,0) inputs, 38-digit cap,
+    * loud overflow), same single-rounded (μ, σ²) per (channel, phase)
+    * broadcast back over one flag scan, same degenerate-variance guard.
+    * Phases with fewer than `minN` samples flag nothing (a 2-sample
+    * phase would flag both points or neither, pure noise).
+    * Output: channel, phase, ts_us, value, z (flagged rows only). */
+  def seasonalOutliers(df: DataFrame, chan: Column, ts: Column,
+                       value: Column, bucketSec: Long = 3600L,
+                       periodSec: Long = 86400L, nSigma: Double = 3.0,
+                       minN: Long = 12L): DataFrame = {
+    require(bucketSec > 0 && periodSec > 0 && periodSec % bucketSec == 0)
+    require(nSigma > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+    val v = df.filter(value.isNotNull)
+      .select(chan.as("channel"), unix_micros(ts).as("ts_us"),
+        ((unix_micros(ts) / 1000000L % periodSec) / bucketSec)
+          .cast("long").as("phase"),
+        cents(value).as("vc"))
+    val m = v.groupBy($"channel", $"phase")
+      .agg(sum($"vc".cast(dec)).as("s"),
+        sum($"vc".cast(dec) * $"vc".cast(dec)).as("sq"),
+        count(lit(1)).as("n"))
+      .filter($"n" >= minN)
+      .select($"channel", $"phase", expr("IF(s IS NULL OR sq IS NULL," +
+          " raise_error('graft seasonalOutliers: decimal(38,0)" +
+          " moment-sum overflow - pre-scale the input'), s)").as("s"),
+        $"sq", $"n")
+      .select($"channel", $"phase",
+        ($"s".cast("double") / $"n").as("mu"),
+        ($"sq".cast("double") / $"n" -
+          ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n"))
+          .as("vr"))
+    v.join(broadcast(m), Seq("channel", "phase"))
+      .filter($"vr" > 0 &&
+        ($"vc" - $"mu") * ($"vc" - $"mu") > lit(nSigma * nSigma) * $"vr")
+      .select($"channel", $"phase", $"ts_us",
+        ($"vc".cast("double") / 100.0).as("value"),
+        (($"vc" - $"mu") / sqrt($"vr")).as("z"))
+  }
 }

@@ -54,6 +54,31 @@ object VectorOps {
       .select($"probe_id", $"vec_id", $"cos", $"rk")
   }
 
+  /** Filtered (metadata-constrained) exact top-k — the "vector search
+    * with a WHERE clause" shape every production retrieval system needs:
+    * each probe ranks only corpus vectors whose `grp` equals the probe's
+    * own (e.g. same language, same tenant, same shard label). PRE-filter
+    * semantics: the constraint lands in the join condition, so the
+    * scored set IS the filtered set and top-k is exact within it —
+    * post-filtering a top-k would silently return < k rows. Probe side
+    * broadcasts with its group key; the corpus is scanned once and the
+    * group equality prunes pairs before any dot product. Both inputs
+    * carry (vec_id, qv, nrm, grp) — attach `grp` by a co-keyed id join
+    * after [[quantize]]. Excludes self-matches.
+    * Output: probe_id, grp, vec_id, cos, rk (1-based). */
+  def filteredKnn(vectors: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val p = probes.select($"vec_id".as("probe_id"), $"qv".as("pv"),
+      $"nrm".as("pn"), $"grp")
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    vectors.join(broadcast(p), Seq("grp"))
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("dot", LongArrayDot($"pv", $"qv"))
+      .withColumn("cos", cosCol)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"probe_id", $"grp", $"vec_id", $"cos", $"rk")
+  }
+
   /** Random-hyperplane LSH bucket id (one sign bit per plane) for a
     * quantized vector column `qv`. Pure literal sign matrix from
     * [[DetHash.lshSigns]], so bucketing is engine-reproducible. */

@@ -123,6 +123,13 @@ object LlmQueries {
       TextAnalysisOps.textStats(docs(s, d), $"lang", $"source", $"n_chars", $"text")
         .orderBy("lang", "source")),
 
+    // per-lang equi-width length histogram (corpus profiling: where do
+    // the length-filter knees sit, per stratum)
+    "llm_len_hist" -> ((s, d) =>
+      TextAnalysisOps.lengthHistogram(docs(s, d), $"lang", $"n_chars",
+          binWidth = 100L)
+        .orderBy("stratum", "bin")),
+
     // per-doc token counting: whitespace + regex lexer
     "llm_token_counts" -> ((s, d) =>
       TextAnalysisOps.tokenCounts(docs(s, d), $"doc_id", $"text")
@@ -300,6 +307,18 @@ object LlmQueries {
     "llm_ann_topk" -> ((s, d) => {
       val q = VectorOps.quantize(embs(s, d), $"vec_id", $"embedding")
       VectorOps.bruteKnn(q, q.filter($"vec_id" < AnnProbeMax), AnnK)
+        .orderBy("probe_id", "rk")
+    }),
+
+    // metadata-filtered exact top-k: each probe ranks only same-label
+    // vectors (the "vector search with a WHERE clause" serving shape;
+    // PRE-filter semantics — the constraint lands in the join, so top-k
+    // is exact within the filtered set)
+    "llm_ann_filtered" -> ((s, d) => {
+      val e = embs(s, d)
+      val q = VectorOps.quantize(e, $"vec_id", $"embedding")
+        .join(e.select($"vec_id", $"label".cast("long").as("grp")), "vec_id")
+      VectorOps.filteredKnn(q, q.filter($"vec_id" < AnnProbeMax), AnnK)
         .orderBy("probe_id", "rk")
     }),
 
@@ -790,6 +809,12 @@ object LlmQueries {
              CAST(CAST(sum(tk) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens
       FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "llm_len_hist" -> """
+      SELECT lang AS stratum, n_chars // 100 AS bin, count(*) AS n,
+             min(n_chars) AS min_len, max(n_chars) AS max_len,
+             CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_len
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "llm_token_counts" -> s"""
       SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
              CAST($WsTok AS BIGINT) AS ws_tokens,
@@ -1236,6 +1261,28 @@ object LlmQueries {
       $JaccardSelect
       SELECT * FROM jac WHERE jaccard >= $NgramMinJaccard ORDER BY doc_a, doc_b"""
     },
+
+    "llm_ann_filtered" -> s"""
+      WITH $QuantCte,
+      lab AS (SELECT vec_id, CAST(label AS BIGINT) AS grp FROM embeddings),
+      dots AS (
+        SELECT pa.vec_id AS probe_id, la.grp AS grp, pb.vec_id AS vec_id,
+               CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+               any_value(pa.nrm) AS pn, any_value(pb.nrm) AS nrm
+        FROM qn pa JOIN lab la ON la.vec_id = pa.vec_id
+        JOIN u ua ON ua.vec_id = pa.vec_id
+        JOIN u ub ON ub.i = ua.i
+        JOIN qn pb ON pb.vec_id = ub.vec_id AND pb.vec_id <> pa.vec_id
+        JOIN lab lb ON lb.vec_id = pb.vec_id AND lb.grp = la.grp
+        WHERE pa.vec_id < $AnnProbeMax
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT probe_id, grp, vec_id, $CosSql AS cos,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY $CosSql DESC, vec_id) AS INTEGER) AS rk
+        FROM dots)
+      SELECT probe_id, grp, vec_id, cos, rk FROM scored
+      WHERE rk <= $AnnK ORDER BY probe_id, rk""",
 
     "llm_ann_topk" -> s"""
       WITH $QuantCte,

@@ -245,6 +245,25 @@ object RelationalQueries {
           $"end_us", $"n_events")
         .orderBy("user_id", "session_idx")),
 
+    // latest-row-per-key snapshot (the CDC/compaction readout: collapse
+    // an append-only change stream to current state) — ONE struct-max
+    // aggregate, no window sort: at 100 TB the per-key max is a map-side
+    // partial agg, where a row_number() window would shuffle-sort the
+    // full history. Order key = (date, orderkey) so ties are total.
+    "rel_latest_order" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          max(struct(unix_micros($"o_orderdate".cast("timestamp")).as("t"),
+            $"o_orderkey".as("k"),
+            round($"o_totalprice" * 100).cast("long").as("pc"),
+            $"o_orderstatus".as("st"))).as("b"))
+        .select($"o_custkey", $"n_orders", $"b.t".as("last_ts_us"),
+          $"b.k".as("last_orderkey"),
+          ($"b.pc".cast("double") / 100.0).as("last_price"),
+          $"b.st".as("last_status"))
+        .orderBy("o_custkey")),
+
     // hierarchical ROLLUP totals (SURVEY §2.4: grouping sets come free
     // from Catalyst — one Expand + the same partial-agg shuffle as a
     // plain groupBy; gid disambiguates a NULL group key from a subtotal)
@@ -263,6 +282,21 @@ object RelationalQueries {
           $"l_linestatus".asc_nulls_last)))
 
   def oracles: Map[String, String] = Map(
+    "rel_latest_order" -> """
+      WITH m AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               max(struct_pack(
+                 t := epoch_us(CAST(o_orderdate AS TIMESTAMP)),
+                 k := o_orderkey,
+                 pc := CAST(round(o_totalprice*100) AS BIGINT),
+                 st := o_orderstatus)) AS b
+        FROM orders GROUP BY 1)
+      SELECT o_custkey, n_orders, (b).t AS last_ts_us,
+             (b).k AS last_orderkey,
+             CAST((b).pc AS DOUBLE)/100.0 AS last_price,
+             (b).st AS last_status
+      FROM m ORDER BY o_custkey""",
+
     "rel_funnel" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et
                  FROM events

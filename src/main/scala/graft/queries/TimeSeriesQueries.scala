@@ -87,6 +87,34 @@ object TimeSeriesQueries {
           $"value", $"event_id", Hour)
         .orderBy("channel", "grid_us")),
 
+    // lag-1 autocorrelation of the hourly series per channel (the
+    // seasonality/trend probe; exact moments, one double assembly)
+    "ts_autocorr" -> ((s, d) =>
+      TimeSeriesOps.autocorrelation(events(s, d), $"event_type", $"ts",
+          $"value", Hour)
+        .orderBy("channel")),
+
+    // availability/SLA: observed vs expected hourly buckets and the
+    // longest dead stretch per channel (MissedUpdate, archive-wide)
+    "ts_uptime" -> ((s, d) =>
+      TimeSeriesOps.uptime(events(s, d), $"event_type", $"ts", Hour)
+        .orderBy("channel")),
+
+    // dyadic-weight EWMA over the last 24 hourly buckets (half-life
+    // smoothing with EXACT integer weights — partitioning-independent,
+    // unlike any float-recursive EWMA)
+    "ts_ewma" -> ((s, d) =>
+      TimeSeriesOps.dyadicEwma(events(s, d), $"event_type", $"ts",
+          $"value", Hour, horizon = 24)
+        .orderBy("channel", "bucket_epoch")),
+
+    // hour-of-day seasonal anomalies: z-score against the (channel,
+    // phase) baseline rather than the whole channel
+    "ts_seasonal_anom" -> ((s, d) =>
+      TimeSeriesOps.seasonalOutliers(events(s, d), $"event_type", $"ts",
+          $"value", Hour, Day, nSigma = 2.0)
+        .orderBy("channel", "phase", "ts_us", "value")),
+
     // robust median/MAD outliers (integer-exact; immune to the spike
     // masking that inflates a mean/sigma threshold)
     "ts_outliers_mad" -> ((s, d) =>
@@ -367,6 +395,91 @@ object TimeSeriesQueries {
                * (CAST(gi * 3600000000 - pt AS DOUBLE)
                   / CAST(t - pt AS DOUBLE))) / 100.0 AS value
       FROM g ORDER BY 1, 2""",
+
+    "ts_autocorr" -> """
+      WITH v AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket,
+                        CAST(round(value*100) AS BIGINT) AS vc
+                 FROM events WHERE value IS NOT NULL),
+      b AS (SELECT channel, bucket, CAST(sum(vc) AS BIGINT) AS x
+            FROM v GROUP BY 1, 2),
+      p AS (SELECT cur.channel, cur.x AS x, prev.x AS y
+            FROM b cur JOIN b prev ON cur.channel = prev.channel
+                                  AND cur.bucket = prev.bucket + 3600),
+      m AS (SELECT channel, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT)*y) AS sxy,
+                   sum(CAST(x AS HUGEINT)*x) AS sxx,
+                   sum(CAST(y AS HUGEINT)*y) AS syy
+            FROM p GROUP BY 1),
+      d AS (SELECT channel, n,
+                   CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cov,
+                   CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                   CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+            FROM m)
+      SELECT channel, n, cov / sqrt(vx * vy) AS r
+      FROM d WHERE vx > 0 AND vy > 0 ORDER BY 1""",
+
+    "ts_uptime" -> """
+      WITH b AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket
+                 FROM events GROUP BY 1, 2),
+      g AS (SELECT channel, bucket,
+                   bucket - lag(bucket) OVER (PARTITION BY channel
+                     ORDER BY bucket) - 3600 AS gap
+            FROM b)
+      SELECT channel, CAST(count(*) AS BIGINT) AS observed,
+             CAST((max(bucket) - min(bucket))//3600 + 1 AS BIGINT) AS expected,
+             CAST(count(*) AS DOUBLE)
+               / ((max(bucket) - min(bucket))//3600 + 1) AS coverage,
+             CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap_sec
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    "ts_ewma" -> """
+      WITH v AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket,
+                        CAST(round(value*100) AS BIGINT) AS vc
+                 FROM events WHERE value IS NOT NULL),
+      b AS (SELECT channel, bucket, CAST(sum(vc) AS BIGINT) AS s_c
+            FROM v GROUP BY 1, 2),
+      c AS (SELECT channel, bucket, s_c,
+                   unnest(generate_series(0, 23)) AS a
+            FROM b),
+      w AS (SELECT channel, bucket + a*3600 AS bucket,
+                   CAST(s_c AS HUGEINT) * (CAST(1 AS BIGINT) << (23 - a)) AS p,
+                   CAST(1 AS BIGINT) << (23 - a) AS wt
+            FROM c),
+      g AS (SELECT channel, bucket, sum(p) AS num,
+                   CAST(sum(wt) AS BIGINT) AS w_den
+            FROM w GROUP BY 1, 2)
+      SELECT b.channel, b.bucket AS bucket_epoch, g.w_den,
+             CAST(g.num AS DOUBLE) / g.w_den / 100.0 AS ewma
+      FROM b JOIN g ON b.channel = g.channel AND b.bucket = g.bucket
+      ORDER BY 1, 2""",
+
+    "ts_seasonal_anom" -> """
+      WITH v AS (
+        SELECT event_type AS channel,
+               ((epoch_us(ts)//1000000) % 86400) // 3600 AS phase,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL),
+      m AS (
+        SELECT channel, phase,
+               CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE) / count(*) AS mu,
+               CAST(sum(CAST(vc AS HUGEINT) * vc) AS DOUBLE) / count(*)
+                 - (CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE) / count(*))
+                   * (CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE) / count(*)) AS vr
+        FROM v GROUP BY 1, 2 HAVING count(*) >= 12)
+      SELECT v.channel, CAST(v.phase AS BIGINT) AS phase, v.ts_us,
+             CAST(vc AS DOUBLE) / 100.0 AS value,
+             (vc - mu) / sqrt(vr) AS z
+      FROM v JOIN m USING (channel, phase)
+      WHERE vr > 0 AND (vc - mu) * (vc - mu) > 4.0 * vr
+      ORDER BY channel, phase, ts_us, value""",
 
     "ts_outliers_mad" -> """
       WITH v AS (SELECT event_type AS channel, epoch_us(ts) AS ts_us,

@@ -156,6 +156,191 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("autocorrelation == scala pearson over consecutive bucket pairs") {
+    val rng = new scala.util.Random(606)
+    // trending values (bucket-correlated) + sparse buckets so some
+    // consecutive pairs are missing and must drop from the pair set
+    val rows = (1L to 600L).map { i =>
+      val b = rng.nextInt(60)
+      (s"c${rng.nextInt(3)}", t0 + b * 60L + rng.nextInt(60),
+        (b * 3 + rng.nextInt(20)).toDouble, i)
+    }.distinctBy(r => (r._1, r._2 / 60L)) // one sample per bucket: the
+    // trend survives into bucket sums (multi-sample sums would bury it
+    // under count noise and defeat the r-sanity check below)
+    val got = Pins.scoped {
+      TimeSeriesOps.autocorrelation(
+          rows.toDF("channel", "sec", "value", "event_id")
+            .select($"channel", timestamp_seconds($"sec").as("ts"), $"value"),
+          $"channel", $"ts", $"value", bucketSec = 60L)
+        .as[(String, Long, Double)].collect().toMap2
+    }
+    val want = rows.groupBy(_._1).flatMap { case (c, rs) =>
+      val buckets = rs.groupBy(r => r._2 / 60L * 60L)
+        .view.mapValues(_.map(r => math.round(r._3 * 100)).sum).toMap
+      val pairs = buckets.keys.toSeq.sorted
+        .collect { case b if buckets.contains(b - 60L) =>
+          (BigInt(buckets(b)), BigInt(buckets(b - 60L))) }
+      val n = pairs.size
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val cov = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val vx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val vy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      if (vx > 0 && vy > 0) Some(c -> (n.toLong, cov / math.sqrt(vx * vy)))
+      else None
+    }
+    assert(got == want)
+    // the trend makes the fixture discriminating: real positive lag-1 r
+    assert(got.values.forall(_._2 > 0.5))
+  }
+
+  test("uptime == scala bucket-grid fold on random gappy channels") {
+    val rng = new scala.util.Random(707)
+    val rows = (1L to 300L).map { i =>
+      // clustered buckets with dead stretches between clusters
+      val b = rng.nextInt(10) + Seq(0, 30, 35)(rng.nextInt(3))
+      (s"c${rng.nextInt(3)}", t0 + b * 3600L + rng.nextInt(3600), i)
+    }
+    val got = Pins.scoped {
+      TimeSeriesOps.uptime(
+          rows.toDF("channel", "sec", "event_id")
+            .select($"channel", timestamp_seconds($"sec").as("ts")),
+          $"channel", $"ts", bucketSec = 3600L)
+        .as[(String, Long, Long, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    }
+    val want = rows.groupBy(_._1).map { case (c, rs) =>
+      val bs = rs.map(_._2 / 3600L * 3600L).distinct.sorted
+      val expected = (bs.last - bs.head) / 3600L + 1L
+      val gap = if (bs.size < 2) 0L
+        else bs.sliding(2).map { case Seq(a, b) => b - a - 3600L }.max
+      c -> (bs.size.toLong, expected,
+        bs.size.toDouble / expected.toDouble, gap)
+    }
+    assert(got == want)
+    assert(want.values.exists(_._4 > 0L)) // the fixture really has gaps
+  }
+
+  test("dyadicEwma == scala weighted fold (exact power-of-two weights)") {
+    val rng = new scala.util.Random(808)
+    val rows = (1L to 400L).map { i =>
+      (s"c${rng.nextInt(2)}", t0 + rng.nextInt(40) * 3600L + rng.nextInt(3600),
+        rng.nextInt(1000).toDouble / 4.0, i)
+    }
+    val got = Pins.scoped {
+      TimeSeriesOps.dyadicEwma(
+          rows.toDF("channel", "sec", "value", "event_id")
+            .select($"channel", timestamp_seconds($"sec").as("ts"), $"value"),
+          $"channel", $"ts", $"value", bucketSec = 3600L, horizon = 24)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    }
+    val want = rows.groupBy(_._1).flatMap { case (c, rs) =>
+      val buckets = rs.groupBy(r => r._2 / 3600L * 3600L)
+        .view.mapValues(_.map(r => math.round(r._3 * 100)).sum).toMap
+      buckets.keys.map { t =>
+        val present = (0 until 24).filter(a => buckets.contains(t - a * 3600L))
+        val num = present.map(a =>
+          BigInt(buckets(t - a * 3600L)) * BigInt(1L << (23 - a))).sum
+        val den = present.map(a => 1L << (23 - a)).sum
+        (c, t) -> (den, num.toDouble / den.toDouble / 100.0)
+      }
+    }
+    assert(got == want)
+    // sparse lookbacks really occurred (den below the full weight mass)
+    assert(want.values.exists(_._1 < (1L << 24) - 1))
+  }
+
+  test("seasonalOutliers == scala per-phase moment fold; phase-local spikes") {
+    val rng = new scala.util.Random(909)
+    val period = 14400L // 4 phases x 1h buckets
+    val rows = (1L to 800L).map { i =>
+      val sec = t0 / period * period + rng.nextInt(50) * 1800L
+      val phase = sec % period / 3600L
+      // diurnal level: phase*50, small noise, occasional big spike
+      val v = phase * 50.0 + rng.nextInt(5) +
+        (if (rng.nextInt(40) == 0) 500.0 else 0.0)
+      (s"c${rng.nextInt(2)}", sec, v, i)
+    }
+    val got = Pins.scoped {
+      TimeSeriesOps.seasonalOutliers(
+          rows.toDF("channel", "sec", "value", "event_id")
+            .select($"channel", timestamp_seconds($"sec").as("ts"), $"value"),
+          $"channel", $"ts", $"value", bucketSec = 3600L,
+          periodSec = period, nSigma = 3.0, minN = 5L)
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+    }
+    val want = rows.groupBy(r => (r._1, r._2 % period / 3600L)).flatMap {
+      case ((c, ph), rs) if rs.size >= 5 =>
+        val vcs = rs.map(r => math.round(r._3 * 100))
+        val n = vcs.size
+        val s = vcs.map(BigInt(_)).sum
+        val sq = vcs.map(v => BigInt(v) * BigInt(v)).sum
+        val mu = s.toDouble / n
+        val vr = sq.toDouble / n - (s.toDouble / n) * (s.toDouble / n)
+        rs.collect {
+          case (_, sec, v, _)
+            if vr > 0 && {
+              val vc = math.round(v * 100)
+              (vc - mu) * (vc - mu) > 9.0 * vr
+            } =>
+            val vc = math.round(v * 100)
+            (c, ph, sec * 1000000L, vc.toDouble / 100.0,
+              (vc - mu) / math.sqrt(vr))
+        }
+      case _ => Nil
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the planted spikes really flag
+  }
+
+  test("filteredKnn == per-group bruteKnn (pre-filter semantics)") {
+    val rng = new scala.util.Random(111)
+    val vecs = (0L until 60L).map { id =>
+      (id, Array.fill(8)(rng.nextFloat()), id % 3) // grp = id mod 3
+    }
+    val df = vecs.toDF("vec_id", "embedding", "grp")
+    val q = Pins.scoped {
+      VectorOps.quantize(df, $"vec_id", $"embedding")
+        .join(df.select($"vec_id", $"grp"), "vec_id")
+    }
+    val got = Pins.scoped {
+      VectorOps.filteredKnn(q, q.filter($"vec_id" < 6), k = 4)
+        .as[(Long, Long, Long, Double, Int)].collect().toSet
+    }
+    val want = (0L until 3L).flatMap { g =>
+      Pins.scoped {
+        VectorOps.bruteKnn(q.filter($"grp" === g).drop("grp"),
+            q.filter($"grp" === g && $"vec_id" < 6).drop("grp"), k = 4)
+          .as[(Long, Long, Double, Int)].collect()
+          .map(r => (r._1, g, r._2, r._3, r._4))
+      }
+    }.toSet
+    assert(got == want)
+    // every neighbor really shares its probe's group
+    assert(got.forall { case (p, g, v, _, _) => p % 3 == g && v % 3 == g })
+  }
+
+  test("lengthHistogram == scala fold") {
+    val rng = new scala.util.Random(222)
+    val rows = (1L to 300L).map(i =>
+      (s"s${rng.nextInt(3)}", rng.nextInt(1000).toLong))
+    val got = Pins.scoped {
+      TextAnalysisOps.lengthHistogram(rows.toDF("stratum", "len"),
+          $"stratum", $"len", binWidth = 100L)
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    }
+    val want = rows.groupBy(r => (r._1, r._2 / 100L)).map {
+      case ((st, bin), rs) =>
+        val ls = rs.map(_._2)
+        (st, bin, ls.size.toLong, ls.min, ls.max,
+          ls.sum.toDouble / ls.size)
+    }.toSet
+    assert(got == want)
+  }
+
   private implicit class ToMap2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -378,6 +378,45 @@ object TextAnalysisOps {
       .select($"rk", $"pair", $"n")
   }
 
+  /** Collocation mining — adjacent word pairs ranked by frequency with
+    * an exact-integer association lift (the PMI statistic with the log
+    * left to the reader): lift = P(ab) / (P(a)·P(b)) over bigram slots,
+    * reported as parts-per-million via one integer division. Integer
+    * deliberately: `ln` is not correctly-rounded and differs across
+    * engines/libms, so a log-PMI ranking could diverge bit-wise at the
+    * margins — the ppm lift carries the same order with none of that
+    * risk. Corpus-scale work is the one bigram-slot explode + (a, b)
+    * partial agg; marginals re-derive from the PAIR table (vocab-sized,
+    * not corpus-sized), and the numerator widens to DECIMAL before the
+    * `n_ab·T` product (two corpus-scale counts multiplied — a long
+    * would overflow near 10⁹ slots, i.e. well under 100 TB).
+    * Output: rk, a, b, n_ab, n_a, n_b, lift_ppm (top `topK` pairs with
+    * n_ab ≥ minCount, by count desc then pair). */
+  def collocations(docs: DataFrame, id: Column, text: Column,
+                   topK: Int = 30, minCount: Long = 3L): DataFrame = {
+    val pairs = docs.select(id.as("doc_id"), normText(text).as("norm"))
+      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .select(split($"norm", " ").as("ws"))
+      .filter(size($"ws") >= 2) // sequence(1, 0) would run DESCENDING
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"))
+        .as("pr"))
+      .select($"pr.a".as("a"), $"pr.b".as("b"))
+      .filter(length($"a") > 0 && length($"b") > 0)
+    val c = Pins.pin(pairs.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab")))
+    val ma = c.groupBy($"a").agg(sum($"n_ab").as("n_a"))
+    val mb = c.groupBy($"b").agg(sum($"n_ab").as("n_b"))
+    val tot = c.agg(sum($"n_ab").as("t"))
+    val j = c.filter($"n_ab" >= minCount)
+      .join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+    rankTopN(j, topK, $"n_ab".desc, $"a", $"b")
+      .select($"rk", $"a", $"b", $"n_ab", $"n_a", $"n_b",
+        expr("CAST((CAST(n_ab AS DECIMAL(20,0)) * t * 1000000)" +
+          " DIV (CAST(n_a AS DECIMAL(20,0)) * n_b) AS BIGINT)")
+          .as("lift_ppm"))
+  }
+
   /** Deterministic quality-weighted downsampling: a doc survives iff its
     * salted id hash per-mille falls below its own quality-mapped keep
     * rate (`floor(quality·1000)`, clamped by the comparison itself) —

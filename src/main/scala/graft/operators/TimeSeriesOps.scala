@@ -833,6 +833,66 @@ object TimeSeriesOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** M4 downsampling — the dashboard-rendering reduction (Jugel et al.,
+    * VLDB 2014): per (channel, bucket), the first, last, minimum and
+    * maximum samples WITH their timestamps, which is exactly the set a
+    * line-plot rasterizer needs to draw the bucket pixel-perfectly (an
+    * avg-only rollup erases the extremes operators page on). Four
+    * struct min/max aggregates in ONE partial-agg pass — map-side
+    * combine collapses the corpus, the shuffle carries channels ×
+    * buckets rows, no window sort anywhere. Tie-breaks: first/last by
+    * (t, tieBreak), min/max by (value, t, tieBreak) — total orders, so
+    * the kept samples are engine- and partitioning-independent.
+    * Output: channel, bucket_epoch, t_first_us, v_first, t_last_us,
+    * v_last, t_min_us, v_min, t_max_us, v_max. */
+  def m4Downsample(df: DataFrame, chan: Column, ts: Column, value: Column,
+                   tieBreak: Column, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0)
+    val v = df.filter(value.isNotNull)
+      .select(chan.as("channel"),
+        (floor(unix_micros(ts) / 1000000L / bucketSec) * bucketSec)
+          .cast("long").as("bucket_epoch"),
+        unix_micros(ts).as("t"), cents(value).as("vc"), tieBreak.as("tb"))
+    v.groupBy($"channel", $"bucket_epoch")
+      .agg(min(struct($"t", $"tb", $"vc")).as("f"),
+        max(struct($"t", $"tb", $"vc")).as("l"),
+        min(struct($"vc", $"t", $"tb")).as("lo"),
+        max(struct($"vc", $"t", $"tb")).as("hi"))
+      .select($"channel", $"bucket_epoch",
+        $"f.t".as("t_first_us"), ($"f.vc".cast("double") / 100.0).as("v_first"),
+        $"l.t".as("t_last_us"), ($"l.vc".cast("double") / 100.0).as("v_last"),
+        $"lo.t".as("t_min_us"), ($"lo.vc".cast("double") / 100.0).as("v_min"),
+        $"hi.t".as("t_max_us"), ($"hi.vc".cast("double") / 100.0).as("v_max"))
+  }
+
+  /** Local-maximum (peak) detection: a sample strictly above both its
+    * neighbors in the per-channel (t, tieBreak) order, with prominence
+    * over the higher neighbor of at least `minDelta` — the alerting
+    * primitive behind "did the signal spike?", which threshold
+    * predicates (etsdQuery.h:30-33) can't ask because a high plateau
+    * isn't a spike. One per-channel lag/lead window (state = 3 rows),
+    * exact cents comparisons, so the flagged set is engine-identical;
+    * plateau tops (equal neighbors) deliberately don't flag.
+    * Output: channel, ts_us, value, prominence (flagged rows only). */
+  def peakDetect(df: DataFrame, chan: Column, ts: Column, value: Column,
+                 tieBreak: Column, minDelta: Double = 0.0): DataFrame = {
+    require(minDelta >= 0)
+    val deltaC = math.round(minDelta * 100)
+    val w = Window.partitionBy($"channel").orderBy($"t", $"tb")
+    df.filter(value.isNotNull)
+      .select(chan.as("channel"), unix_micros(ts).as("t"),
+        cents(value).as("vc"), tieBreak.as("tb"))
+      .withColumn("pv", lag($"vc", 1).over(w))
+      .withColumn("nv", lead($"vc", 1).over(w))
+      .filter($"pv".isNotNull && $"nv".isNotNull &&
+        $"vc" > $"pv" && $"vc" > $"nv" &&
+        $"vc" - greatest($"pv", $"nv") >= deltaC)
+      .select($"channel", $"t".as("ts_us"),
+        ($"vc".cast("double") / 100.0).as("value"),
+        (($"vc" - greatest($"pv", $"nv")).cast("double") / 100.0)
+          .as("prominence"))
+  }
+
   /** Lag-`lagBuckets` autocorrelation of each channel's bucketed totals —
     * the self-correlation readout that makes [[channelCorrelation]]'s
     * machinery answer "is this series periodic / trending?" (a seasonality

@@ -53,6 +53,8 @@ object LlmQueries {
   private val NShards = 8          // training-order shuffle shards
   private val VocabTopN = 100
   private val BpeTopK = 20
+  private val PmiTopK = 30
+  private val PmiMinCount = 3L
   // demo blocklist: real tokens of the synthetic fixture (non-vacuous)
   // "don't" is deliberate: an apostrophe term keeps the oracle's
   // single-quote escaping exercised by the real Verify/DuckDB gate
@@ -360,6 +362,12 @@ object LlmQueries {
     // BPE merge-candidate counting (adjacent char pairs over word types)
     "llm_bpe_pairs" -> ((s, d) =>
       TextAnalysisOps.bpePairCounts(docs(s, d), $"doc_id", $"text", BpeTopK)),
+
+    // collocation mining: adjacent word pairs with exact-integer
+    // association lift (PMI sans the engine-dependent log)
+    "llm_pmi" -> ((s, d) =>
+      TextAnalysisOps.collocations(docs(s, d), $"doc_id", $"text",
+          PmiTopK, PmiMinCount)),
 
     // deterministic quality-weighted downsampling (hash-threshold)
     "llm_qsample" -> ((s, d) =>
@@ -1125,6 +1133,28 @@ object LlmQueries {
             CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
             FROM c)
       SELECT rk, pair, n FROM r WHERE rk <= $BpeTopK ORDER BY rk""",
+
+    "llm_pmi" -> s"""
+      WITH t AS (SELECT string_split($Norm, ' ') AS ws FROM documents),
+      t2 AS (SELECT ws FROM t WHERE len(ws) >= 2),
+      p AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+              i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr FROM t2),
+      pp AS (SELECT (pr).a AS a, (pr).b AS b FROM p
+             WHERE length((pr).a) > 0 AND length((pr).b) > 0),
+      c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+            FROM pp GROUP BY 1, 2),
+      ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM c GROUP BY 1),
+      mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM c GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t FROM c),
+      j AS (SELECT c.a, c.b, c.n_ab, ma.n_a, mb.n_b, tt.t
+            FROM c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tt
+            WHERE c.n_ab >= $PmiMinCount),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_ab DESC, a, b)
+              AS BIGINT) AS rk FROM j)
+      SELECT rk, a, b, n_ab, n_a, n_b,
+             CAST((CAST(n_ab AS HUGEINT) * t * 1000000)
+               // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_ppm
+      FROM r WHERE rk <= $PmiTopK ORDER BY rk""",
 
     "llm_qsample" -> {
       val inList = TextAnalysisOps.StopWords.map(w => s"'$w'").mkString(", ")

@@ -245,6 +245,20 @@ object RelationalQueries {
           $"end_us", $"n_events")
         .orderBy("user_id", "session_idx")),
 
+    // exact order-value quartiles per market segment — the time-series
+    // percentile machinery (two-phase rank, no hot-segment sort task)
+    // applied to a relational join
+    "rel_price_quartiles" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      TimeSeriesOps.percentiles(
+          o.join(c, $"o_custkey" === $"c_custkey"),
+          $"c_mktsegment", $"o_totalprice", $"o_orderkey",
+          Seq(25, 50, 75, 100))
+        .select($"channel".as("segment"), $"pct", $"value", $"n")
+        .orderBy("segment", "pct")
+    }),
+
     // latest-row-per-key snapshot (the CDC/compaction readout: collapse
     // an append-only change stream to current state) — ONE struct-max
     // aggregate, no window sort: at 100 TB the per-key max is a map-side
@@ -282,6 +296,25 @@ object RelationalQueries {
           $"l_linestatus".asc_nulls_last)))
 
   def oracles: Map[String, String] = Map(
+    "rel_price_quartiles" -> """
+      WITH v AS (SELECT c_mktsegment AS segment,
+                        CAST(round(o_totalprice*100) AS BIGINT) AS vc,
+                        o_orderkey AS tb
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 WHERE o_totalprice IS NOT NULL),
+      r AS (SELECT segment, vc,
+                   CAST(row_number() OVER (PARTITION BY segment
+                     ORDER BY vc, tb) AS BIGINT) AS rk,
+                   CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+            FROM v),
+      t AS (SELECT segment, n, unnest([25, 50, 75, 100]) AS p
+            FROM (SELECT DISTINCT segment, n FROM r))
+      SELECT r.segment, CAST(t.p AS BIGINT) AS pct,
+             CAST(r.vc AS DOUBLE)/100.0 AS value, t.n
+      FROM t JOIN r ON r.segment = t.segment
+                   AND r.rk = (t.n * t.p + 99) // 100
+      ORDER BY 1, 2""",
+
     "rel_latest_order" -> """
       WITH m AS (
         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -87,6 +87,20 @@ object TimeSeriesQueries {
           $"value", $"event_id", Hour)
         .orderBy("channel", "grid_us")),
 
+    // M4 downsampling: first/last/min/max samples WITH timestamps per
+    // hourly bucket — the pixel-exact dashboard reduction
+    "ts_m4" -> ((s, d) =>
+      TimeSeriesOps.m4Downsample(events(s, d), $"event_type", $"ts",
+          $"value", $"event_id", Hour)
+        .orderBy("channel", "bucket_epoch")),
+
+    // local-maximum peaks with a prominence floor (strictly above both
+    // neighbors by >= 40.0) — the spike-alert primitive
+    "ts_peaks" -> ((s, d) =>
+      TimeSeriesOps.peakDetect(events(s, d), $"event_type", $"ts",
+          $"value", $"event_id", minDelta = 40.0)
+        .orderBy("channel", "ts_us", "value")),
+
     // lag-1 autocorrelation of the hourly series per channel (the
     // seasonality/trend probe; exact moments, one double assembly)
     "ts_autocorr" -> ((s, d) =>
@@ -395,6 +409,43 @@ object TimeSeriesQueries {
                * (CAST(gi * 3600000000 - pt AS DOUBLE)
                   / CAST(t - pt AS DOUBLE))) / 100.0 AS value
       FROM g ORDER BY 1, 2""",
+
+    "ts_m4" -> """
+      WITH v AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+                        CAST(epoch_us(ts) AS BIGINT) AS t,
+                        CAST(round(value*100) AS BIGINT) AS vc,
+                        event_id AS tb
+                 FROM events WHERE value IS NOT NULL),
+      g AS (SELECT channel, bucket_epoch,
+                   min(struct_pack(t := t, tb := tb, vc := vc)) AS f,
+                   max(struct_pack(t := t, tb := tb, vc := vc)) AS l,
+                   min(struct_pack(vc := vc, t := t, tb := tb)) AS lo,
+                   max(struct_pack(vc := vc, t := t, tb := tb)) AS hi
+            FROM v GROUP BY 1, 2)
+      SELECT channel, bucket_epoch,
+             (f).t AS t_first_us, CAST((f).vc AS DOUBLE)/100.0 AS v_first,
+             (l).t AS t_last_us, CAST((l).vc AS DOUBLE)/100.0 AS v_last,
+             (lo).t AS t_min_us, CAST((lo).vc AS DOUBLE)/100.0 AS v_min,
+             (hi).t AS t_max_us, CAST((hi).vc AS DOUBLE)/100.0 AS v_max
+      FROM g ORDER BY 1, 2""",
+
+    "ts_peaks" -> """
+      WITH v AS (SELECT event_type AS channel,
+                        CAST(epoch_us(ts) AS BIGINT) AS t,
+                        CAST(round(value*100) AS BIGINT) AS vc,
+                        event_id AS tb
+                 FROM events WHERE value IS NOT NULL),
+      l AS (SELECT channel, t, vc,
+                   lag(vc) OVER (PARTITION BY channel ORDER BY t, tb) AS pv,
+                   lead(vc) OVER (PARTITION BY channel ORDER BY t, tb) AS nv
+            FROM v)
+      SELECT channel, t AS ts_us, CAST(vc AS DOUBLE)/100.0 AS value,
+             CAST(vc - greatest(pv, nv) AS DOUBLE)/100.0 AS prominence
+      FROM l
+      WHERE pv IS NOT NULL AND nv IS NOT NULL
+        AND vc > pv AND vc > nv AND vc - greatest(pv, nv) >= 4000
+      ORDER BY 1, 2, 3""",
 
     "ts_autocorr" -> """
       WITH v AS (SELECT event_type AS channel,

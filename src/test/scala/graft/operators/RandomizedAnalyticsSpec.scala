@@ -323,6 +323,99 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
     assert(got.forall { case (p, g, v, _, _) => p % 3 == g && v % 3 == g })
   }
 
+  test("m4Downsample == scala per-bucket argmin/argmax fold") {
+    val rng = new scala.util.Random(333)
+    // duplicate values force the (vc, t, tb) tie-break; duplicate
+    // timestamps force the tb tie-break
+    val rows = (1L to 400L).map { i =>
+      (s"c${rng.nextInt(3)}", t0 + rng.nextInt(20) * 1800L,
+        rng.nextInt(8).toDouble, i)
+    }
+    val got = Pins.scoped {
+      TimeSeriesOps.m4Downsample(
+          rows.toDF("channel", "sec", "value", "event_id")
+            .select($"channel", timestamp_seconds($"sec").as("ts"),
+              $"value", $"event_id"),
+          $"channel", $"ts", $"value", $"event_id", bucketSec = 3600L)
+        .as[(String, Long, Long, Double, Long, Double, Long, Double,
+          Long, Double)].collect().toSet
+    }
+    val want = rows.groupBy(r => (r._1, r._2 / 3600L * 3600L)).map {
+      case ((c, b), rs) =>
+        val o = rs.map(r => (r._2 * 1000000L, r._4, math.round(r._3 * 100)))
+        val f = o.minBy(r => (r._1, r._2)); val l = o.maxBy(r => (r._1, r._2))
+        val lo = o.minBy(r => (r._3, r._1, r._2))
+        val hi = o.maxBy(r => (r._3, r._1, r._2))
+        (c, b, f._1, f._3 / 100.0, l._1, l._3 / 100.0,
+          lo._1, lo._3 / 100.0, hi._1, hi._3 / 100.0)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("peakDetect == scala neighbor scan; plateaus never flag") {
+    val rng = new scala.util.Random(444)
+    // values from a tiny alphabet: plateaus (equal neighbors) occur and
+    // must not flag; spikes above the delta floor must
+    val rows = (1L to 500L).map { i =>
+      val v = Seq(10.0, 10.0, 12.0, 50.0)(rng.nextInt(4))
+      (s"c${rng.nextInt(2)}", t0 + i, v, i)
+    }
+    val got = Pins.scoped {
+      TimeSeriesOps.peakDetect(
+          rows.toDF("channel", "sec", "value", "event_id")
+            .select($"channel", timestamp_seconds($"sec").as("ts"),
+              $"value", $"event_id"),
+          $"channel", $"ts", $"value", $"event_id", minDelta = 30.0)
+        .as[(String, Long, Double, Double)].collect().toSet
+    }
+    val want = rows.groupBy(_._1).flatMap { case (c, rs) =>
+      val o = rs.sortBy(r => (r._2, r._4)).map(r =>
+        (r._2 * 1000000L, math.round(r._3 * 100)))
+      o.sliding(3).collect {
+        case Seq((_, pv), (t, vc), (_, nv))
+          if vc > pv && vc > nv && vc - math.max(pv, nv) >= 3000 =>
+          (c, t, vc / 100.0, (vc - math.max(pv, nv)) / 100.0)
+      }
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("collocations == scala bigram fold with exact ppm lift") {
+    val rng = new scala.util.Random(555)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x")
+    val rows = (1L to 80L).map { i =>
+      // "alpha beta" planted often: a genuine collocation
+      val base = (1 to 10).map(_ => vocab(rng.nextInt(vocab.size)))
+      val txt = (base ++ Seq("alpha", "beta")).mkString(" ")
+      (i, txt)
+    }
+    val got = Pins.scoped {
+      TextAnalysisOps.collocations(rows.toDF("doc_id", "text"),
+          $"doc_id", $"text", topK = 10, minCount = 2L)
+        .as[(Long, String, String, Long, Long, Long, Long)]
+        .collect().toSet
+    }
+    val pairs = rows.flatMap { case (_, txt) =>
+      val ws = txt.toLowerCase.split(" ").filter(_.nonEmpty)
+      ws.sliding(2).collect { case Array(a, b) => (a, b) }
+    }
+    val c = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val na = c.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nb = c.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val tot = c.values.sum
+    val want = c.filter(_._2 >= 2L).toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(10).zipWithIndex
+      .map { case (((a, b), n), i) =>
+        (i + 1L, a, b, n, na(a), nb(b),
+          (BigInt(n) * tot * 1000000 / (BigInt(na(a)) * nb(b))).toLong)
+      }.toSet
+    assert(got == want)
+    // the planted pair is a top collocation with lift > 1x
+    assert(want.exists { case (_, a, b, _, _, _, lift) =>
+      a == "alpha" && b == "beta" && lift > 1000000L })
+  }
+
   test("lengthHistogram == scala fold") {
     val rng = new scala.util.Random(222)
     val rows = (1L to 300L).map(i =>

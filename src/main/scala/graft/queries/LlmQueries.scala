@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft._
 import graft.functions.DetHash
-import graft.operators.{DedupOps, MultimodalOps, TextAnalysisOps, VectorOps}
+import graft.operators.{DedupOps, MultimodalOps, SketchOps, TextAnalysisOps, VectorOps}
 
 /** LLM-training-data-pipeline operators over the driver's `documents` and
   * `embeddings` tables: exact / MinHash-LSH / SimHash / n-gram-Jaccard /
@@ -362,6 +362,19 @@ object LlmQueries {
     // BPE merge-candidate counting (adjacent char pairs over word types)
     "llm_bpe_pairs" -> ((s, d) =>
       TextAnalysisOps.bpePairCounts(docs(s, d), $"doc_id", $"text", BpeTopK)),
+
+    // theta-sketch distinct-token estimate per lang (bounded-memory
+    // mergeable cardinality; deterministic md5 threshold, so the
+    // estimate itself — not just its accuracy — is oracle-exact)
+    "llm_theta_distinct" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select($"lang", DedupOps.normText($"text").as("norm"))
+        .select($"lang", explode(split($"norm", " ")).as("tok"))
+        .filter(length($"tok") > 0)
+      SketchOps.thetaDistinct(toks, $"lang", $"tok", logInvFrac = 4)
+        .select($"grp".as("lang"), $"n_kept", $"est_distinct")
+        .orderBy("lang")
+    }),
 
     // collocation mining: adjacent word pairs with exact-integer
     // association lift (PMI sans the engine-dependent log)
@@ -1133,6 +1146,18 @@ object LlmQueries {
             CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
             FROM c)
       SELECT rk, pair, n FROM r WHERE rk <= $BpeTopK ORDER BY rk""",
+
+    "llm_theta_distinct" -> s"""
+      WITH tk AS (SELECT lang, unnest(string_split($Norm, ' ')) AS tok
+                  FROM documents),
+      t2 AS (SELECT lang, tok FROM tk WHERE length(tok) > 0),
+      h AS (SELECT DISTINCT lang,
+                   ${DetHash.h60Sql("'theta:' || tok")} AS h
+            FROM t2),
+      k AS (SELECT lang, h FROM h WHERE h < ${1L << 56})
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(count(*) * 16 AS BIGINT) AS est_distinct
+      FROM k GROUP BY 1 ORDER BY 1""",
 
     "llm_pmi" -> s"""
       WITH t AS (SELECT string_split($Norm, ' ') AS ws FROM documents),

@@ -120,6 +120,21 @@ object ScaleProbe {
       println("  channelCorrelation (bucket totals -> tiny pair join)")
       time(graft.operators.TimeSeriesOps.channelCorrelation(
         ev, $"event_type", $"ts", $"value", 3600L).count())
+      println("  dyadicEwma (24x contribution explode over bucket sums)")
+      time(graft.operators.TimeSeriesOps.dyadicEwma(
+        ev, $"event_type", $"ts", $"value", 3600L).count())
+      println("  m4Downsample (4 struct aggs, one partial-agg pass)")
+      time(graft.operators.TimeSeriesOps.m4Downsample(
+        ev, $"event_type", $"ts", $"value", $"event_id", 3600L).count())
+      println("  seasonalOutliers (phase-keyed moments + flag scan)")
+      time(graft.operators.TimeSeriesOps.seasonalOutliers(
+        ev, $"event_type", $"ts", $"value").count())
+      println("  peakDetect (hot-channel lag/lead window grows kx)")
+      time(graft.operators.TimeSeriesOps.peakDetect(
+        ev, $"event_type", $"ts", $"value", $"event_id", 40.0).count())
+      println("  collocations (bigram-slot explode + pair agg)")
+      time(graft.operators.TextAnalysisOps.collocations(
+        d, $"doc_id", $"text").count())
       Pins.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       docs.cache().count(); embs.cache().count()

@@ -416,6 +416,54 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
       a == "alpha" && b == "beta" && lift > 1000000L })
   }
 
+  test("thetaDistinct == scala md5-threshold fold; estimate tracks truth") {
+    val rng = new scala.util.Random(666)
+    val rows = (1L to 2000L).map(_ =>
+      (s"g${rng.nextInt(2)}", s"item${rng.nextInt(300)}"))
+    val got = Pins.scoped {
+      SketchOps.thetaDistinct(rows.toDF("grp", "item"),
+          $"grp", $"item", logInvFrac = 2)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val want = rows.distinct.groupBy(_._1).flatMap { case (g, rs) =>
+      val kept = rs.map(_._2).distinct
+        .map(i => h60("theta:" + i)).count(_ < (1L << 58))
+      if (kept > 0) Some(g -> (kept.toLong, kept * 4L)) else None
+    }
+    assert(got == want)
+    // ~75 expected survivors per group at 1/4 sampling: the estimate
+    // must land within 50% of the exact count (SE ~ 1/sqrt(75) ≈ 12%)
+    val truth = rows.distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct.size).toMap
+    got.foreach { case (g, (_, est)) =>
+      assert(math.abs(est - truth(g)).toDouble / truth(g) < 0.5,
+        s"$g: est=$est truth=${truth(g)}")
+    }
+    // mergeability: build SEPARATE sketch states over two disjoint
+    // halves, merge the states, read the estimate — must equal the
+    // direct sketch of the whole corpus (the property that makes
+    // incremental corpus growth a union + re-count, never a re-scan)
+    val (h1, h2) = rows.splitAt(1000)
+    val merged = Pins.scoped {
+      val s1 = SketchOps.thetaKept(h1.toDF("grp", "item"),
+        $"grp", $"item", logInvFrac = 2)
+      val s2 = SketchOps.thetaKept(h2.toDF("grp", "item"),
+        $"grp", $"item", logInvFrac = 2)
+      SketchOps.thetaEstimate(SketchOps.mergeKept(Seq(s1, s2)),
+          logInvFrac = 2)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    assert(merged == got)
+  }
+
   test("lengthHistogram == scala fold") {
     val rng = new scala.util.Random(222)
     val rows = (1L to 300L).map(i =>

@@ -68,4 +68,63 @@ object SketchOps {
                     logInvFrac: Int = 10,
                     salt: String = "theta:"): DataFrame =
     thetaEstimate(thetaKept(df, group, item, logInvFrac, salt), logInvFrac)
+
+  // ---- quantile sketch (KMV row-sample order statistics) ----
+
+  /** The quantile-sketch STATE: a deterministic 1/2^logInvFrac
+    * hash-space sample of ROWS — keep a row iff the 60-bit md5 of its
+    * unique `key` falls under the threshold — carrying the sampled
+    * integer `value`. Output: grp, h, v.
+    *
+    * Same merge algebra as [[thetaKept]]: a row kept in any corpus part
+    * is kept in every superset, so two states over disjoint parts merge
+    * by plain union (+ distinct for idempotence under re-ingest), and
+    * growing the corpus is a union + re-read, never a re-scan. Unlike
+    * engine-native `approx_percentile` (a GK/KLL sketch whose output
+    * depends on merge order and engine internals), the readout is a
+    * pure integer function of md5 — bit-identical in the DuckDB oracle,
+    * across partitionings, and across re-runs. */
+  def quantileKept(df: DataFrame, group: Column, key: Column,
+                   value: Column, logInvFrac: Int,
+                   salt: String = "qsk:"): DataFrame = {
+    require(logInvFrac >= 0 && logInvFrac < 60)
+    val thr = 1L << (60 - logInvFrac)
+    df.select(group.as("grp"),
+        DetHash.h60(concat(lit(salt), key.cast("string"))).as("h"),
+        value.cast("long").as("v"))
+      .filter($"h" < thr)
+      .distinct()
+  }
+
+  /** Merge quantile-sketch states (same logInvFrac/salt required). */
+  def mergeQuantileKept(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _).distinct()
+
+  /** Readout: type-1 (lower) order statistics of the sampled values at
+    * the given percentiles — rank ⌈n·p/100⌉ over the sorted sample, the
+    * same rank rule as [[TimeSeriesOps.percentiles]], in exact integer
+    * arithmetic. The per-group `collect_list` is safe BY CONSTRUCTION:
+    * the sketch state holds ~rows/2^logInvFrac survivors per group (the
+    * accuracy/memory dial), so the list is bounded no matter the corpus
+    * size. Output: grp, n_kept, p<p1>, p<p2>, … */
+  def quantileEstimate(kept: DataFrame, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val g = kept.groupBy($"grp")
+      .agg(sort_array(collect_list($"v")).as("vs"),
+        count(lit(1)).as("n_kept"))
+    val cols = $"grp" +: $"n_kept" +: pcts.map { p =>
+      // integer ceiling-rank: (n*p + 99) div 100, 1-based element_at
+      element_at($"vs",
+        floor(($"n_kept" * p + 99L) / 100L).cast("int")).as(s"p$p")
+    }
+    g.select(cols: _*)
+  }
+
+  /** Per-group quantile-sketch estimate (build + readout in one). */
+  def quantileSketch(df: DataFrame, group: Column, key: Column,
+                     value: Column, pcts: Seq[Int],
+                     logInvFrac: Int = 10,
+                     salt: String = "qsk:"): DataFrame =
+    quantileEstimate(quantileKept(df, group, key, value, logInvFrac, salt),
+      pcts)
 }

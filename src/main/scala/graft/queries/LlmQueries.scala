@@ -376,6 +376,16 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // mergeable quantile sketch (theta's order-statistics sibling): a
+    // deterministic 1/4 hash-space row-sample of per-language doc
+    // lengths, exact type-1 quantiles over the bounded survivor set
+    "llm_quantile_sketch" -> ((s, d) =>
+      SketchOps.quantileSketch(docs(s, d), $"lang", $"doc_id",
+          $"n_chars", Seq(25, 50, 75, 90), logInvFrac = 2)
+        .select($"grp".as("lang"), $"n_kept",
+          $"p25", $"p50", $"p75", $"p90")
+        .orderBy("lang")),
+
     // collocation mining: adjacent word pairs with exact-integer
     // association lift (PMI sans the engine-dependent log)
     "llm_pmi" -> ((s, d) =>
@@ -1158,6 +1168,22 @@ object LlmQueries {
       SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
              CAST(count(*) * 16 AS BIGINT) AS est_distinct
       FROM k GROUP BY 1 ORDER BY 1""",
+
+    "llm_quantile_sketch" -> s"""
+      WITH k AS (SELECT DISTINCT lang,
+                   ${DetHash.h60Sql("'qsk:' || CAST(doc_id AS VARCHAR)")} AS h,
+                   CAST(n_chars AS BIGINT) AS v
+                 FROM documents),
+      s AS (SELECT lang, h, v FROM k WHERE h < ${1L << 58}),
+      g AS (SELECT lang, list_sort(list(v)) AS vs,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM s GROUP BY 1)
+      SELECT lang, n_kept,
+             vs[CAST((n_kept*25 + 99)//100 AS INT)] AS p25,
+             vs[CAST((n_kept*50 + 99)//100 AS INT)] AS p50,
+             vs[CAST((n_kept*75 + 99)//100 AS INT)] AS p75,
+             vs[CAST((n_kept*90 + 99)//100 AS INT)] AS p90
+      FROM g ORDER BY lang""",
 
     "llm_pmi" -> s"""
       WITH t AS (SELECT string_split($Norm, ' ') AS ws FROM documents),

@@ -144,6 +144,36 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"rk")
     }),
 
+    // SCD type-2 dimension-history construction (the classic warehouse
+    // op): compress each customer's order-priority event stream into
+    // validity intervals — change rows only, [valid_from, valid_to)
+    // with the current state open-ended. Lag change-detect + running
+    // version sum + per-version agg + lead for the closing date; every
+    // window and the groupBy hash-partition on o_custkey (high
+    // cardinality), so the plan is one key shuffle reused across
+    // stages — no driver state, survives any customer count.
+    "rel_scd2" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val prev = lag($"o_orderpriority", 1).over(w)
+      val ver = o.select($"o_custkey", $"o_orderdate", $"o_orderkey",
+          $"o_orderpriority")
+        .withColumn("chg",
+          when(prev.isNull.or(prev =!= $"o_orderpriority"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val g = ver.groupBy($"o_custkey", $"version")
+        .agg(min($"o_orderpriority").as("priority"), // constant per version
+          min($"o_orderdate").as("valid_from"),
+          count(lit(1)).as("n_orders"))
+      val w2 = Window.partitionBy($"o_custkey").orderBy($"version")
+      g.select($"o_custkey", $"version", $"priority", $"valid_from",
+          lead($"valid_from", 1).over(w2).as("valid_to"), $"n_orders")
+        .orderBy($"o_custkey", $"version")
+    }),
+
     // JSON scalar extraction (§2.8; fixtures' props column): histogram of
     // props.k with per-bucket value stats
     "rel_json_props" -> ((s, d) => {
@@ -498,6 +528,27 @@ object RelationalQueries {
                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
         FROM orders) t
       WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    "rel_scd2" -> """
+      WITH o AS (SELECT o_custkey AS c, o_orderdate AS d, o_orderkey AS k,
+                        o_orderpriority AS p FROM orders),
+      l AS (SELECT c, d, k, p,
+                   lag(p) OVER (PARTITION BY c ORDER BY d, k) AS pp FROM o),
+      f AS (SELECT c, d, k, p,
+                   CASE WHEN pp IS NULL OR p <> pp THEN 1 ELSE 0 END AS ns
+            FROM l),
+      s AS (SELECT c, d, p,
+                   sum(ns) OVER (PARTITION BY c ORDER BY d, k
+                     ROWS UNBOUNDED PRECEDING) AS version FROM f),
+      g AS (SELECT c AS o_custkey, CAST(version AS BIGINT) AS version,
+                   min(p) AS priority, min(d) AS valid_from,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM s GROUP BY 1, 2)
+      SELECT o_custkey, version, priority, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+               ORDER BY version) AS valid_to,
+             n_orders
+      FROM g ORDER BY 1, 2""",
 
     "rel_json_props" -> """
       SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -117,6 +117,63 @@ object StreamingQueries {
     spark.table(sink).orderBy("block_epoch", "channel")
   }
 
+  // ---- ts_stream_dedup fixture geometry (duplicate delivery) ----
+  /** Duplicated INSIDE their own micro-batch (at-least-once source
+    * re-emitting within one poll). */
+  private val DupWithin = Seq(50L, 100L, 150L)
+  /** Re-delivered a whole micro-batch later (retry after an ack loss) —
+    * only cross-batch keyed STATE can drop these. */
+  private val DupAcross = Seq(200L, 250L, 300L)
+
+  /** Streaming exactly-once de-duplication inside the oracle gate: an
+    * at-least-once tick stream — three ticks duplicated within their
+    * own micro-batch, three re-delivered a batch later — flows through
+    * `withWatermark` + `dropDuplicates(channel, ts)` (keyed state, the
+    * event-time key bounds it: keys older than the watermark are
+    * evicted, so state is O(window), not O(stream)) into tumbling
+    * per-block totals. The emitted rows hash-compare against the
+    * closed form of the DISTINCT tick set, and the dedup operator's own
+    * `numRowsUpdated` must equal the planted distinct count — a dupe
+    * that slips through shifts both and fails loudly. */
+  def streamDedupTotals(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val deduped = mem.toDF().select($"value".as("n"))
+      .select($"n", explode(typedLit(LateChans)).as("ch"))
+      .select(timestamp_seconds(lit(LateT0) + $"n" * 10L).as("ts"),
+        $"ch._1".as("channel"),
+        (($"n" * $"ch._2") % 101L).as("v"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("channel", "ts")
+    val agg = deduped
+      .groupBy(window($"ts", "600 seconds"), $"channel")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"))
+      .select(unix_seconds($"window.start").as("block_epoch"),
+        $"channel", $"n", $"total")
+    val sink = s"dedup_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the final sentinel (n=1500) pushes the watermark past every real
+      // block end so Append emits them; its own block never closes
+      val batches = Seq(
+        (1L to 400L) ++ DupWithin,
+        (401L to 600L) ++ DupAcross,
+        Seq(1500L))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val updated = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .filter(_.operatorName.contains("dedupe"))
+        .map(_.numRowsUpdated).sum
+      val wantDistinct = (LateN + 1) * LateChans.size // ticks + sentinel
+      require(updated == wantDistinct,
+        s"dedup state admitted $updated rows, planted $wantDistinct - " +
+          "duplicate-delivery semantics drifted")
+    } finally q.stop()
+    spark.table(sink).orderBy("block_epoch", "channel")
+  }
+
   // ---- ts_stream_sessions fixture geometry ----
   private val SessU = 3       // users
   private val SessN = 90L     // ticks: 30 per user
@@ -171,6 +228,7 @@ object StreamingQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_stream_ingest" -> ((s, _) => streamIngestTotals(s)),
     "ts_stream_late" -> ((s, _) => streamLateTotals(s)),
+    "ts_stream_dedup" -> ((s, _) => streamDedupTotals(s)),
     "ts_stream_sessions" -> ((s, _) => streamSessionTotals(s)))
 
   def oracles: Map[String, String] = Map(
@@ -220,6 +278,23 @@ object StreamingQueries {
              CAST(count(*) AS BIGINT) AS n,
              CAST(count(CASE WHEN NOT valid THEN 1 END) AS BIGINT) AS n_invalid,
              CAST(sum(CASE WHEN valid THEN v END) AS DOUBLE) AS total
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // closed form of exactly the DISTINCT tick set: duplicates collapse,
+    // so counts and totals equal the plain 1..LateN grid — a dupe that
+    // survives the streaming state shifts n/total and fails the hash
+    "ts_stream_dedup" -> s"""
+      WITH chans(channel, k) AS (VALUES
+        ${LateChans.map { case (c, k) => s"('$c', $k)" }.mkString(", ")}),
+      t AS (SELECT n FROM generate_series(1, $LateN) g(n)),
+      r AS (
+        SELECT channel,
+               (($LateT0 + n*10) // 600) * 600 AS block_epoch,
+               (n * k) % 101 AS v
+        FROM chans CROSS JOIN t)
+      SELECT block_epoch, channel,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS total
       FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // closed form of session_window over every fed tick (the watermark

@@ -23,7 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * set, or a 1-row corpus total). */
   private val broadcastLoopOk = Set("llm_ann_topk", "llm_ann_ivf",
     "llm_semdedup", "llm_vocab", "llm_cluster_sizes", "llm_ann_pq",
-    "llm_ann_pq_rr", "llm_temp_mix")
+    "llm_ann_pq_rr", "llm_temp_mix", "llm_pmi")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no unbounded pair generation in the physical plan") {

@@ -464,6 +464,56 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
     assert(merged == got)
   }
 
+  test("quantileSketch == scala md5-sample order statistics; merge == direct") {
+    val rng = new scala.util.Random(777)
+    val rows = (1L to 2000L).map(i =>
+      (s"g${rng.nextInt(2)}", i, rng.nextInt(5000).toLong))
+    val pcts = Seq(25, 50, 90)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val got = Pins.scoped {
+      SketchOps.quantileSketch(rows.toDF("grp", "key", "v"),
+          $"grp", $"key", $"v", pcts, logInvFrac = 2)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    }
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val kept = rs.filter(r => h60("qsk:" + r._2) < (1L << 58))
+        .map(_._3).sorted
+      if (kept.isEmpty) None else {
+        def q(p: Int) = kept((((kept.size.toLong * p + 99) / 100) - 1).toInt)
+        Some(g -> ((kept.size.toLong, q(25), q(50), q(90))))
+      }
+    }.toMap
+    assert(got == want)
+    // accuracy: the 1/4-sampled median must land near the exact median
+    // of the uniform draws (~250 survivors/group -> SE of an order
+    // statistic ~ a few percent of the range)
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val exact = rs.map(_._3).sorted.apply(rs.size / 2)
+      assert(math.abs(got(g)._3 - exact) < 1000L,
+        s"$g: sampled p50=${got(g)._3} exact=$exact")
+    }
+    // mergeability: sketch states over two disjoint halves, merged,
+    // must read out exactly as the direct sketch of the whole corpus
+    val (h1, h2) = rows.splitAt(1000)
+    val merged = Pins.scoped {
+      val s1 = SketchOps.quantileKept(h1.toDF("grp", "key", "v"),
+        $"grp", $"key", $"v", logInvFrac = 2)
+      val s2 = SketchOps.quantileKept(h2.toDF("grp", "key", "v"),
+        $"grp", $"key", $"v", logInvFrac = 2)
+      SketchOps.quantileEstimate(
+          SketchOps.mergeQuantileKept(Seq(s1, s2)), pcts)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    }
+    assert(merged == got)
+  }
+
   test("lengthHistogram == scala fold") {
     val rng = new scala.util.Random(222)
     val rows = (1L to 300L).map(i =>

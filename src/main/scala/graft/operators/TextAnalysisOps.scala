@@ -192,6 +192,29 @@ object TextAnalysisOps {
       .drop("pid", "w", "lcum", "off")
   }
 
+  /** Equi-depth quantile binning (the NTILE feature-engineering pass:
+    * "which length decile is this doc in, within its language") —
+    * every row's k-quantile bucket from its exact rank, where the rank
+    * comes from the two-phase [[rankedByRange]] prefix rather than a
+    * per-stratum window task (a hot stratum can never serialize into
+    * one task), and bucket = ⌊(rank−1)·k/n⌋+1 reproduces ANSI NTILE's
+    * larger-buckets-first split exactly. Readout is the per-bin census.
+    * Output: stratum, bin, n, min_v, max_v, avg_v. */
+  def quantileBins(df: DataFrame, stratum: Column, value: Column,
+                   tieBreak: Column, k: Int): DataFrame = {
+    require(k > 0)
+    val base = df.select(stratum.as("shard"), value.cast("long").as("v"),
+      tieBreak.as("tb"))
+    val totals = base.groupBy($"shard").agg(count(lit(1)).as("n_tot"))
+    rankedByRange(base, lit(1L), Seq($"v", $"tb"))
+      .join(broadcast(totals), "shard")
+      .withColumn("bin", floor(($"cum" - 1) * k / $"n_tot").cast("long") + 1)
+      .groupBy($"shard".as("stratum"), $"bin")
+      .agg(count(lit(1)).as("n"), min($"v").as("min_v"),
+        max($"v").as("max_v"),
+        (sum($"v").cast("double") / count(lit(1))).as("avg_v"))
+  }
+
   /** PII patterns for the scrubbing pass. Kept to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
     * backreferences, no lookaround, explicit classes instead of \\d/\\w. */
@@ -392,9 +415,12 @@ object TextAnalysisOps {
     * would overflow near 10⁹ slots, i.e. well under 100 TB).
     * Output: rk, a, b, n_ab, n_a, n_b, lift_ppm (top `topK` pairs with
     * n_ab ≥ minCount, by count desc then pair). */
-  def collocations(docs: DataFrame, id: Column, text: Column,
-                   topK: Int = 30, minCount: Long = 3L): DataFrame = {
-    val pairs = docs.select(id.as("doc_id"), normText(text).as("norm"))
+  /** Adjacent-word-pair counts (the shared bigram pass of
+    * [[collocations]] and [[textRank]]): one corpus-scale explode +
+    * (a, b) partial agg to a vocab²-bounded table. */
+  private def bigramCounts(docs: DataFrame, id: Column,
+                           text: Column): DataFrame =
+    docs.select(id.as("doc_id"), normText(text).as("norm"))
       .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
       .select(split($"norm", " ").as("ws"))
       .filter(size($"ws") >= 2) // sequence(1, 0) would run DESCENDING
@@ -404,7 +430,11 @@ object TextAnalysisOps {
         .as("pr"))
       .select($"pr.a".as("a"), $"pr.b".as("b"))
       .filter(length($"a") > 0 && length($"b") > 0)
-    val c = Pins.pin(pairs.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab")))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+
+  def collocations(docs: DataFrame, id: Column, text: Column,
+                   topK: Int = 30, minCount: Long = 3L): DataFrame = {
+    val c = Pins.pin(bigramCounts(docs, id, text))
     val ma = c.groupBy($"a").agg(sum($"n_ab").as("n_a"))
     val mb = c.groupBy($"b").agg(sum($"n_ab").as("n_b"))
     val tot = c.agg(sum($"n_ab").as("t"))
@@ -415,6 +445,44 @@ object TextAnalysisOps {
         expr("CAST((CAST(n_ab AS DECIMAL(20,0)) * t * 1000000)" +
           " DIV (CAST(n_a AS DECIMAL(20,0)) * n_b) AS BIGINT)")
           .as("lift_ppm"))
+  }
+
+  /** TextRank keyword scoring — PageRank power iteration over the
+    * word-adjacency graph (bigram edges with count ≥ `minCount`, made
+    * undirected), the classic graph-based keyword extractor. All
+    * arithmetic is integer: ranks live at scale 10¹², every division is
+    * `div`, so the fixed-`iters` readout is bit-identical in the DuckDB
+    * oracle (a float PageRank would drift per-engine at the margins).
+    * Scale shape: the corpus-scale work is the one [[bigramCounts]]
+    * pass; each iteration is one edges ⋈ ranks hash join + re-agg over
+    * VOCAB-sized tables — BSP, the [[DedupOps]] dup-clusters shape, no
+    * driver state beyond the node count (one scalar).
+    * Output: rk, w, score (top `topK` by final rank desc, then word). */
+  def textRank(docs: DataFrame, id: Column, text: Column,
+               topK: Int = 30, minCount: Long = 3L,
+               iters: Int = 3): DataFrame = {
+    val Scale = 1000000000000L
+    val c = bigramCounts(docs, id, text).filter($"n_ab" >= minCount)
+    val edges = Pins.pin(c.select($"a".as("u"), $"b".as("v"))
+      .union(c.select($"b".as("u"), $"a".as("v"))).distinct())
+    val nodes = Pins.pin(edges.select($"u".as("w")).distinct())
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val n = nodes.count() // one scalar, vocab-sized agg
+    if (n == 0)
+      return nodes.select($"w", lit(0L).as("rk"), lit(0L).as("score"))
+        .select($"rk", $"w", $"score")
+    val tele = Scale * 15L / 100L / n
+    var r = nodes.select($"w", lit(Scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(r, $"u" === $"w").join(deg, "u")
+        .select($"v", expr("r div deg").as("cn"))
+        .groupBy($"v").agg(sum($"cn").as("acc"))
+      r = nodes.join(contrib, $"w" === $"v", "left")
+        .select($"w",
+          (lit(tele) + expr("(85 * coalesce(acc, 0L)) div 100")).as("r"))
+    }
+    rankTopN(r, topK, $"r".desc, $"w")
+      .select($"rk", $"w", $"r".as("score"))
   }
 
   /** Deterministic quality-weighted downsampling: a doc survives iff its

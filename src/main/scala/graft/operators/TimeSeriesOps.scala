@@ -805,6 +805,30 @@ object TimeSeriesOps {
         count(lit(1)).over(w) / 100.0).as("ma"))
   }
 
+  /** Rolling (windowed) median — the robust smoother a moving average
+    * can't be (one spike poisons a mean for `window` rows; the median
+    * shrugs it off). Type-1 lower median (rank ⌈n/2⌉) of the last
+    * `window` values per channel in (ts, tieBreak) order, computed as a
+    * sorted-array order statistic over a bounded ROWS frame — frame
+    * state is `window` cents values, never a channel's history, so the
+    * task survives any series length; exact integers until the final
+    * /100 readout. Output: channel, ts_us, event_id, med. */
+  def rollingMedian(df: DataFrame, chan: Column, ts: Column, value: Column,
+                    tieBreak: Column, window: Int): DataFrame = {
+    require(window > 0)
+    val w = Window.partitionBy($"channel").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-(window - 1L), 0L)
+    df.filter(value.isNotNull)
+      .select(chan.as("channel"), unix_micros(ts).as("ts_us"),
+        tieBreak.as("event_id"), cents(value).as("vc"))
+      .select($"channel", $"ts_us", $"event_id",
+        sort_array(collect_list($"vc").over(w)).as("vs"))
+      .select($"channel", $"ts_us", $"event_id",
+        (element_at($"vs",
+            floor((size($"vs") + 1) / 2).cast("int")).cast("double")
+          / 100.0).as("med"))
+  }
+
   /** Sessionization — split each key's event stream into sessions at
     * inactivity gaps > `gapSec` (the classic clickstream/telemetry
     * operator; the reference's nearest notion is the block boundary,

@@ -132,6 +132,14 @@ object LlmQueries {
           binWidth = 100L)
         .orderBy("stratum", "bin")),
 
+    // equi-depth length deciles per language (NTILE feature binning
+    // through the two-phase range-partition rank — no stratum-sized
+    // window task)
+    "llm_len_deciles" -> ((s, d) =>
+      TextAnalysisOps.quantileBins(docs(s, d), $"lang", $"n_chars",
+          $"doc_id", k = 10)
+        .orderBy("stratum", "bin")),
+
     // per-doc token counting: whitespace + regex lexer
     "llm_token_counts" -> ((s, d) =>
       TextAnalysisOps.tokenCounts(docs(s, d), $"doc_id", $"text")
@@ -385,6 +393,13 @@ object LlmQueries {
         .select($"grp".as("lang"), $"n_kept",
           $"p25", $"p50", $"p75", $"p90")
         .orderBy("lang")),
+
+    // TextRank keyword extraction: integer-scaled PageRank power
+    // iteration (3 steps, damping 0.85) over the undirected bigram
+    // graph — BSP joins over vocab-sized tables
+    "llm_textrank" -> ((s, d) =>
+      TextAnalysisOps.textRank(docs(s, d), $"doc_id", $"text",
+          PmiTopK, PmiMinCount)),
 
     // collocation mining: adjacent word pairs with exact-integer
     // association lift (PMI sans the engine-dependent log)
@@ -846,6 +861,18 @@ object LlmQueries {
              CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_len
       FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "llm_len_deciles" -> """
+      WITH r AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n_tot
+                 FROM documents)
+      SELECT lang AS stratum, CAST((rn-1)*10//n_tot + 1 AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             min(v) AS min_v, max(v) AS max_v,
+             CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)/count(*) AS avg_v
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "llm_token_counts" -> s"""
       SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
              CAST($WsTok AS BIGINT) AS ws_tokens,
@@ -1184,6 +1211,43 @@ object LlmQueries {
              vs[CAST((n_kept*75 + 99)//100 AS INT)] AS p75,
              vs[CAST((n_kept*90 + 99)//100 AS INT)] AS p90
       FROM g ORDER BY lang""",
+
+    "llm_textrank" -> s"""
+      WITH t AS (SELECT string_split($Norm, ' ') AS ws FROM documents),
+      t2 AS (SELECT ws FROM t WHERE len(ws) >= 2),
+      p AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+              i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS pr FROM t2),
+      pp AS (SELECT (pr).a AS a, (pr).b AS b FROM p
+             WHERE length((pr).a) > 0 AND length((pr).b) > 0),
+      c AS (SELECT a, b FROM pp GROUP BY 1, 2
+            HAVING count(*) >= $PmiMinCount),
+      e AS (SELECT a AS u, b AS v FROM c UNION SELECT b, a FROM c),
+      nd AS (SELECT DISTINCT u AS w FROM e),
+      dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      pars AS (SELECT (1000000000000 * 15) // 100 // count(*) AS tele,
+                      1000000000000 // count(*) AS rinit FROM nd),
+      r0 AS (SELECT w, (SELECT rinit FROM pars) AS r FROM nd),
+      r1 AS (SELECT nd.w, (SELECT tele FROM pars) +
+               (85 * COALESCE(CAST(s.acc AS BIGINT), 0)) // 100 AS r
+             FROM nd LEFT JOIN (
+               SELECT e.v AS w, sum(r0.r // dg.deg) AS acc
+               FROM e JOIN r0 ON e.u = r0.w JOIN dg ON dg.u = e.u
+               GROUP BY 1) s ON nd.w = s.w),
+      r2 AS (SELECT nd.w, (SELECT tele FROM pars) +
+               (85 * COALESCE(CAST(s.acc AS BIGINT), 0)) // 100 AS r
+             FROM nd LEFT JOIN (
+               SELECT e.v AS w, sum(r1.r // dg.deg) AS acc
+               FROM e JOIN r1 ON e.u = r1.w JOIN dg ON dg.u = e.u
+               GROUP BY 1) s ON nd.w = s.w),
+      r3 AS (SELECT nd.w, (SELECT tele FROM pars) +
+               (85 * COALESCE(CAST(s.acc AS BIGINT), 0)) // 100 AS r
+             FROM nd LEFT JOIN (
+               SELECT e.v AS w, sum(r2.r // dg.deg) AS acc
+               FROM e JOIN r2 ON e.u = r2.w JOIN dg ON dg.u = e.u
+               GROUP BY 1) s ON nd.w = s.w)
+      SELECT CAST(row_number() OVER (ORDER BY r DESC, w) AS BIGINT) AS rk,
+             w, r AS score
+      FROM r3 ORDER BY r DESC, w LIMIT $PmiTopK""",
 
     "llm_pmi" -> s"""
       WITH t AS (SELECT string_split($Norm, ' ') AS ws FROM documents),

@@ -143,6 +143,13 @@ object TimeSeriesQueries {
           $"value", Hour, windowBuckets = 24)
         .orderBy("channel", "bucket_epoch")),
 
+    // rolling 7-sample median: the robust twin of ts_moving_avg (order
+    // statistic over a bounded ROWS frame, exact cents integers)
+    "ts_rolling_median" -> ((s, d) =>
+      TimeSeriesOps.rollingMedian(events(s, d), $"event_type", $"ts",
+          $"value", $"event_id", window = 7)
+        .orderBy("channel", "ts_us", "event_id")),
+
     // head/tail partial-interval proration (etsdQuery.c:232-287)
     "ts_prorated_total" -> ((s, d) =>
       TimeSeriesOps.proratedTotal(events(s, d), $"event_type", $"ts", $"value",
@@ -573,6 +580,19 @@ object TimeSeriesQueries {
       WINDOW w AS (PARTITION BY channel ORDER BY bucket_epoch
                    RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
       ORDER BY 1, 2""",
+
+    "ts_rolling_median" -> """
+      WITH v AS (SELECT event_type AS channel, epoch_us(ts) AS ts_us,
+                        event_id, CAST(round(value*100) AS BIGINT) AS vc
+                 FROM events WHERE value IS NOT NULL),
+      l AS (SELECT channel, ts_us, event_id,
+                   list_sort(list(vc) OVER (PARTITION BY channel
+                     ORDER BY ts_us, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vs
+            FROM v)
+      SELECT channel, ts_us, event_id,
+             CAST(vs[CAST((len(vs)+1)//2 AS INT)] AS DOUBLE)/100.0 AS med
+      FROM l ORDER BY 1, 2, 3""",
 
     "ts_prorated_total" -> s"""
       WITH b AS (

@@ -514,6 +514,88 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
     assert(merged == got)
   }
 
+  test("rollingMedian == sliding sorted order statistic on random data") {
+    val rng = new scala.util.Random(303)
+    // duplicate timestamps included: the event_id tie-break must keep
+    // the frame contents deterministic
+    val rows = (1L to 300L).map(i =>
+      (s"c${rng.nextInt(3)}", t0 + rng.nextInt(50) * 60L, i,
+        rng.nextInt(200).toDouble / 2.0))
+    val got = Pins.scoped {
+      TimeSeriesOps.rollingMedian(
+          rows.toDF("channel", "sec", "event_id", "value")
+            .select($"channel", timestamp_seconds($"sec").as("ts"),
+              $"event_id", $"value"),
+          $"channel", $"ts", $"value", $"event_id", window = 5)
+        .as[(String, Long, Long, Double)].collect().toSet
+    }
+    val want = rows.groupBy(_._1).flatMap { case (c, rs) =>
+      val ordered = rs.map(r => (r._2 * 1000000L, r._3,
+        math.round(r._4 * 100))).sortBy(x => (x._1, x._2))
+      ordered.indices.map { i =>
+        val win = ordered.slice(math.max(0, i - 4), i + 1).map(_._3).sorted
+        (c, ordered(i)._1, ordered(i)._2,
+          win((win.size + 1) / 2 - 1) / 100.0)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("quantileBins == NTILE census on random ties-heavy strata") {
+    val rng = new scala.util.Random(404)
+    val rows = (1L to 500L).map(i =>
+      (s"s${rng.nextInt(4)}", rng.nextInt(50).toLong, i))
+    val got = Pins.scoped {
+      TextAnalysisOps.quantileBins(rows.toDF("stratum", "v", "id"),
+          $"stratum", $"v", $"id", k = 4)
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    }
+    val want = rows.groupBy(_._1).flatMap { case (st, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val n = sorted.size
+      sorted.zipWithIndex.map { case (r, i) =>
+          (i.toLong * 4 / n + 1, r._2) }
+        .groupBy(_._1).map { case (bin, vs) =>
+          val xs = vs.map(_._2)
+          (st, bin, xs.size.toLong, xs.min, xs.max,
+            xs.sum.toDouble / xs.size)
+        }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("textRank == scala integer power iteration") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "beta gamma delta beta gamma"),
+      (3L, "alpha beta gamma delta epsilon alpha beta"),
+      (4L, "gamma delta epsilon gamma delta"))
+    val got = Pins.scoped {
+      TextAnalysisOps.textRank(docs.toDF("doc_id", "text"),
+          $"doc_id", $"text", topK = 10, minCount = 2L, iters = 3)
+        .as[(Long, String, Long)].collect().toList
+    }
+    val Scale = 1000000000000L
+    val pairs = docs.flatMap { case (_, t) =>
+      val ws = t.split(" ").toSeq; ws.zip(ws.tail) }
+    val c = pairs.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val edges = (c ++ c.map(p => (p._2, p._1))).distinct
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val tele = Scale * 15L / 100L / n
+    var r = nodes.map(w => w -> Scale / n).toMap
+    for (_ <- 1 to 3) {
+      val acc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(w =>
+        w -> (tele + 85L * acc.getOrElse(w, 0L) / 100L)).toMap
+    }
+    val want = r.toSeq.sortBy { case (w, s) => (-s, w) }.take(10)
+      .zipWithIndex.map { case ((w, s), i) => (i + 1L, w, s) }.toList
+    assert(got == want)
+  }
+
   test("lengthHistogram == scala fold") {
     val rng = new scala.util.Random(222)
     val rows = (1L to 300L).map(i =>

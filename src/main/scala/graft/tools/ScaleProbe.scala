@@ -135,6 +135,22 @@ object ScaleProbe {
       println("  collocations (bigram-slot explode + pair agg)")
       time(graft.operators.TextAnalysisOps.collocations(
         d, $"doc_id", $"text").count())
+      println("  textRank (vocab-sized BSP iterations over the bigram graph)")
+      time(graft.operators.TextAnalysisOps.textRank(
+        d, $"doc_id", $"text").count())
+      println("  quantileBins (two-phase rank; one hot stratum grows kx)")
+      time(graft.operators.TextAnalysisOps.quantileBins(
+        d, $"lang", $"n_chars", $"doc_id", 10).count())
+      println("  thetaDistinct (threshold filter before the only shuffle)")
+      time(graft.operators.SketchOps.thetaDistinct(
+        d.select($"lang", explode(split(lower($"text"), " ")).as("tok"))
+          .filter(length($"tok") > 0), $"lang", $"tok", 4).count())
+      println("  quantileSketch (1/4 hash-space row sample)")
+      time(graft.operators.SketchOps.quantileSketch(
+        d, $"lang", $"doc_id", $"n_chars", Seq(25, 50, 90), 2).count())
+      println("  rollingMedian (hot-channel bounded ROWS frame grows kx)")
+      time(graft.operators.TimeSeriesOps.rollingMedian(
+        ev, $"event_type", $"ts", $"value", $"event_id", 7).count())
       Pins.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       docs.cache().count(); embs.cache().count()

@@ -69,4 +69,26 @@ object RangeJoinOps {
         $"i_end" - $"i_start" <= maxLen)
       .select($"key", $"p_id", $"i_id", $"p_ts", $"i_start", $"i_end")
   }
+
+  /** Salted equi join — the manual skew guard for a fact⋈dimension join
+    * whose hottest key overflows one shuffle partition (at 100 TB a
+    * single hot customer/domain can hold billions of fact rows, and
+    * AQE's skew split only helps the sort-merge stages it can see).
+    * The fact side scatters each row into one of `salts` sub-keys by a
+    * deterministic row hash; the dimension replicates `salts`×
+    * (explode — its row count must tolerate the multiplier, the recipe's
+    * stated cost); the join then shuffles on (key, salt), spreading the
+    * hot key over `salts` partitions. Result set is identical to the
+    * plain join — salting changes the partitioning, never the answer.
+    * Output: the joined frame (join key once, then both sides' columns). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 factRowId: Column, salts: Int): DataFrame = {
+    require(salts > 0)
+    val f = fact.withColumn("_salt",
+      pmod(graft.functions.DetHash.h60(
+        concat(lit("salt:"), factRowId.cast("string"))), lit(salts.toLong)))
+    val d = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    f.join(d, Seq(key, "_salt")).drop("_salt")
+  }
 }

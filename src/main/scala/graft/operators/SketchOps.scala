@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft._
@@ -127,4 +128,38 @@ object SketchOps {
                      salt: String = "qsk:"): DataFrame =
     quantileEstimate(quantileKept(df, group, key, value, logInvFrac, salt),
       pcts)
+
+  /** Sliding distinct count — "distinct users in the trailing 24 h, at
+    * every hour" — the query mergeable sketches exist for: an EXACT
+    * sliding distinct would re-shuffle every window's full item set,
+    * but theta states union by construction, so each time bucket keeps
+    * its survivor-hash SET once and the window frame merges
+    * sketch-sized arrays (array_distinct over ≤ windowBuckets ·
+    * n_kept elements — bounded by the sketch dial, never by traffic).
+    * The estimate is the same pure-integer md5 readout as
+    * [[thetaDistinct]]: bit-identical across engines and re-runs.
+    * Output: grp, bucket_epoch, n_kept, est_distinct. */
+  def slidingDistinct(df: DataFrame, group: Column, ts: Column,
+                      item: Column, bucketSec: Long, windowBuckets: Int,
+                      logInvFrac: Int, salt: String = "sd:"): DataFrame = {
+    require(bucketSec > 0 && windowBuckets > 0)
+    require(logInvFrac >= 0 && logInvFrac < 60)
+    val thr = 1L << (60 - logInvFrac)
+    val kept = df.select(group.as("grp"),
+        (floor(unix_micros(ts) / 1000000L / bucketSec) * bucketSec)
+          .cast("long").as("bucket_epoch"),
+        DetHash.h60(concat(lit(salt), item.cast("string"))).as("h"))
+      .filter($"h" < thr)
+      .distinct()
+      .groupBy($"grp", $"bucket_epoch")
+      .agg(collect_set($"h").as("hs"))
+    val w = Window.partitionBy($"grp").orderBy($"bucket_epoch")
+      .rangeBetween(-(windowBuckets - 1L) * bucketSec, 0L)
+    kept.select($"grp", $"bucket_epoch",
+        array_distinct(flatten(collect_list($"hs").over(w))).as("allh"))
+      .select($"grp", $"bucket_epoch",
+        size($"allh").cast("long").as("n_kept"),
+        (size($"allh").cast("long") * (1L << logInvFrac))
+          .as("est_distinct"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.TimeSeriesOps
+import graft.operators.{RangeJoinOps, TimeSeriesOps}
 
 /** Relational operators the reference lacks but our engine exposes for free
   * through Catalyst (SURVEY.md §2.3 joins, §2.6 sort/limit/top-k, §2.7 set
@@ -142,6 +142,23 @@ object RelationalQueries {
           row_number().over(w).as("rk"))
         .filter($"rk" <= 3)
         .orderBy($"o_custkey", $"rk")
+    }),
+
+    // salted skew join: the events fact stream scattered over 8
+    // deterministic sub-keys before joining the customer dimension
+    // (replicated 8x) — identical answer to the plain join, but the
+    // hottest user can never overflow one shuffle partition
+    "rel_salted_agg" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select($"user_id".as("c_custkey"), $"event_id",
+          round($"value" * 100).cast("long").as("vc"))
+      val cust = t(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+      RangeJoinOps.saltedJoin(ev, cust, "c_custkey", $"event_id", salts = 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum($"vc").as("v_c"))
+        .select($"c_mktsegment", $"n",
+          ($"v_c".cast("double") / 100.0).as("total"))
+        .orderBy("c_mktsegment")
     }),
 
     // SCD type-2 dimension-history construction (the classic warehouse
@@ -528,6 +545,14 @@ object RelationalQueries {
                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
         FROM orders) t
       WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    // the plain join IS the oracle: salting must not change the answer
+    "rel_salted_agg" -> """
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+               AS DOUBLE)/100.0 AS total
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1 ORDER BY 1""",
 
     "rel_scd2" -> """
       WITH o AS (SELECT o_custkey AS c, o_orderdate AS d, o_orderkey AS k,

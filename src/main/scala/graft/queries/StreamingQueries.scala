@@ -174,6 +174,55 @@ object StreamingQueries {
     spark.table(sink).orderBy("block_epoch", "channel")
   }
 
+  // ---- ts_stream_join fixture geometry (two live streams) ----
+  /** Sparse alert windows: alert m covers channel c0/c1 (odd/even) for
+    * the 600 s starting at LateT0 + m·600. */
+  private val JoinAlerts = 6
+
+  /** Stream-stream interval join inside the oracle gate: a dense tick
+    * stream ⋈ a sparse alert stream, both LIVE (neither side is a
+    * static table), matched on channel + a time-range condition — the
+    * shape Structured Streaming buffers BOTH sides' state for, with
+    * the two watermarks bounding how much (state is O(tolerance), not
+    * O(stream)). Alert m arrives a batch AFTER some of the ticks it
+    * covers, so matches must come out of buffered tick state, not the
+    * current micro-batch. Inner joins emit on match (no flush sentinel
+    * needed); the emitted (alert window × tick) rows hash-compare
+    * against the interval-join closed form. */
+  def streamJoinEnriched(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memT = MemoryStream[Long]
+    val memA = MemoryStream[Long]
+    val ticks = memT.toDF().select($"value".as("n"))
+      .select($"n", explode(typedLit(LateChans)).as("ch"))
+      .select(timestamp_seconds(lit(LateT0) + $"n" * 10L).as("ts"),
+        $"ch._1".as("channel"),
+        (($"n" * $"ch._2") % 101L).as("v"))
+      .withWatermark("ts", "1 hour")
+    val alerts = memA.toDF().select($"value".as("m"))
+      .select(timestamp_seconds(lit(LateT0) + $"m" * 600L).as("ats"),
+        when($"m" % 2 === 1, "c0").otherwise("c1").as("achannel"))
+      .withWatermark("ats", "1 hour")
+    val joined = ticks.join(alerts,
+        expr("channel = achannel AND ts >= ats AND " +
+          "ts < ats + interval 600 seconds"))
+      .select(unix_seconds($"ats").as("alert_epoch"), $"channel",
+        unix_micros($"ts").as("ts_us"), $"v")
+    val sink = s"join_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // alerts 4-6 arrive AFTER their covered ticks: the matches must
+      // be served from the join's buffered tick state
+      memT.addData(1L to 300L: _*); memA.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      memT.addData(301L to 600L: _*); memA.addData(4L, 5L, 6L)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).orderBy("alert_epoch", "channel", "ts_us")
+  }
+
   // ---- ts_stream_sessions fixture geometry ----
   private val SessU = 3       // users
   private val SessN = 90L     // ticks: 30 per user
@@ -229,6 +278,7 @@ object StreamingQueries {
     "ts_stream_ingest" -> ((s, _) => streamIngestTotals(s)),
     "ts_stream_late" -> ((s, _) => streamLateTotals(s)),
     "ts_stream_dedup" -> ((s, _) => streamDedupTotals(s)),
+    "ts_stream_join" -> ((s, _) => streamJoinEnriched(s)),
     "ts_stream_sessions" -> ((s, _) => streamSessionTotals(s)))
 
   def oracles: Map[String, String] = Map(
@@ -296,6 +346,25 @@ object StreamingQueries {
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(v) AS BIGINT) AS total
       FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the interval-join closed form: alert m's 600 s window captures
+    // exactly ticks n in [60m, 60m+59] on its channel — a tick matched
+    // from the wrong batch's state (or dropped from it) shifts rows
+    "ts_stream_join" -> s"""
+      WITH chans(channel, k) AS (VALUES
+        ${LateChans.map { case (c, k) => s"('$c', $k)" }.mkString(", ")}),
+      al AS (SELECT m,
+                    CASE WHEN m % 2 = 1 THEN 'c0' ELSE 'c1' END AS channel,
+                    $LateT0 + m*600 AS ats
+             FROM generate_series(1, $JoinAlerts) g(m)),
+      tk AS (SELECT channel, k, n, $LateT0 + n*10 AS ts_s
+             FROM chans CROSS JOIN generate_series(1, $LateN) g(n))
+      SELECT al.ats AS alert_epoch, tk.channel,
+             tk.ts_s*1000000 AS ts_us,
+             CAST((tk.n * tk.k) % 101 AS BIGINT) AS v
+      FROM al JOIN tk ON tk.channel = al.channel
+        AND tk.ts_s >= al.ats AND tk.ts_s < al.ats + 600
+      ORDER BY 1, 2, 3""",
 
     // closed form of session_window over every fed tick (the watermark
     // admits the whole out-of-order replay; the sentinel user 99 never

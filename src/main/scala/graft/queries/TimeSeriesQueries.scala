@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft._
+import graft.functions.DetHash
 import graft.model.{ChannelConfig, EtsdSchema, StreamType}
-import graft.operators.TimeSeriesOps
+import graft.operators.{SketchOps, TimeSeriesOps}
 import graft.sources.EtsdSource
 
 /** The reference's query surface (SURVEY.md §2.2, §2.4-2.6, §2.10) bound to
@@ -141,6 +142,17 @@ object TimeSeriesQueries {
     "ts_moving_avg" -> ((s, d) =>
       TimeSeriesOps.movingAverage(events(s, d), $"event_type", $"ts",
           $"value", Hour, windowBuckets = 24)
+        .orderBy("channel", "bucket_epoch")),
+
+    // sliding distinct users per channel (trailing 24 h at every hour)
+    // via union-merged theta states: frame work is sketch-sized arrays,
+    // never the raw traffic
+    "ts_sliding_distinct" -> ((s, d) =>
+      SketchOps.slidingDistinct(events(s, d), $"event_type", $"ts",
+          $"user_id", bucketSec = Hour, windowBuckets = 24,
+          logInvFrac = 2)
+        .select($"grp".as("channel"), $"bucket_epoch", $"n_kept",
+          $"est_distinct")
         .orderBy("channel", "bucket_epoch")),
 
     // rolling 7-sample median: the robust twin of ts_moving_avg (order
@@ -580,6 +592,23 @@ object TimeSeriesQueries {
       WINDOW w AS (PARTITION BY channel ORDER BY bucket_epoch
                    RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
       ORDER BY 1, 2""",
+
+    "ts_sliding_distinct" -> s"""
+      WITH v AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS b,
+                        ${DetHash.h60Sql(
+                          "'sd:' || CAST(user_id AS VARCHAR)")} AS h
+                 FROM events),
+      k AS (SELECT DISTINCT channel, b, h FROM v WHERE h < ${1L << 58}),
+      g AS (SELECT channel, b, list(h) AS hs FROM k GROUP BY 1, 2),
+      w AS (SELECT channel, b,
+                   flatten(list(hs) OVER (PARTITION BY channel ORDER BY b
+                     RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)) AS allh
+            FROM g)
+      SELECT channel, b AS bucket_epoch,
+             CAST(len(list_distinct(allh)) AS BIGINT) AS n_kept,
+             CAST(len(list_distinct(allh)) * 4 AS BIGINT) AS est_distinct
+      FROM w ORDER BY 1, 2""",
 
     "ts_rolling_median" -> """
       WITH v AS (SELECT event_type AS channel, epoch_us(ts) AS ts_us,

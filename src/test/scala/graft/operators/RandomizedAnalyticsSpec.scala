@@ -596,6 +596,59 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("saltedJoin == plain join on a hot-key distribution") {
+    val rng = new scala.util.Random(505)
+    // ~25% of fact rows land on key 1 — the skew shape the salt exists
+    // for; the answer must not notice
+    val fact = (1L to 400L).map(i =>
+      (if (rng.nextInt(4) == 0) 1L else rng.nextInt(20).toLong, i,
+        rng.nextInt(100).toLong))
+    val dim = (0L until 15L).map(k => (k, s"seg${k % 3}"))
+    val got = Pins.scoped {
+      RangeJoinOps.saltedJoin(fact.toDF("k", "id", "v"),
+          dim.toDF("k", "seg"), "k", $"id", salts = 8)
+        .as[(Long, Long, Long, String)].collect().toList
+    }
+    val dm = dim.toMap
+    val want = fact.filter(f => dm.contains(f._1))
+      .map(f => (f._1, f._2, f._3, dm(f._1)))
+    assert(got.toSet == want.toSet)
+    assert(got.size == want.size) // no row duplicated by the replication
+  }
+
+  test("slidingDistinct == md5-threshold sliding fold") {
+    val rng = new scala.util.Random(606)
+    val rows = (1L to 500L).map(_ =>
+      (s"c${rng.nextInt(2)}", t0 + rng.nextInt(30) * 3600L,
+        rng.nextInt(80).toLong))
+    val got = Pins.scoped {
+      SketchOps.slidingDistinct(
+          rows.toDF("ch", "sec", "uid")
+            .select($"ch", timestamp_seconds($"sec").as("ts"), $"uid"),
+          $"ch", $"ts", $"uid", bucketSec = 3600L, windowBuckets = 4,
+          logInvFrac = 2)
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val want = rows.groupBy(_._1).flatMap { case (c, rs) =>
+      val surv = rs.groupBy(r => (r._2 / 3600) * 3600)
+        .view.mapValues(_.map(r => h60("sd:" + r._3))
+          .filter(_ < (1L << 58)).toSet).toMap
+      surv.filter(_._2.nonEmpty).keys.map { b =>
+        val hs = surv.collect {
+          case (bb, s) if bb <= b && bb > b - 4 * 3600 => s
+        }.flatten.toSet
+        (c, b, hs.size.toLong, hs.size * 4L)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("lengthHistogram == scala fold") {
     val rng = new scala.util.Random(222)
     val rows = (1L to 300L).map(i =>

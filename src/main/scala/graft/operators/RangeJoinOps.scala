@@ -91,4 +91,37 @@ object RangeJoinOps {
       explode(sequence(lit(0L), lit(salts - 1L))))
     f.join(d, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Bloom-pruned join — the runtime-filter pattern, spelled out: when
+    * the dimension side is selective but too big to broadcast-join, its
+    * key set still fits a Bloom BITMAP (mBits/8 bytes regardless of row
+    * width), so build the bitmap once, ship it to every fact task as a
+    * literal, and drop non-matching fact rows BEFORE the join shuffle —
+    * the dominant cost at 100 TB is exactly those shuffled-then-
+    * discarded rows. The filter is conservative (false positives pass,
+    * false negatives impossible), and the inner join behind it removes
+    * the survivors' false positives — the answer is the plain join's,
+    * bit for bit, which is what the oracle asserts. Driver state is the
+    * mBits/64-word bitmap (a constant, like a centroid catalog), never
+    * dimension rows. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                      mBits: Int = 1 << 17,
+                      numHashes: Int = 3): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0 && numHashes > 0)
+    def positions(k: Column): Seq[Column] =
+      (0 until numHashes).map(j => pmod(hash(lit(j), k), lit(mBits)))
+    val words = dim.select(explode(array(positions(col(key)): _*)).as("bit"))
+      .distinct()
+      .groupBy(($"bit" / 64).cast("int").as("w"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(bit % 64 AS INT))")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bitmap = Array.tabulate(mBits / 64)(i => words.getOrElse(i, 0L))
+    val bm = typedLit(bitmap.toSeq)
+    val pows = typedLit(Array.tabulate(64)(i => 1L << i).toSeq)
+    val member = positions(col(key)).map { p =>
+      (element_at(bm, (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(pows, (p % 64).cast("int") + 1))) =!= 0L
+    }.reduce(_ && _)
+    fact.filter(member).join(dim, key)
+  }
 }

@@ -161,6 +161,36 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // bloom-pruned selective join: small parts (p_size <= 5) filter the
+    // lineitem scan through a broadcast BITMAP literal before the join
+    // shuffle — the runtime-filter pattern; answer == the plain join
+    "rel_bloom_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select($"l_partkey".as("p_partkey"),
+          round($"l_extendedprice" * 100).cast("long").as("ep_c"))
+      val dim = t(s, d, "part").filter($"p_size" <= 5)
+        .select($"p_partkey", $"p_brand")
+      RangeJoinOps.bloomPrunedJoin(li, dim, "p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), sum($"ep_c").as("rev_c"))
+        .select($"p_brand", $"n",
+          ($"rev_c".cast("double") / 100.0).as("revenue"))
+        .orderBy("p_brand")
+    }),
+
+    // CUBE: every grouping-set combination of (returnflag, linestatus)
+    // in one pass (rel_rollup's lattice completed); gid disambiguates
+    // subtotal NULLs from data NULLs
+    "rel_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(sum(round($"l_quantity" * 100).cast("long")).as("qty_c"),
+          count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .select($"l_returnflag", $"l_linestatus",
+          ($"qty_c".cast("double") / 100.0).as("sum_qty"), $"n", $"gid")
+        .orderBy($"gid", $"l_returnflag".asc_nulls_last,
+          $"l_linestatus".asc_nulls_last)),
+
     // SCD type-2 dimension-history construction (the classic warehouse
     // op): compress each customer's order-priority event stream into
     // validity intervals — change rows only, [valid_from, valid_to)
@@ -545,6 +575,25 @@ object RelationalQueries {
                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
         FROM orders) t
       WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    // the plain join IS the oracle: the bloom prefilter must not change
+    // the answer (false positives die in the join, negatives impossible)
+    "rel_bloom_join" -> """
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+               AS BIGINT) AS DOUBLE)/100.0 AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 5
+      GROUP BY 1 ORDER BY 1""",
+
+    "rel_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty,
+             count(*) AS n,
+             CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus""",
 
     // the plain join IS the oracle: salting must not change the answer
     "rel_salted_agg" -> """

@@ -144,6 +144,24 @@ object TimeSeriesQueries {
           $"value", Hour, windowBuckets = 24)
         .orderBy("channel", "bucket_epoch")),
 
+    // windowed heavy hitters: top-3 users per (channel, hour) by event
+    // count — the rank window partitions on the FINE (channel, bucket)
+    // key, so no task ever holds more than one hour of one channel
+    "ts_top_users" -> ((s, d) => {
+      val w = Window.partitionBy($"channel", $"bucket_epoch")
+        .orderBy($"n".desc, $"user_id")
+      events(s, d)
+        .select($"event_type".as("channel"),
+          (floor(unix_micros($"ts") / 1000000L / Hour) * Hour)
+            .cast("long").as("bucket_epoch"),
+          $"user_id")
+        .groupBy($"channel", $"bucket_epoch", $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .orderBy("channel", "bucket_epoch", "rk")
+    }),
+
     // sliding distinct users per channel (trailing 24 h at every hour)
     // via union-merged theta states: frame work is sketch-sized arrays,
     // never the raw traffic
@@ -592,6 +610,18 @@ object TimeSeriesQueries {
       WINDOW w AS (PARTITION BY channel ORDER BY bucket_epoch
                    RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
       ORDER BY 1, 2""",
+
+    "ts_top_users" -> """
+      WITH b AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+                        user_id, CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2, 3),
+      r AS (SELECT channel, bucket_epoch, user_id, n,
+                   CAST(row_number() OVER (PARTITION BY channel, bucket_epoch
+                     ORDER BY n DESC, user_id) AS BIGINT) AS rk
+            FROM b)
+      SELECT channel, bucket_epoch, user_id, n, rk
+      FROM r WHERE rk <= 3 ORDER BY 1, 2, 5""",
 
     "ts_sliding_distinct" -> s"""
       WITH v AS (SELECT event_type AS channel,

@@ -616,6 +616,25 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
     assert(got.size == want.size) // no row duplicated by the replication
   }
 
+  test("bloomPrunedJoin == plain join on a selective dimension") {
+    val rng = new scala.util.Random(707)
+    val fact = (1L to 600L).map(i =>
+      (rng.nextInt(200).toLong, i, rng.nextInt(100).toLong))
+    // dim covers ~1/4 of the key space: most fact rows should die in
+    // the bitmap prefilter, none of the surviving matches may change
+    val dim = (0L until 200L).filter(_ % 4 == 0).map(k => (k, s"d$k"))
+    val got = Pins.scoped {
+      RangeJoinOps.bloomPrunedJoin(fact.toDF("k", "id", "v"),
+          dim.toDF("k", "name"), "k", mBits = 1 << 12, numHashes = 3)
+        .as[(Long, Long, Long, String)].collect().toList
+    }
+    val dm = dim.toMap
+    val want = fact.filter(f => dm.contains(f._1))
+      .map(f => (f._1, f._2, f._3, dm(f._1)))
+    assert(got.toSet == want.toSet)
+    assert(got.size == want.size)
+  }
+
   test("slidingDistinct == md5-threshold sliding fold") {
     val rng = new scala.util.Random(606)
     val rows = (1L to 500L).map(_ =>

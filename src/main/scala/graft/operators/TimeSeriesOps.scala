@@ -537,6 +537,38 @@ object TimeSeriesOps {
         ($"vc".cast("double") / 100.0).as("value"), $"n")
   }
 
+  /** Winsorized channel statistics — the robust-preprocessing readout:
+    * clip every sample to the channel's [p_lo, p_hi] (type-1 order
+    * statistics through the same two-phase rank as [[percentiles]],
+    * so a hot channel never serializes into one window task), then the
+    * per-channel census: how many samples clipped each side, exact
+    * cents totals before/after. The clip bounds are a channel-count
+    * table broadcast back — the clip itself is a map-side comparison,
+    * no second shuffle of the data.
+    * Output: channel, n, n_lo, n_hi, total_raw, total_wins. */
+  def winsorizedStats(df: DataFrame, chan: Column, value: Column,
+                      tieBreak: Column, pLo: Int, pHi: Int): DataFrame = {
+    require(pLo >= 1 && pHi <= 100 && pLo < pHi)
+    val bounds = percentiles(df, chan, value, tieBreak, Seq(pLo, pHi))
+      .groupBy($"channel")
+      .agg(min(when($"pct" === pLo, $"value")).as("lo"),
+        min(when($"pct" === pHi, $"value")).as("hi"))
+      .select($"channel", round($"lo" * 100).cast("long").as("lo_c"),
+        round($"hi" * 100).cast("long").as("hi_c"))
+    df.filter(value.isNotNull)
+      .select(chan.as("channel"), cents(value).as("vc"))
+      .join(broadcast(bounds), "channel")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"vc" < $"lo_c", 1L).otherwise(0L)).as("n_lo"),
+        sum(when($"vc" > $"hi_c", 1L).otherwise(0L)).as("n_hi"),
+        sum($"vc").as("raw_c"),
+        sum(greatest(least($"vc", $"hi_c"), $"lo_c")).as("wins_c"))
+      .select($"channel", $"n", $"n_lo", $"n_hi",
+        ($"raw_c".cast("double") / 100.0).as("total_raw"),
+        ($"wins_c".cast("double") / 100.0).as("total_wins"))
+  }
+
   /** Time-weighted average over irregular samples — trapezoidal
     * integration per channel: Σ (v_i + v_{i+1})·(t_{i+1} − t_i) /
     * (2·(t_last − t_first)), the honest mean of a signal whose sampling

@@ -60,6 +60,13 @@ object TimeSeriesQueries {
           $"event_id", Seq(50, 95, 99))
         .orderBy("channel", "pct")),
 
+    // winsorized totals: clip each channel to its own [p05, p95] —
+    // robust preprocessing with the clip census made explicit
+    "ts_winsorize" -> ((s, d) =>
+      TimeSeriesOps.winsorizedStats(events(s, d), $"event_type",
+          $"value", $"event_id", pLo = 5, pHi = 95)
+        .orderBy("channel")),
+
     // trapezoidal time-weighted average per channel (irregular-cadence
     // honest mean; exact decimal numerator, one final double division)
     "ts_twa" -> ((s, d) =>
@@ -370,6 +377,29 @@ object TimeSeriesQueries {
       FROM t JOIN r ON r.channel = t.channel
                    AND r.rk = (t.n * t.p + 99) // 100
       ORDER BY 1, 2""",
+
+    "ts_winsorize" -> """
+      WITH v AS (SELECT event_type AS channel,
+                        CAST(round(value*100) AS BIGINT) AS vc,
+                        event_id AS tb
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT channel, vc,
+                   CAST(row_number() OVER (PARTITION BY channel
+                     ORDER BY vc, tb) AS BIGINT) AS rk,
+                   CAST(count(*) OVER (PARTITION BY channel) AS BIGINT) AS n
+            FROM v),
+      b AS (SELECT lo.channel, lo.vc AS lo_c, hi.vc AS hi_c
+            FROM (SELECT channel, vc FROM r WHERE rk = (n*5 + 99)//100) lo
+            JOIN (SELECT channel, vc FROM r WHERE rk = (n*95 + 99)//100) hi
+              USING (channel))
+      SELECT v.channel, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN vc < lo_c THEN 1 END) AS BIGINT) AS n_lo,
+             CAST(count(CASE WHEN vc > hi_c THEN 1 END) AS BIGINT) AS n_hi,
+             CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE)/100.0 AS total_raw,
+             CAST(CAST(sum(GREATEST(LEAST(vc, hi_c), lo_c)) AS BIGINT)
+               AS DOUBLE)/100.0 AS total_wins
+      FROM v JOIN b USING (channel)
+      GROUP BY 1 ORDER BY 1""",
 
     "ts_twa" -> """
       WITH v AS (SELECT event_type AS channel, epoch_us(ts) AS t,

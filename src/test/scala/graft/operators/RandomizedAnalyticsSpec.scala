@@ -616,6 +616,26 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
     assert(got.size == want.size) // no row duplicated by the replication
   }
 
+  test("winsorizedStats == clip-at-order-statistics fold") {
+    val rng = new scala.util.Random(808)
+    val rows = (1L to 400L).map(i =>
+      (s"c${rng.nextInt(3)}", rng.nextInt(40).toDouble / 2.0, i))
+    val got = Pins.scoped {
+      TimeSeriesOps.winsorizedStats(rows.toDF("channel", "value", "event_id"),
+          $"channel", $"value", $"event_id", pLo = 10, pHi = 90)
+        .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    }
+    val want = rows.groupBy(_._1).map { case (c, rs) =>
+      val vc = rs.map(r => math.round(r._2 * 100)).sorted
+      val n = vc.size
+      def q(p: Int) = vc((((n.toLong * p + 99) / 100) - 1).toInt)
+      val (lo, hi) = (q(10), q(90))
+      (c, n.toLong, vc.count(_ < lo).toLong, vc.count(_ > hi).toLong,
+        vc.sum / 100.0, vc.map(v => math.max(math.min(v, hi), lo)).sum / 100.0)
+    }.toSet
+    assert(got == want)
+  }
+
   test("bloomPrunedJoin == plain join on a selective dimension") {
     val rng = new scala.util.Random(707)
     val fact = (1L to 600L).map(i =>

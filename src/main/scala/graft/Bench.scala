@@ -63,7 +63,18 @@ object Bench {
       s"""\"$k\":{\"dropped_buckets\":$b,\"dropped_rows\":$r,\"max_bucket\":$m}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cap_drops":$caps,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cap_drops":$caps,"sf":"$sfDir"}"""
+    println(full)
+    // The driver captures only a 2000-char tail of this stdout; the full
+    // line above is ~10k chars (122 query names alone exceed the budget),
+    // so it can never arrive whole. Persist the complete timing JSON as a
+    // repo artifact, and end stdout with a compact line that fits the tail
+    // intact so a tail-parse sees one complete JSON object.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json"), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    val failed = results.filter(_._2 < 0).map(_._1)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 

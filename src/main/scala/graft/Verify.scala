@@ -23,6 +23,7 @@ object Verify {
     // dumped as a sidecar so the capped generators' recall trade is a
     // diffable artifact of every verify run
     val capRows = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -37,6 +38,14 @@ object Verify {
           DedupStats.maxDroppedBucket.get)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must leave an artifact: an absent output directory
+        // is indistinguishable from "not implemented" in the driver's
+        // CORRECTNESS report (this silently hid a 41-query regression once).
+        val d = Paths.get(outDir, name)
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_ERROR.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+        errors(name) = s"${e.getClass.getName}: ${e.getMessage}".take(500)
       }
     }
     Files.writeString(Paths.get(s"$outDir/cap_drops.json"),
@@ -58,6 +67,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

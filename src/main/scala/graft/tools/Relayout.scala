@@ -41,11 +41,14 @@ object Relayout {
     for (t <- tables) {
       val name = t.getFileName.toString
       if (dateEvents && name == "events.parquet") {
-        // deployment layout: one dir per calendar day of the (nanos) ts,
-        // still multi-file inside each partition
+        // deployment layout: one dir per calendar day of ts, still
+        // multi-file inside each partition. Load through Tables.events so
+        // the physical ts flavor (nanos int64 / us-NTZ) is normalized by
+        // the one shared branch; the relaid copy carries the canonical
+        // TimestampType, which the loader passes through unchanged.
         import org.apache.spark.sql.functions._
-        spark.read.parquet(t.toString)
-          .withColumn("date", to_date(timestamp_micros(expr("ts DIV 1000"))))
+        graft.queries.Tables.events(spark, src)
+          .withColumn("date", to_date(col("ts")))
           .repartition(nFiles)
           .write.partitionBy("date").mode("overwrite").parquet(s"$dst/$name")
         println(s"relaid $name -> date partitions x $nFiles files")

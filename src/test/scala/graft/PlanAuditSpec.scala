@@ -72,11 +72,11 @@ class PlanAuditSpec extends AnyFunSuite {
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
   /** Write a `date=YYYY-MM-DD`-partitioned copy of the sf events table
-    * (raw int64-nanos ts preserved, as tools.Relayout does). */
+    * (ts normalized through the shared loader branch, as tools.Relayout
+    * does — layout-drift-proof). */
   private def writeDatePartitioned(dst: String): Unit = {
-    spark.conf.set(graft.queries.Tables.NanosConf, "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("date", to_date(timestamp_micros(expr("ts DIV 1000"))))
+    graft.queries.Tables.events(spark, sfDir)
+      .withColumn("date", to_date($"ts"))
       .write.partitionBy("date").mode("overwrite")
       .parquet(s"$dst/events.parquet")
   }

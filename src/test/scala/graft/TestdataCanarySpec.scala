@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.TimestampType
+
+import graft.queries.Tables
+
+/** Canary against driver-side testdata schema drift. The driver regenerates
+  * `/root/testdata` between rounds and has already changed a physical layout
+  * once (events `ts`: TIMESTAMP(NANOS) → timestamp[us]), which silently
+  * killed every events-based gate query. This spec fails `sbt test` loudly
+  * instead: every loader must analyze AND execute against whatever parquet
+  * is currently on disk, and the normalized logical schema must hold.
+  */
+class TestdataCanarySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val sfDirs = {
+    val root = new java.io.File("/root/testdata")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getAbsolutePath).sorted
+  }
+
+  private val plainTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
+  test("every sf dir present") {
+    assert(sfDirs.nonEmpty, "no /root/testdata/sf* directories found")
+  }
+
+  for (dir <- sfDirs) {
+    val sf = dir.split('/').last
+
+    test(s"$sf: plain tables load and execute") {
+      for (t <- plainTables) {
+        val df = Tables.table(spark, dir, t)
+        assert(df.schema.nonEmpty, s"$t: empty schema")
+        // limit(1) forces a real read of the current physical layout —
+        // analysis alone would miss reader-level type rejections.
+        assert(df.limit(1).collect().length == 1, s"$t: no rows")
+      }
+    }
+
+    test(s"$sf: pinned timestamp columns normalize to TimestampType") {
+      assert(Tables.table(spark, dir, "orders")
+        .schema("o_orderdate").dataType == TimestampType)
+      assert(Tables.table(spark, dir, "lineitem")
+        .schema("l_shipdate").dataType == TimestampType)
+    }
+
+    test(s"$sf: events loader normalizes ts to TimestampType") {
+      val physical = spark.read.parquet(s"$dir/events.parquet")
+        .schema("ts").dataType
+      info(s"physical events.ts type in $sf: $physical")
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"events.ts normalized to ${ev.schema("ts").dataType}, " +
+          s"expected TimestampType (physical: $physical)")
+      assert(ev.limit(1).collect().length == 1, "events: no rows")
+    }
+
+    test(s"$sf: eventsBetween analyzes and scopes on current layout") {
+      val scoped = Tables.eventsBetween(spark, dir, 0L, 4102444800L)
+      assert(scoped.limit(1).collect().length == 1,
+        "eventsBetween returned no rows for the all-time range")
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, TimestampType}
 
 import graft._
 
@@ -23,8 +23,16 @@ object Tables {
     * layer sees. Under the pinned UTC session every such cast is a pure
     * relabel with identical instants. Columns without a pin load as-is. */
   private val pinnedTypes: Map[String, Map[String, DataType]] = Map(
-    "orders"   -> Map("o_orderdate" -> TimestampType),
-    "lineitem" -> Map("l_shipdate"  -> TimestampType))
+    "orders"     -> Map("o_orderdate" -> TimestampType),
+    "lineitem"   -> Map("l_shipdate"  -> TimestampType),
+    // integer-width / float-width drift insurance: a regeneration that
+    // narrows ids to int32 or widens embeddings to float64 must not
+    // change what the query layer (or the .tsd codec's cents-integer
+    // arithmetic) sees
+    "events"     -> Map("event_id" -> LongType, "user_id" -> LongType,
+      "value" -> DoubleType),
+    "documents"  -> Map("n_chars" -> LongType),
+    "embeddings" -> Map("embedding" -> ArrayType(FloatType)))
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/$name.parquet")

@@ -151,6 +151,37 @@ object ScaleProbe {
       println("  rollingMedian (hot-channel bounded ROWS frame grows kx)")
       time(graft.operators.TimeSeriesOps.rollingMedian(
         ev, $"event_type", $"ts", $"value", $"event_id", 7).count())
+      // round-8 additions: the remaining newest gated operators
+      println("  slidingDistinct (frame merges sketch-sized arrays, " +
+        "never raw traffic; hot channel grows kx)")
+      time(graft.operators.SketchOps.slidingDistinct(
+        ev, $"event_type", $"ts", $"user_id", 3600L, 24, 2).count())
+      println("  topUsers (rank on the fine (channel,hour) key — no " +
+        "channel-sized window task)")
+      time {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type", $"bucket")
+          .orderBy($"n".desc, $"user_id")
+        ev.select($"event_type",
+            (floor(unix_micros($"ts") / 1000000L / 3600L) * 3600L)
+              .cast("long").as("bucket"), $"user_id")
+          .groupBy($"event_type", $"bucket", $"user_id")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3).count()
+      }
+      val li = expand(Tables.table(spark, sf, "lineitem"),
+        "l_orderkey", k, 100000000L)
+      println("  cube (grouping-set lattice, one partial-agg pass)")
+      time(li.cube($"l_returnflag", $"l_linestatus")
+        .agg(sum(round($"l_quantity" * 100).cast("long")).as("qty_c"),
+          count(lit(1)).as("n")).count())
+      println("  bloomPrunedJoin (broadcast bitmap prunes the fact scan " +
+        "before the join shuffle)")
+      time(graft.operators.RangeJoinOps.bloomPrunedJoin(
+        li.select($"l_partkey".as("p_partkey"), $"l_extendedprice"),
+        Tables.table(spark, sf, "part").filter($"p_size" <= 5)
+          .select($"p_partkey", $"p_brand"), "p_partkey").count())
       Pins.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       docs.cache().count(); embs.cache().count()

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampType}
 
 import graft.queries.Tables
 
@@ -42,11 +42,22 @@ class TestdataCanarySpec extends AnyFunSuite {
       }
     }
 
-    test(s"$sf: pinned timestamp columns normalize to TimestampType") {
+    test(s"$sf: pinned columns normalize to the documented logical types") {
       assert(Tables.table(spark, dir, "orders")
         .schema("o_orderdate").dataType == TimestampType)
       assert(Tables.table(spark, dir, "lineitem")
         .schema("l_shipdate").dataType == TimestampType)
+      val ev = Tables.table(spark, dir, "events").schema
+      assert(ev("event_id").dataType == LongType)
+      assert(ev("user_id").dataType == LongType)
+      assert(ev("value").dataType == DoubleType)
+      assert(Tables.table(spark, dir, "documents")
+        .schema("n_chars").dataType == LongType)
+      Tables.table(spark, dir, "embeddings")
+        .schema("embedding").dataType match {
+        case ArrayType(elem, _) => assert(elem == FloatType)
+        case other => fail(s"embedding: expected array<float>, got $other")
+      }
     }
 
     test(s"$sf: events loader normalizes ts to TimestampType") {

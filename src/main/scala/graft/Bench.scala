@@ -74,7 +74,10 @@ object Bench {
       java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json"), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     val failed = results.filter(_._2 < 0).map(_._1)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_file":"BENCH_FULL.json"}""")
+    // cap the inline list so this line always fits the 2000-char tail,
+    // even in a mass-failure round; the full set is in BENCH_FULL.json
+    val failedJson = failed.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 

@@ -174,6 +174,120 @@ object StreamingQueries {
     spark.table(sink).orderBy("block_epoch", "channel")
   }
 
+  // ---- ts_stream_distinct fixture geometry (sketch cardinality) ----
+  /** Users collide mod 37, so per-channel distinct counts are far below
+    * the tick count — the case distinct-counting state exists for. */
+  private val DistinctMod = 37L
+  /** Sketch dial: keep hashes below 2^58 (~1/4 of the h60 space). */
+  private val DistinctLogInvFrac = 2
+
+  /** Streaming distinct cardinality inside the oracle gate — the theta
+    * sketch run as a LIVE query: the admission filter (h60 < 2^58) runs
+    * map-side on the stream, so keyed state never sees a non-survivor
+    * row; a watermarked hourly window then keeps each (bucket, channel)
+    * survivor-hash SET (collect_set — bounded by the sketch dial, never
+    * by traffic, the same BY-CONSTRUCTION bound as
+    * [[graft.operators.SketchOps.slidingDistinct]]). Append emits each
+    * bucket exactly once when the watermark closes it; the readout is
+    * the same pure-integer scale-up as `thetaDistinct`, so DuckDB
+    * reproduces every estimate bit-for-bit from the tick closed form.
+    * The state-operator metrics must show one state row per open
+    * bucket — a per-event state leak fails loudly. */
+  def streamDistinct(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val thr = 1L << (60 - DistinctLogInvFrac)
+    val mem = MemoryStream[Long]
+    val kept = mem.toDF().select($"value".as("n"))
+      .select($"n", explode(typedLit(LateChans)).as("ch"))
+      .select(timestamp_seconds(lit(LateT0) + $"n" * 10L).as("ts"),
+        $"ch._1".as("channel"),
+        (($"n" * $"ch._2") % DistinctMod).as("u"))
+      .withWatermark("ts", "2 hours")
+      .withColumn("h", graft.functions.DetHash.h60(
+        concat(lit("sd:"), $"u".cast("string"))))
+      // admission filter, with an explicit escape for flush ticks
+      // (n > LateN): Catalyst pushes this ts-free predicate BELOW the
+      // watermark node, so a filtered-out sentinel would never advance
+      // event time and no window would ever close. The sentinel's own
+      // bucket stays open and is excluded from the output either way.
+      .filter($"h" < thr || $"n" > LateN)
+    val agg = kept
+      .groupBy(window($"ts", "3600 seconds"), $"channel")
+      .agg(collect_set($"h").as("hs"))
+      .select(unix_seconds($"window.start").as("bucket_epoch"), $"channel",
+        size($"hs").cast("long").as("n_kept"),
+        (size($"hs").cast("long") * (1L << DistinctLogInvFrac))
+          .as("est_distinct"))
+    val sink = s"dist_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the sentinel (n=50000) pushes the watermark past both real
+      // hourly buckets so Append emits them; its own bucket never closes
+      Seq(1L to 300L, 301L to LateN, Seq(50000L)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val maxState = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).max
+      // ≤ one row per (hourly bucket, channel) incl. the sentinel's open
+      // bucket — 3 buckets × 2 channels, with headroom for overlap
+      require(maxState <= 8L,
+        s"distinct state holds $maxState rows for ${LateChans.size} " +
+          "channels x 3 buckets - sketch state is leaking per-event rows")
+    } finally q.stop()
+    spark.table(sink).orderBy("bucket_epoch", "channel")
+  }
+
+  /** Streaming percentile monitoring — the KMV quantile sketch live,
+    * the [[streamDistinct]] pattern applied to order statistics: rows
+    * are admitted map-side by tick-key hash (the sample dial), each
+    * watermarked hourly bucket keeps only its sampled VALUES, and the
+    * emitted p50/p95 use the same type-1 ceiling-rank readout as
+    * [[graft.operators.SketchOps.quantileEstimate]] in exact integer
+    * arithmetic — so DuckDB reproduces every estimate bit-for-bit.
+    * State is again one row per open bucket, asserted via metrics. */
+  def streamQuantiles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val thr = 1L << (60 - DistinctLogInvFrac)
+    val mem = MemoryStream[Long]
+    val kept = mem.toDF().select($"value".as("n"))
+      .select($"n", explode(typedLit(LateChans)).as("ch"))
+      .select(timestamp_seconds(lit(LateT0) + $"n" * 10L).as("ts"),
+        $"ch._1".as("channel"), $"n",
+        (($"n" * $"ch._2") % 101L).as("v"))
+      .withWatermark("ts", "2 hours")
+      // same flush-tick escape as [[streamDistinct]]: the ts-free
+      // admission predicate is pushed below the watermark node
+      .filter(graft.functions.DetHash.h60(
+        concat(lit("qsk:"), $"n".cast("string"))) < thr || $"n" > LateN)
+    val agg = kept
+      .groupBy(window($"ts", "3600 seconds"), $"channel")
+      .agg(sort_array(collect_list($"v")).as("vs"),
+        count(lit(1)).as("n_kept"))
+      .select(unix_seconds($"window.start").as("bucket_epoch"), $"channel",
+        $"n_kept",
+        element_at($"vs",
+          floor(($"n_kept" * 50 + 99L) / 100L).cast("int")).as("p50"),
+        element_at($"vs",
+          floor(($"n_kept" * 95 + 99L) / 100L).cast("int")).as("p95"))
+    val sink = s"qtl_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      Seq(1L to 300L, 301L to LateN, Seq(50000L)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val maxState = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).max
+      require(maxState <= 8L,
+        s"quantile state holds $maxState rows for ${LateChans.size} " +
+          "channels x 3 buckets - sample state is leaking per-event rows")
+    } finally q.stop()
+    spark.table(sink).orderBy("bucket_epoch", "channel")
+  }
+
   // ---- ts_stream_join fixture geometry (two live streams) ----
   /** Sparse alert windows: alert m covers channel c0/c1 (odd/even) for
     * the 600 s starting at LateT0 + m·600. */
@@ -279,7 +393,9 @@ object StreamingQueries {
     "ts_stream_late" -> ((s, _) => streamLateTotals(s)),
     "ts_stream_dedup" -> ((s, _) => streamDedupTotals(s)),
     "ts_stream_join" -> ((s, _) => streamJoinEnriched(s)),
-    "ts_stream_sessions" -> ((s, _) => streamSessionTotals(s)))
+    "ts_stream_sessions" -> ((s, _) => streamSessionTotals(s)),
+    "ts_stream_distinct" -> ((s, _) => streamDistinct(s)),
+    "ts_stream_quantile" -> ((s, _) => streamQuantiles(s)))
 
   def oracles: Map[String, String] = Map(
     // the generator's closed form, recomputed from scratch: valid ticks
@@ -346,6 +462,51 @@ object StreamingQueries {
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(v) AS BIGINT) AS total
       FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // closed form of the streamed theta readout: the same md5-threshold
+    // admission over the tick grid, distinct survivor hashes per hourly
+    // bucket, integer scale-up — a state leak or a dropped/doubled
+    // bucket shifts n_kept and fails the hash
+    "ts_stream_distinct" -> s"""
+      WITH chans(channel, k) AS (VALUES
+        ${LateChans.map { case (c, k) => s"('$c', $k)" }.mkString(", ")}),
+      t AS (SELECT n FROM generate_series(1, $LateN) g(n)),
+      v AS (
+        SELECT channel,
+               (($LateT0 + n*10) // 3600) * 3600 AS bucket_epoch,
+               ${graft.functions.DetHash.h60Sql(
+                 s"'sd:' || CAST((n * k) % $DistinctMod AS VARCHAR)")} AS h
+        FROM chans CROSS JOIN t),
+      kk AS (SELECT DISTINCT channel, bucket_epoch, h FROM v
+             WHERE h < ${1L << (60 - DistinctLogInvFrac)})
+      SELECT bucket_epoch, channel,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(count(*) * ${1L << DistinctLogInvFrac} AS BIGINT)
+               AS est_distinct
+      FROM kk GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // closed form of the streamed KMV readout: tick-key-hash admission
+    // over the grid, per-bucket sorted sample, type-1 ceiling-rank
+    "ts_stream_quantile" -> s"""
+      WITH chans(channel, k) AS (VALUES
+        ${LateChans.map { case (c, k) => s"('$c', $k)" }.mkString(", ")}),
+      t AS (SELECT n FROM generate_series(1, $LateN) g(n)),
+      v AS (
+        SELECT channel,
+               (($LateT0 + n*10) // 3600) * 3600 AS bucket_epoch,
+               (n * k) % 101 AS v,
+               ${graft.functions.DetHash.h60Sql(
+                 "'qsk:' || CAST(n AS VARCHAR)")} AS h
+        FROM chans CROSS JOIN t),
+      s AS (SELECT channel, bucket_epoch, v FROM v
+            WHERE h < ${1L << (60 - DistinctLogInvFrac)}),
+      g AS (SELECT channel, bucket_epoch, list_sort(list(v)) AS vs,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM s GROUP BY 1, 2)
+      SELECT bucket_epoch, channel, n_kept,
+             vs[CAST((n_kept*50 + 99)//100 AS INT)] AS p50,
+             vs[CAST((n_kept*95 + 99)//100 AS INT)] AS p95
+      FROM g ORDER BY 1, 2""",
 
     // the interval-join closed form: alert m's 600 s window captures
     // exactly ticks n in [60m, 60m+59] on its channel — a tick matched

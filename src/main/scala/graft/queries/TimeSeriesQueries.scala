@@ -8,7 +8,7 @@ import graft._
 import graft.functions.DetHash
 import graft.model.{ChannelConfig, EtsdSchema, StreamType}
 import graft.operators.{SketchOps, TimeSeriesOps}
-import graft.sources.EtsdSource
+import graft.sources.{EtsdSink, EtsdSource, Retention}
 
 /** The reference's query surface (SURVEY.md §2.2, §2.4-2.6, §2.10) bound to
   * the driver's `events` table: `event_type` plays the channel, `value` the
@@ -298,6 +298,61 @@ object TimeSeriesQueries {
         .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
       EtsdSource.roundTripHourlyBlocks(hourly, names)
         .orderBy("channel", "bucket_epoch")
+    }),
+
+    // the FILE layer of the same codec in the gate: hourly sums →
+    // EtsdSink.export (distributed span-aligned .tsd files on disk) →
+    // TsdDataSource DSv2 read-back — the full etsdSave/etsdRW file
+    // round-trip (etsdSave.c:80-120, etsdRead.c:38-167), not just the
+    // in-plan block codec. Missing hours inside a file's span encode as
+    // the invalid sentinel and drop on decode, so output = present
+    // buckets only, matching the oracle's plain hourly aggregation.
+    "ts_tsd_file_roundtrip" -> ((s, d) => {
+      val names = Seq("click", "error", "purchase", "signup", "view")
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.LargeS)),
+        intervalSec = 3600, blockIntervals = 24)
+      val hourly = events(s, d).groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val long = hourly.select(timestamp_seconds($"bucket").as("ts"),
+        $"channel", $"s_c".as("value"), $"s_c".isNotNull.as("valid"))
+      val dir = java.nio.file.Files.createTempDirectory("tsd_file_rt").toString
+      // .collect() here is one row per WRITTEN FILE (the sink's metadata
+      // return) — bounded by the fixture's ~62-day span / 8-block files
+      EtsdSink.export(long, schema, dir, blocksPerFile = 8).collect()
+      s.read.format("graft.sources.TsdDataSource").load(dir)
+        .filter($"valid" && !$"is_register")
+        .select($"channel",
+          (unix_timestamp($"ts") - Hour).as("bucket_epoch"),
+          $"value".as("s_c"))
+        .orderBy("channel", "bucket_epoch")
+    }),
+
+    // etsdRotate in the gate: export 4-day span files, drop every file
+    // whose span STARTS before the (span-aligned) cutoff — a driver-side
+    // metadata delete, never a data scan — then aggregate the survivors.
+    // Span-aligned cutoff ⟺ kept rows are exactly bucket >= cutoff.
+    "ts_retention_drop" -> ((s, d) => {
+      val names = Seq("click", "error", "purchase", "signup", "view")
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.LargeS)),
+        intervalSec = 3600, blockIntervals = 24)
+      val cutoff = 1704844800L // 2024-01-10 00:00 UTC, 4-day-span-aligned
+      val hourly = events(s, d).groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val long = hourly.select(timestamp_seconds($"bucket").as("ts"),
+        $"channel", $"s_c".as("value"), $"s_c".isNotNull.as("valid"))
+      val dir = java.nio.file.Files.createTempDirectory("tsd_retention").toString
+      EtsdSink.export(long, schema, dir, blocksPerFile = 4).collect()
+      Retention.dropBlocksBefore(s, dir, cutoff)
+      s.read.format("graft.sources.TsdDataSource").load(dir)
+        .filter($"valid" && !$"is_register")
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum($"value").as("total_c"))
+        .orderBy("channel")
     }),
 
     // the etsdCmd-style string-driven query path: verb substring, channel
@@ -870,6 +925,24 @@ object TimeSeriesQueries {
              ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
              $centsSum AS s_c
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical closed form to ts_tsd_roundtrip: the file layer must be
+    // an identity on present buckets
+    "ts_tsd_file_roundtrip" -> s"""
+      SELECT event_type AS channel,
+             ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+             $centsSum AS s_c
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // span-aligned cutoff ⟺ survivors are exactly the buckets >= cutoff
+    "ts_retention_drop" -> s"""
+      WITH b AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+                        $centsSum AS s_c
+                 FROM events GROUP BY 1, 2)
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(s_c) AS BIGINT) AS total_c
+      FROM b WHERE bucket_epoch >= 1704844800 GROUP BY 1 ORDER BY 1""",
 
     "ts_cli_query" -> s"""
       SELECT event_type AS channel, count(*) AS n,

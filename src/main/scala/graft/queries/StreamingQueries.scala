@@ -288,6 +288,40 @@ object StreamingQueries {
     spark.table(sink).orderBy("bucket_epoch", "channel")
   }
 
+  /** The edoRRD mirror sink inside the oracle gate: a live tick stream
+    * flows through [[Ingest.edoMirror]] — each micro-batch appends
+    * PARTIAL hourly/daily AVERAGE/MIN/MAX/LAST consolidations via
+    * foreachBatch — and [[Ingest.mergeMirror]] folds the partials on
+    * read. A bucket spanning the two micro-batches proves the partials
+    * compose (n/sum/min/max merge; `last` resolves by batch order,
+    * which equals event-time order for an in-order source); invalid
+    * ticks (n % 7 == 0) must be dropped like RRD's "U". The merged
+    * ladder hash-compares against the straight batch rollup closed
+    * form recomputed in DuckDB. */
+  def streamMirrorRollups(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("edo_mirror")
+    val mem = MemoryStream[Long]
+    val rows = mem.toDF().select($"value".as("n"))
+      .select($"n", explode(typedLit(LateChans)).as("ch"))
+      .select(((lit(LateT0) + $"n" * 10L) * 1000000L).as("ts_us"),
+        $"ch._1".as("channel"),
+        (($"n" * $"ch._2") % 101L).cast("double").as("value"),
+        ($"n" % 7 =!= 0).as("valid"))
+    val q = Ingest.edoMirror(rows, Seq(3600L, 86400L),
+      s"$dir/out", s"$dir/ckpt")
+    try {
+      Seq(1L to 300L, 301L to LateN).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    Ingest.mergeMirror(spark, s"$dir/out")
+      .select($"resolution_sec".cast("long").as("resolution_sec"),
+        $"channel", $"bucket_epoch", $"n", $"ave", $"vmin", $"vmax", $"last")
+      .orderBy("resolution_sec", "channel", "bucket_epoch")
+  }
+
   // ---- ts_stream_join fixture geometry (two live streams) ----
   /** Sparse alert windows: alert m covers channel c0/c1 (odd/even) for
     * the 600 s starting at LateT0 + m·600. */
@@ -395,7 +429,8 @@ object StreamingQueries {
     "ts_stream_join" -> ((s, _) => streamJoinEnriched(s)),
     "ts_stream_sessions" -> ((s, _) => streamSessionTotals(s)),
     "ts_stream_distinct" -> ((s, _) => streamDistinct(s)),
-    "ts_stream_quantile" -> ((s, _) => streamQuantiles(s)))
+    "ts_stream_quantile" -> ((s, _) => streamQuantiles(s)),
+    "ts_stream_mirror" -> ((s, _) => streamMirrorRollups(s)))
 
   def oracles: Map[String, String] = Map(
     // the generator's closed form, recomputed from scratch: valid ticks
@@ -484,6 +519,25 @@ object StreamingQueries {
              CAST(count(*) * ${1L << DistinctLogInvFrac} AS BIGINT)
                AS est_distinct
       FROM kk GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // closed form of the RRA ladder over the valid tick grid: the
+    // merged streaming partials must equal the straight batch rollup
+    "ts_stream_mirror" -> Seq(3600L, 86400L).map { res => s"""
+      SELECT CAST($res AS BIGINT) AS resolution_sec, channel,
+             (ts_s//$res)*$res AS bucket_epoch,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(round(v*100) AS BIGINT)) AS BIGINT)
+               AS DOUBLE)/count(*)/100.0 AS ave,
+             min(v) AS vmin, max(v) AS vmax,
+             (max(struct_pack(t := ts_s, v := v))).v AS last
+      FROM (SELECT channel, $LateT0 + n*10 AS ts_s,
+                   CAST((n * k) % 101 AS DOUBLE) AS v
+            FROM (VALUES ${LateChans.map { case (c, k) => s"('$c', $k)" }
+              .mkString(", ")}) chans(channel, k)
+            CROSS JOIN generate_series(1, $LateN) g(n)
+            WHERE n % 7 <> 0) r
+      GROUP BY 1, 2, 3"""
+    }.mkString("", " UNION ALL ", " ORDER BY 1, 2, 3"),
 
     // closed form of the streamed KMV readout: tick-key-hash admission
     // over the grid, per-bucket sorted sample, type-1 ceiling-rank

@@ -329,6 +329,66 @@ object TimeSeriesQueries {
         .orderBy("channel", "bucket_epoch")
     }),
 
+    // etsdTimeS in the gate: the block-timestamp probe over real
+    // exported files. The sink feeds each file-group's slot range
+    // continuously (missing hours as the invalid sentinel), so the
+    // file's time index has a closed form: per 8-day file group with
+    // present slots [lo, hi], blocks start at lo+24j with
+    // min(24, hi-start+1) fed intervals — exactly what etsdFindBlock
+    // binary-probes for in the reference (etsdRead.c:300-353).
+    "ts_tsd_block_index" -> ((s, d) => {
+      val names = Seq("click", "error", "purchase", "signup", "view")
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.LargeS)),
+        intervalSec = 3600, blockIntervals = 24)
+      val hourly = events(s, d).groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val long = hourly.select(timestamp_seconds($"bucket").as("ts"),
+        $"channel", $"s_c".as("value"), $"s_c".isNotNull.as("valid"))
+      val dir = java.nio.file.Files.createTempDirectory("tsd_blkidx").toString
+      EtsdSink.export(long, schema, dir, blocksPerFile = 8).collect()
+      EtsdSource.blockTimestamps(s, dir)
+        .select($"ts_epoch", $"valid_intervals".cast("long").as("n_iv"))
+        .orderBy("ts_epoch")
+    }),
+
+    // the xData side table in the gate: every block gets an 8-byte
+    // big-endian side payload carrying its own start epoch; the write
+    // path packs it into the opaque per-block region (etsd.h:102-103)
+    // and the DSv2 xdata read decodes it back — epoch == payload proves
+    // both placement (side row landed in ITS block) and byte fidelity.
+    "ts_tsd_xdata" -> ((s, d) => {
+      val names = Seq("click", "error", "purchase", "signup", "view")
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.LargeS)),
+        intervalSec = 3600, blockIntervals = 24).copy(xDataSize = 8)
+      val hourly = events(s, d).groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val long = hourly.select(timestamp_seconds($"bucket").as("ts"),
+        $"channel", $"s_c".as("value"), $"s_c".isNotNull.as("valid"))
+      // block starts from the same closed form the sink produces
+      // (per 8-day group: lo+24j over the present slot range)
+      val side = hourly
+        .select(expr("CAST(bucket DIV 3600 AS BIGINT)").as("slot")).distinct()
+        .groupBy(expr("CAST(slot DIV 192 AS BIGINT)").as("grp"))
+        .agg(min($"slot").as("lo"), max($"slot").as("hi"))
+        .select($"lo", explode(sequence(lit(0L),
+          expr("CAST((hi - lo) DIV 24 AS BIGINT)"))).as("j"))
+        .select((($"lo" + $"j" * 24L) * 3600L).as("block_epoch"))
+        .select($"block_epoch",
+          expr("unhex(lpad(hex(block_epoch), 16, '0'))").as("xdata"))
+      val dir = java.nio.file.Files.createTempDirectory("tsd_xdata").toString
+      EtsdSink.export(long, schema, dir, blocksPerFile = 8,
+        xData = Some(side)).collect()
+      s.read.format("graft.sources.TsdDataSource")
+        .option("xdata", "true").load(dir)
+        .select($"block_epoch",
+          expr("CAST(conv(hex(xdata), 16, 10) AS BIGINT)").as("xval"))
+        .orderBy("block_epoch")
+    }),
+
     // etsdRotate in the gate: export 4-day span files, drop every file
     // whose span STARTS before the (span-aligned) cutoff — a driver-side
     // metadata delete, never a data scan — then aggregate the survivors.
@@ -933,6 +993,33 @@ object TimeSeriesQueries {
              ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
              $centsSum AS s_c
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // closed form of the sink's block layout: per 8-day file group with
+    // present hour-slots [lo, hi], blocks at lo+24j carrying
+    // min(24, hi-start+1) fed intervals
+    "ts_tsd_block_index" -> s"""
+      WITH sl AS (SELECT DISTINCT (epoch_us(ts)//1000000)//3600 AS slot
+                  FROM events),
+      r AS (SELECT slot//192 AS grp, min(slot) AS lo, max(slot) AS hi
+            FROM sl GROUP BY 1),
+      blk AS (SELECT lo + 24*unnest(range(0, (hi - lo)//24 + 1)) AS bslot,
+                     hi
+              FROM r)
+      SELECT CAST(bslot*3600 AS BIGINT) AS ts_epoch,
+             CAST(least(24, hi - bslot + 1) AS BIGINT) AS n_iv
+      FROM blk ORDER BY 1""",
+
+    // same block closed form; the payload must decode to its own epoch
+    "ts_tsd_xdata" -> s"""
+      WITH sl AS (SELECT DISTINCT (epoch_us(ts)//1000000)//3600 AS slot
+                  FROM events),
+      r AS (SELECT slot//192 AS grp, min(slot) AS lo, max(slot) AS hi
+            FROM sl GROUP BY 1),
+      blk AS (SELECT lo + 24*unnest(range(0, (hi - lo)//24 + 1)) AS bslot
+              FROM r)
+      SELECT CAST(bslot*3600 AS BIGINT) AS block_epoch,
+             CAST(bslot*3600 AS BIGINT) AS xval
+      FROM blk ORDER BY 1""",
 
     // span-aligned cutoff ⟺ survivors are exactly the buckets >= cutoff
     "ts_retention_drop" -> s"""

@@ -322,6 +322,54 @@ object StreamingQueries {
       .orderBy("resolution_sec", "channel", "bucket_epoch")
   }
 
+  // ---- ts_stream_tsd fixture geometry (native .tsd mirror) ----
+  /** Day-aligned epoch (1700006400 = 86400·19676): the tsdMirror
+    * contract needs batch boundaries on span boundaries. */
+  private val TsdT0 = 1700006400L
+  private val TsdDays = 2
+
+  /** The native `.tsd` mirror sink inside the oracle gate: a live
+    * hourly stream flows through [[Ingest.tsdMirror]] — each
+    * micro-batch carries exactly one whole day-span and is exported as
+    * a real ETSD file (deterministic names, so checkpoint replay is
+    * idempotent; the `_graft_index` sidecar stays current per batch) —
+    * then the files are read back through the DSv2 reader and must
+    * reproduce the fed grid exactly. Invalid ticks (n % 7 == 0) encode
+    * as the sentinel and drop on decode, like the daemon's
+    * DATA_INVALID. */
+  def streamTsdMirror(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val names = Seq("c0", "c1")
+    val schema = graft.model.EtsdSchema(
+      names.map(n => graft.model.ChannelConfig(n,
+        graft.model.StreamType.LargeS)),
+      intervalSec = 3600, blockIntervals = 24)
+    val dir = Files.createTempDirectory("tsd_mirror")
+    val mem = MemoryStream[Long]
+    val rows = mem.toDF().select($"value".as("n"))
+      .select($"n", explode(typedLit(LateChans)).as("ch"))
+      .select(((lit(TsdT0) + $"n" * 3600L) * 1000000L).as("ts_us"),
+        $"ch._1".as("channel"),
+        (($"n" * $"ch._2") % 101L).as("value"),
+        ($"n" % 7 =!= 0).as("valid"))
+    val q = Ingest.tsdMirror(rows, schema, s"$dir/out", s"$dir/ckpt")
+    try {
+      // one whole day-span per micro-batch, as the contract requires
+      (0 until TsdDays).foreach { day =>
+        mem.addData((day * 24L) until ((day + 1) * 24L): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.format("graft.sources.TsdDataSource").load(s"$dir/out")
+      .filter($"valid" && !$"is_register")
+      .select($"channel",
+        (unix_timestamp($"ts") - Hour).as("slot_epoch"), $"value")
+      .orderBy("channel", "slot_epoch")
+  }
+
+  private val Hour = 3600L
+
   // ---- ts_stream_join fixture geometry (two live streams) ----
   /** Sparse alert windows: alert m covers channel c0/c1 (odd/even) for
     * the 600 s starting at LateT0 + m·600. */
@@ -430,7 +478,8 @@ object StreamingQueries {
     "ts_stream_sessions" -> ((s, _) => streamSessionTotals(s)),
     "ts_stream_distinct" -> ((s, _) => streamDistinct(s)),
     "ts_stream_quantile" -> ((s, _) => streamQuantiles(s)),
-    "ts_stream_mirror" -> ((s, _) => streamMirrorRollups(s)))
+    "ts_stream_mirror" -> ((s, _) => streamMirrorRollups(s)),
+    "ts_stream_tsd" -> ((s, _) => streamTsdMirror(s)))
 
   def oracles: Map[String, String] = Map(
     // the generator's closed form, recomputed from scratch: valid ticks
@@ -538,6 +587,18 @@ object StreamingQueries {
             WHERE n % 7 <> 0) r
       GROUP BY 1, 2, 3"""
     }.mkString("", " UNION ALL ", " ORDER BY 1, 2, 3"),
+
+    // closed form of the mirrored grid: the valid ticks, verbatim — the
+    // file layer must be an identity on them
+    "ts_stream_tsd" -> s"""
+      SELECT channel,
+             CAST($TsdT0 + n*3600 AS BIGINT) AS slot_epoch,
+             CAST((n * k) % 101 AS BIGINT) AS value
+      FROM (VALUES ${LateChans.map { case (c, k) => s"('$c', $k)" }
+        .mkString(", ")}) chans(channel, k)
+      CROSS JOIN generate_series(0, ${TsdDays * 24 - 1}) g(n)
+      WHERE n % 7 <> 0
+      ORDER BY 1, 2""",
 
     // closed form of the streamed KMV readout: tick-key-hash admission
     // over the grid, per-bucket sorted sample, type-1 ceiling-rank

@@ -41,10 +41,16 @@ object Verify {
         // A failed query must leave an artifact: an absent output directory
         // is indistinguishable from "not implemented" in the driver's
         // CORRECTNESS report (this silently hid a 41-query regression once).
-        val d = Paths.get(outDir, name)
-        Files.createDirectories(d)
-        Files.writeString(d.resolve("_ERROR.txt"),
-          s"${e.getClass.getName}: ${e.getMessage}\n")
+        // the artifact write itself must never abort the battery (disk
+        // full / permissions): record in-memory and move on regardless
+        try {
+          val d = Paths.get(outDir, name)
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_ERROR.txt"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case w: Throwable =>
+          System.err.println(s"[verify] $name: _ERROR.txt write failed: $w")
+        }
         errors(name) = s"${e.getClass.getName}: ${e.getMessage}".take(500)
       }
     }

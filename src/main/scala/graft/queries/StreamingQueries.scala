@@ -201,7 +201,7 @@ object StreamingQueries {
     val kept = mem.toDF().select($"value".as("n"))
       .select($"n", explode(typedLit(LateChans)).as("ch"))
       .select(timestamp_seconds(lit(LateT0) + $"n" * 10L).as("ts"),
-        $"ch._1".as("channel"),
+        $"ch._1".as("channel"), $"n",
         (($"n" * $"ch._2") % DistinctMod).as("u"))
       .withWatermark("ts", "2 hours")
       .withColumn("h", graft.functions.DetHash.h60(
@@ -211,7 +211,11 @@ object StreamingQueries {
       // watermark node, so a filtered-out sentinel would never advance
       // event time and no window would ever close. The sentinel's own
       // bucket stays open and is excluded from the output either way.
+      // `n` is carried through the projection so the filter resolves
+      // without leaning on ResolveMissingReferences across the
+      // watermark node, then dropped.
       .filter($"h" < thr || $"n" > LateN)
+      .drop("n")
     val agg = kept
       .groupBy(window($"ts", "3600 seconds"), $"channel")
       .agg(collect_set($"h").as("hs"))
@@ -229,7 +233,8 @@ object StreamingQueries {
         mem.addData(b: _*); q.processAllAvailable()
       }
       val maxState = q.recentProgress.toSeq
-        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).max
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+        .maxOption.getOrElse(0L)
       // ≤ one row per (hourly bucket, channel) incl. the sentinel's open
       // bucket — 3 buckets × 2 channels, with headroom for overlap
       require(maxState <= 8L,
@@ -280,7 +285,8 @@ object StreamingQueries {
         mem.addData(b: _*); q.processAllAvailable()
       }
       val maxState = q.recentProgress.toSeq
-        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).max
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+        .maxOption.getOrElse(0L)
       require(maxState <= 8L,
         s"quantile state holds $maxState rows for ${LateChans.size} " +
           "channels x 3 buckets - sample state is leaking per-event rows")

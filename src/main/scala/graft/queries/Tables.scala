@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, TimestampType}
 
 import graft._
 
@@ -16,6 +16,16 @@ import graft._
   * UTC session both Verify and Bench pin. */
 object Tables {
 
+  /** The fixture's fixed `event_type` catalog (sorted). The `.tsd` gate
+    * queries build ETSD headers from this list (a .tsd schema comes from
+    * config, not data discovery), and the pivot query uses it as the
+    * explicit value list — so it is a DATA-CONTENT assumption, pinned by
+    * `TestdataCanarySpec` (distinct event_type set must equal this) so a
+    * driver regeneration with different types fails the canary loudly
+    * instead of surfacing as a confusing gate hash mismatch. */
+  val EventTypeCatalog: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
   /** Documented logical schema pins: column → canonical Spark type.
     * Loaders cast any drifted physical type back to the pin, so a driver
     * testdata regeneration (the known drift mode is timestamp flavor:
@@ -23,16 +33,76 @@ object Tables {
     * layer sees. Under the pinned UTC session every such cast is a pure
     * relabel with identical instants. Columns without a pin load as-is. */
   private val pinnedTypes: Map[String, Map[String, DataType]] = Map(
-    "orders"     -> Map("o_orderdate" -> TimestampType),
-    "lineitem"   -> Map("l_shipdate"  -> TimestampType),
+    "orders"     -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampType),
+    "lineitem"   -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_shipdate" -> TimestampType),
     // integer-width / float-width drift insurance: a regeneration that
     // narrows ids to int32 or widens embeddings to float64 must not
     // change what the query layer (or the .tsd codec's cents-integer
     // arithmetic) sees
     "events"     -> Map("event_id" -> LongType, "user_id" -> LongType,
       "value" -> DoubleType),
-    "documents"  -> Map("n_chars" -> LongType),
-    "embeddings" -> Map("embedding" -> ArrayType(FloatType)))
+    "documents"  -> Map("doc_id" -> LongType, "n_chars" -> LongType),
+    // NOTE the float32 pin is only presentational insurance: a WIDENING
+    // drift (float64 embeddings) would make this cast lossy while DuckDB
+    // oracles still read float64, so that mode is EXPECTED to fail the
+    // gate — TestdataCanarySpec asserts the physical element type is
+    // float32 and fails fast with a pointed message instead.
+    "embeddings" -> Map("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType)),
+    // join-key + money pins for the dimension tables: today these match
+    // the physical layout exactly (pure no-ops); on a width drift they
+    // restore the documented logical schema below, and the canary's
+    // full-schema assert reports the drift loudly either way
+    "region"     -> Map("r_regionkey" -> IntegerType),
+    "nation"     -> Map("n_nationkey" -> IntegerType,
+      "n_regionkey" -> IntegerType),
+    "customer"   -> Map("c_custkey" -> LongType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType),
+    "supplier"   -> Map("s_suppkey" -> LongType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part"       -> Map("p_partkey" -> LongType, "p_size" -> IntegerType,
+      "p_retailprice" -> DoubleType))
+
+  /** The full documented logical schema per table — what every loader
+    * must produce AFTER pin normalization, asserted column-for-column by
+    * `TestdataCanarySpec` so ANY regeneration drift (renamed, re-typed,
+    * added, dropped columns) fails `sbt test` loudly. `events` is listed
+    * in its [[events]] post-normalization shape (session-TZ `ts`). */
+  val documentedSchema: Map[String, Seq[(String, DataType)]] = Map(
+    "region"     -> Seq("r_regionkey" -> IntegerType,
+      "r_name" -> StringType),
+    "nation"     -> Seq("n_nationkey" -> IntegerType,
+      "n_name" -> StringType, "n_regionkey" -> IntegerType),
+    "customer"   -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier"   -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part"       -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders"     -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType),
+    "lineitem"   -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampType),
+    "events"     -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents"  -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType,
+      "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/$name.parquet")

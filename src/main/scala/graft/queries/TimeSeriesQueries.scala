@@ -292,7 +292,7 @@ object TimeSeriesQueries {
       // channel catalog = the fixed fixture schema (same 5-name catalog
       // ts_cli_query declares) — a .tsd header is created from config, not
       // discovered from data, so no data-dependent driver collect here
-      val names = Seq("click", "error", "purchase", "signup", "view")
+      val names = Tables.EventTypeCatalog
       val hourly = ev.groupBy($"event_type".as("channel"),
           (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
         .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
@@ -308,7 +308,7 @@ object TimeSeriesQueries {
     // the invalid sentinel and drop on decode, so output = present
     // buckets only, matching the oracle's plain hourly aggregation.
     "ts_tsd_file_roundtrip" -> ((s, d) => {
-      val names = Seq("click", "error", "purchase", "signup", "view")
+      val names = Tables.EventTypeCatalog
       val schema = EtsdSchema(
         names.map(n => ChannelConfig(n, StreamType.LargeS)),
         intervalSec = 3600, blockIntervals = 24)
@@ -337,7 +337,7 @@ object TimeSeriesQueries {
     // min(24, hi-start+1) fed intervals — exactly what etsdFindBlock
     // binary-probes for in the reference (etsdRead.c:300-353).
     "ts_tsd_block_index" -> ((s, d) => {
-      val names = Seq("click", "error", "purchase", "signup", "view")
+      val names = Tables.EventTypeCatalog
       val schema = EtsdSchema(
         names.map(n => ChannelConfig(n, StreamType.LargeS)),
         intervalSec = 3600, blockIntervals = 24)
@@ -359,7 +359,7 @@ object TimeSeriesQueries {
     // and the DSv2 xdata read decodes it back — epoch == payload proves
     // both placement (side row landed in ITS block) and byte fidelity.
     "ts_tsd_xdata" -> ((s, d) => {
-      val names = Seq("click", "error", "purchase", "signup", "view")
+      val names = Tables.EventTypeCatalog
       val schema = EtsdSchema(
         names.map(n => ChannelConfig(n, StreamType.LargeS)),
         intervalSec = 3600, blockIntervals = 24).copy(xDataSize = 8)
@@ -394,7 +394,7 @@ object TimeSeriesQueries {
     // metadata delete, never a data scan — then aggregate the survivors.
     // Span-aligned cutoff ⟺ kept rows are exactly bucket >= cutoff.
     "ts_retention_drop" -> ((s, d) => {
-      val names = Seq("click", "error", "purchase", "signup", "view")
+      val names = Tables.EventTypeCatalog
       val schema = EtsdSchema(
         names.map(n => ChannelConfig(n, StreamType.LargeS)),
         intervalSec = 3600, blockIntervals = 24)
@@ -419,7 +419,7 @@ object TimeSeriesQueries {
     // substring resolution, CLI time literals (etsdCmd.c:333-461)
     "ts_cli_query" -> ((s, d) => {
       val schema = EtsdSchema(
-        Seq("click", "error", "purchase", "signup", "view")
+        Tables.EventTypeCatalog
           .map(n => ChannelConfig(n, StreamType.DoubleS)), 1, 24)
       val long = events(s, d).select($"ts", $"event_type".as("channel"),
         round($"value" * 100).cast("long").as("value"),
@@ -438,9 +438,9 @@ object TimeSeriesQueries {
     "ts_pivot_hourly" -> ((s, d) =>
       events(s, d)
         .groupBy(unix_micros(date_trunc("hour", $"ts")).as("hour_us"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .pivot("event_type", Tables.EventTypeCatalog)
         .agg(count(lit(1)))
-        .select($"hour_us" +: Seq("click", "error", "purchase", "signup", "view")
+        .select($"hour_us" +: Tables.EventTypeCatalog
           .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
         .orderBy("hour_us")))
 

@@ -76,5 +76,50 @@ class TestdataCanarySpec extends AnyFunSuite {
       assert(scoped.limit(1).collect().length == 1,
         "eventsBetween returned no rows for the all-time range")
     }
+
+    // strip nullability so the comparison is about names + types only
+    def norm(t: org.apache.spark.sql.types.DataType):
+        org.apache.spark.sql.types.DataType = t match {
+      case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+      case other => other
+    }
+
+    test(s"$sf: every table's FULL logical schema equals the documented one") {
+      for ((t, want) <- Tables.documentedSchema) {
+        val df = if (t == "events") Tables.events(spark, dir)
+                 else Tables.table(spark, dir, t)
+        val got = df.schema.fields.toSeq.map(f => (f.name, norm(f.dataType)))
+        val wantN = want.map { case (n, ty) => (n, norm(ty)) }
+        assert(got == wantN,
+          s"$t: loaded logical schema drifted.\n  got:  $got\n  want: $wantN\n" +
+            "The driver regenerated testdata with a layout the loaders do " +
+            "not normalize — extend Tables.pinnedTypes/documentedSchema.")
+      }
+    }
+
+    test(s"$sf: physical embedding element type is float32 (fail fast on widening)") {
+      // A float64 regeneration would make the ArrayType(FloatType) pin a
+      // LOSSY downcast while DuckDB oracles still read float64 — the gate
+      // would hash-mismatch confusingly. Fail here with the real cause.
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => ()
+        case other => fail(s"embeddings.embedding physical type is $other; " +
+          "float32 expected. Widening drift cannot be normalized losslessly " +
+          "— regenerate expectations / update the pin policy deliberately.")
+      }
+    }
+
+    test(s"$sf: distinct event_type set equals the fixed catalog") {
+      // .tsd gate queries build ETSD headers from this catalog and the
+      // pivot query uses it as the explicit value list — a regeneration
+      // with different event types must fail HERE, not as a gate hash
+      // mismatch.
+      val got = Tables.events(spark, dir).select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Tables.EventTypeCatalog,
+        s"event_type catalog drifted: got $got, " +
+          s"want ${Tables.EventTypeCatalog}")
+    }
   }
 }

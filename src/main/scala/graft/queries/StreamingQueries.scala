@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft._
-import graft.streaming.{Ingest, SrcRow}
+import graft.streaming.{EcmPackets, EddConfig, EddMain, Ingest, SrcRow}
 
 /** The streaming ingest path inside the oracle gate (SURVEY.md §2.10):
   * a real Structured Streaming run — simulator ticks → `simTransform` →
@@ -476,6 +476,169 @@ object StreamingQueries {
     spark.table(sink).orderBy("user_id", "start_us")
   }
 
+  // ---- ts_stream_ecm fixture geometry (golden ECM-1240 wire bytes) ----
+  private val EcmT0 = 1700000000L
+  private val EcmN = 240L
+  /** Ticks whose packet is corrupted in flight (one flipped payload byte
+    * → checksum failure → exactly one invalid marker each). */
+  private val EcmCorrupt = Set(5L, 105L)
+  /** (wire field, per-tick odometer multiplier): main counters are the
+    * 5-byte little-endian lanes, aux the 4-byte ones. */
+  private val EcmMain = Seq(3L, 5L, 7L, 11L) // ch1a ch2a ch1p ch2p
+  private val EcmAux = Seq(2L, 4L, 6L, 8L, 10L) // aux1..aux5
+
+  /** One golden wire packet for tick `n` — odometers `m·n(n+1)/2`, AC
+    * volts ×10 `1201 + n mod 5` (so the offset code is `161 + n mod 5`),
+    * DC volts ×10 `1200 + n mod 3`. */
+  private def ecmPacket(n: Long): Array[Byte] =
+    EcmPackets.encode(seconds = ((n * 10) % 65536).toInt,
+      acVoltsX10 = (1201 + n % 5).toInt, dcVoltsX10 = (1200 + n % 3).toInt,
+      counters = EcmMain.map(m => m * n * (n + 1) / 2),
+      aux = EcmAux.map(m => m * n * (n + 1) / 2))
+
+  /** srcECM end to end inside the oracle gate (plugins/srcECM.c:68-255):
+    * 240 golden ECM-1240 wire buffers — real 65-byte packets with the
+    * 0xFE 0xFF 0x03 framing, additive checksum, the big-endian AC-volt
+    * field and little-endian 5/4-byte counters — flow LIVE through
+    * [[EcmPackets.decodeStream]] → `toSrcRows` → [[Ingest.applyStatus]]
+    * → [[Ingest.commitStream]], across three micro-batches. Planted
+    * hazards: two packets are corrupted in flight (one flipped payload
+    * byte → checksum failure → exactly one invalid marker, the daemon's
+    * status 1); four buffers carry leading line-noise bytes the sync
+    * scan must skip; one buffer ends in a truncated packet that must be
+    * dropped. Per-channel totals of the committed output hash-compare
+    * against the generator's closed form — a byte-order slip, a checksum
+    * miss, or a resync that swallows a packet all shift `total` or
+    * `n_invalid` and fail the gate. */
+  def streamEcmTotals(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_ecm")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val rows = Ingest.applyStatus(EcmPackets.toSrcRows(
+      EcmPackets.decodeStream(mem.toDS()), sourceId = 3).toDF())
+    val q = Ingest.commitStream(rows, BlockSec, s"$dir/out", s"$dir/ckpt")
+    def buffer(n: Long): (Long, Array[Byte]) = {
+      val p = ecmPacket(n)
+      if (EcmCorrupt(n)) p(20) = (p(20) ^ 0x5A).toByte // checksum breaks
+      val garbage = if (n % 50 == 0) Array(0x11, 0x22, 0x33).map(_.toByte)
+                    else Array.emptyByteArray
+      // one buffer ends mid-packet: the decoder must drop the tail
+      val partial = if (n == 17) ecmPacket(n + 1000).take(30)
+                    else Array.emptyByteArray
+      ((EcmT0 + n * 10L) * 1000000L, garbage ++ p ++ partial)
+    }
+    try {
+      Seq(1L to 80L, 81L to 160L, 161L to EcmN).foreach { b =>
+        mem.addData(b.map(buffer): _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(s"$dir/out")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(!$"valid", lit(1))).as("n_invalid"),
+        sum($"value").cast("long").as("total"))
+      .orderBy("channel")
+  }
+
+  // ---- ts_stream_reset fixture geometry (power-cycle mid-stream) ----
+  private val ResetN = 600L
+  /** The power-cycle tick: AC volts read 0, the meter's odometers restart
+    * from zero (srcECM.c:175-199 → status 2, edd.c:347-350). Sits at the
+    * END of micro-batch 1 so the invalidated baseline must survive the
+    * batch boundary before the re-anchor. */
+  private val ResetAt = 300L
+  private val ResetCorrupt = Set(10L, 250L, 420L)
+
+  /** The source-reset path end to end (edd.c:347-350, etsdSave.c:103-113):
+    * golden ECM packets whose odometers RESTART at the power-cycle tick
+    * (AC volts 0 → `reset`, daemon status 2) flow through the real decode
+    * into the STATEFUL [[Ingest.counterDeltas]] — the reset must
+    * invalidate every channel's `LastReading` baseline (a naive delta
+    * against the pre-reset odometer would go through the 2³² mask and
+    * poison the totals), the next valid tick must re-anchor with a NULL
+    * delta, and deltas resume from the new baseline. The reference's
+    * early block commit maps to the committed invalid sample + re-anchor
+    * inside the same event-time block — strictly stronger: no interval is
+    * lost. Three corrupted packets also exercise `MissedUpdate` counting
+    * around the reset. Totals hash-compare against the closed form. */
+  def streamResetTotals(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_reset")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val deltas = Ingest.counterDeltas(EcmPackets.toSrcRows(
+      EcmPackets.decodeStream(mem.toDS()), sourceId = 4))
+    val q = Ingest.commitStream(deltas.toDF(), BlockSec, s"$dir/out", s"$dir/ckpt")
+    def buffer(n: Long): (Long, Array[Byte]) = {
+      // odometer m·n before the cycle, m·(n−ResetAt) after (meter zeroed)
+      def odo(m: Long): Long = if (n < ResetAt) m * n else m * (n - ResetAt)
+      val p = EcmPackets.encode(seconds = ((n * 10) % 65536).toInt,
+        acVoltsX10 = if (n == ResetAt) 0 else 1200,
+        dcVoltsX10 = 1200, counters = EcmMain.map(odo), aux = EcmAux.map(odo))
+      if (ResetCorrupt(n)) p(20) = (p(20) ^ 0x5A).toByte
+      ((EcmT0 + n * 10L) * 1000000L, p)
+    }
+    try {
+      Seq(1L to ResetAt, ResetAt + 1 to 450L, 451L to ResetN).foreach { b =>
+        mem.addData(b.map(buffer): _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(s"$dir/out")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"delta").as("n_deltas"),
+        (count(lit(1)) - count($"delta")).as("n_invalid"),
+        sum($"delta").as("total"))
+      .orderBy("channel")
+  }
+
+  // ---- ts_stream_edd fixture geometry (assembled ≤4-source daemon) ----
+  private val EddN = 400L
+  private val EddConfigText = """#edd config (first char defines comments)
+                                |E:=/tmp/graft_edd_unused.tsd
+                                |SN:srcSIM
+                                |SC:statusEvery=7
+                                |SN:srcSIM
+                                |SC:statusEvery=11
+                                |ETSD_END""".stripMargin
+
+  /** The assembled edd daemon inside the oracle gate (edd.c:77-237 config
+    * → edd.c:309-341 union loop): a REAL config text is parsed by
+    * [[EddConfig.parse]], its two srcSIM stanzas (different failure
+    * cadences) are assembled by [[EddMain.assembleFromTicks]] into the
+    * unioned, status-handled reading stream — both sources sampling the
+    * SAME interval clock, as the daemon's poll loop does — and committed
+    * via [[Ingest.commitStream]] across two micro-batches. Per-channel
+    * counts and odometer totals (counters only; the volts gauge carries
+    * trig values the oracle intentionally never re-derives in floating
+    * point — its counts still gate the union fan-out) hash-compare
+    * against the sawtooth closed form per source id. A stanza routed to
+    * the wrong source id, a dropped union branch, or a status cadence
+    * slip all shift the per-channel rows. */
+  def streamEddTotals(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfg = EddConfig.parse(EddConfigText)
+    val dir = Files.createTempDirectory("stream_edd")
+    val mem = MemoryStream[Long]
+    val ticks = mem.toDF().select($"value".as("n"),
+      timestamp_seconds(lit(EcmT0) + $"value" * IntervalSec).as("ts"))
+    val rows = EddMain.assembleFromTicks(ticks, cfg)
+    val q = Ingest.commitStream(rows, BlockSec, s"$dir/out", s"$dir/ckpt")
+    try {
+      Seq(1L to 200L, 201L to EddN).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(s"$dir/out")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(!$"valid", lit(1))).as("n_invalid"),
+        sum(when($"counter", $"value")).cast("long").as("total"))
+      .orderBy("channel")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_stream_ingest" -> ((s, _) => streamIngestTotals(s)),
     "ts_stream_late" -> ((s, _) => streamLateTotals(s)),
@@ -485,7 +648,10 @@ object StreamingQueries {
     "ts_stream_distinct" -> ((s, _) => streamDistinct(s)),
     "ts_stream_quantile" -> ((s, _) => streamQuantiles(s)),
     "ts_stream_mirror" -> ((s, _) => streamMirrorRollups(s)),
-    "ts_stream_tsd" -> ((s, _) => streamTsdMirror(s)))
+    "ts_stream_tsd" -> ((s, _) => streamTsdMirror(s)),
+    "ts_stream_ecm" -> ((s, _) => streamEcmTotals(s)),
+    "ts_stream_reset" -> ((s, _) => streamResetTotals(s)),
+    "ts_stream_edd" -> ((s, _) => streamEddTotals(s)))
 
   def oracles: Map[String, String] = Map(
     // the generator's closed form, recomputed from scratch: valid ticks
@@ -647,6 +813,92 @@ object StreamingQueries {
       FROM al JOIN tk ON tk.channel = al.channel
         AND tk.ts_s >= al.ats AND tk.ts_s < al.ats + 600
       ORDER BY 1, 2, 3""",
+
+    // the wire generator's closed form, recomputed from scratch: every
+    // tick's packet decodes to 9 counter odometers m·n(n+1)/2, the
+    // big-endian AC offset code 161 + n mod 5, and the little-endian DC
+    // gauge 1200 + n mod 3; the two corrupted ticks yield one invalid
+    // marker each on every channel
+    "ts_stream_ecm" -> s"""
+      WITH chans(channel, kind, m) AS (VALUES
+        ${(EcmMain.zip(Seq("ch1a", "ch2a", "ch1p", "ch2p")) ++
+           EcmAux.zip(Seq("aux1", "aux2", "aux3", "aux4", "aux5")))
+          .map { case (m, c) => s"('src3_$c', 'cnt', $m)" }
+          .mkString(", ")},
+        ('src3_dc_volts', 'dc', 0), ('src3_ac_volts', 'ac', 0)),
+      t AS (SELECT n FROM generate_series(1, $EcmN) g(n)),
+      r AS (SELECT channel, n,
+              CASE WHEN kind = 'cnt' THEN m * (n * (n + 1)) // 2
+                   WHEN kind = 'dc' THEN 1200 + n % 3
+                   ELSE 161 + n % 5 END AS v,
+              n NOT IN (${EcmCorrupt.mkString(", ")}) AS valid
+            FROM chans CROSS JOIN t)
+      SELECT channel,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN NOT valid THEN 1 END) AS BIGINT) AS n_invalid,
+             CAST(sum(CASE WHEN valid THEN v END) AS BIGINT) AS total
+      FROM r GROUP BY 1 ORDER BY 1""",
+
+    // closed form of the power-cycle replay: odometers m·n before the
+    // reset tick, m·(n−R) after; valid rows lag per channel, the pair
+    // straddling the reset re-anchors (NULL delta), corrupt gaps divide
+    // by the tick distance (1 + missed)
+    "ts_stream_reset" -> s"""
+      WITH chans(channel, m) AS (VALUES
+        ${(EcmMain.zip(Seq("ch1a", "ch2a", "ch1p", "ch2p")) ++
+           EcmAux.zip(Seq("aux1", "aux2", "aux3", "aux4", "aux5")))
+          .map { case (m, c) => s"('src4_$c', $m)" }.mkString(", ")}),
+      t AS (SELECT n FROM generate_series(1, $ResetN) g(n)
+            WHERE n NOT IN (${ResetCorrupt.mkString(", ")})
+              AND n <> $ResetAt),
+      r AS (SELECT channel, n,
+              CASE WHEN n < $ResetAt THEN m * n
+                   ELSE m * (n - $ResetAt) END AS odo
+            FROM chans CROSS JOIN t),
+      d AS (SELECT channel, n, odo,
+              lag(odo) OVER (PARTITION BY channel ORDER BY n) AS podo,
+              lag(n)   OVER (PARTITION BY channel ORDER BY n) AS pn
+            FROM r),
+      e AS (SELECT channel,
+              CASE WHEN pn IS NULL OR (pn < $ResetAt AND n > $ResetAt)
+                   THEN NULL
+                   ELSE (odo - podo) // (n - pn) END AS delta
+            FROM d)
+      SELECT channel,
+             CAST($ResetN AS BIGINT) AS n_rows,
+             CAST(count(delta) AS BIGINT) AS n_deltas,
+             CAST($ResetN - count(delta) AS BIGINT) AS n_invalid,
+             CAST(sum(delta) AS BIGINT) AS total
+      FROM e GROUP BY 1 ORDER BY 1""",
+
+    // the assembled daemon's closed form: per config stanza i (failure
+    // cadence se), the five sawtooth odometers over the shared tick
+    // clock; the volts gauge contributes counts only (its trig values
+    // are deliberately not re-derived in floating point)
+    "ts_stream_edd" -> s"""
+      WITH t AS (SELECT n FROM generate_series(1, $EddN) g(n)),
+      chans(channel, k, amp, se) AS (VALUES
+        ${Seq((0, 7), (1, 11)).flatMap { case (i, se) =>
+          Ingest.SimChans.map { case (c, k, amp) =>
+            s"('src${i}_$c', $k, $amp, $se)" }
+        }.mkString(", ")}),
+      cnt AS (SELECT channel,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(CASE WHEN n % se = 0 THEN 1 END) AS BIGINT)
+                  AS n_invalid,
+                CAST(sum(CASE WHEN n % se <> 0 THEN
+                  ((n // k) * ((k * (k - 1)) // 2) +
+                   ((n % k) * ((n % k) + 1)) // 2) * amp END) AS BIGINT)
+                  AS total
+              FROM chans CROSS JOIN t GROUP BY 1),
+      volts AS (SELECT v.channel,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(count(CASE WHEN n % v.se = 0 THEN 1 END) AS BIGINT)
+                    AS n_invalid,
+                  CAST(NULL AS BIGINT) AS total
+                FROM (VALUES ('src0_volts', 7), ('src1_volts', 11))
+                  v(channel, se) CROSS JOIN t GROUP BY 1)
+      SELECT * FROM cnt UNION ALL SELECT * FROM volts ORDER BY channel""",
 
     // closed form of session_window over every fed tick (the watermark
     // admits the whole out-of-order replay; the sentinel user 99 never

@@ -31,6 +31,7 @@ object Bench {
     // timed run — reports the -1 sentinel so a broken query shows up as
     // a visible failure rather than an implausibly fast ~0s success.
     val capRows = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    val splitRows = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // build the plan once (the streaming and iterative queries do real
       // work at construction — that cost lands in the warmup, matching
@@ -53,6 +54,9 @@ object Bench {
           val b = DedupStats.droppedBuckets.get
           if (b > 0) capRows(name) = (b, DedupStats.droppedRows.get,
             DedupStats.maxDroppedBucket.get)
+          val sb = DedupStats.splitBuckets.get
+          if (sb > 0) splitRows(name) = (sb, DedupStats.splitRows.get,
+            DedupStats.maxSplitBucket.get)
         } catch { case _: Throwable => () }
       }
       name -> best
@@ -62,8 +66,11 @@ object Bench {
     val caps = capRows.map { case (k, (b, r, m)) =>
       s"""\"$k\":{\"dropped_buckets\":$b,\"dropped_rows\":$r,\"max_bucket\":$m}"""
     }.mkString("{", ",", "}")
+    val splits = splitRows.map { case (k, (b, r, m)) =>
+      s"""\"$k\":{\"split_buckets\":$b,\"split_rows\":$r,\"max_bucket\":$m}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cap_drops":$caps,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cap_drops":$caps,"cap_splits":$splits,"sf":"$sfDir"}"""
     println(full)
     // The driver captures only a 2000-char tail of this stdout; the full
     // line above is ~10k chars (122 query names alone exceed the budget),

@@ -23,6 +23,9 @@ object Verify {
     // dumped as a sidecar so the capped generators' recall trade is a
     // diffable artifact of every verify run
     val capRows = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    // over-cap buckets SPLIT into bounded sub-buckets (containment path):
+    // extra join volume, zero recall loss — censused separately from drops
+    val splitRows = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -36,6 +39,9 @@ object Verify {
         val b = DedupStats.droppedBuckets.get
         if (b > 0) capRows(name) = (b, DedupStats.droppedRows.get,
           DedupStats.maxDroppedBucket.get)
+        val sb = DedupStats.splitBuckets.get
+        if (sb > 0) splitRows(name) = (sb, DedupStats.splitRows.get,
+          DedupStats.maxSplitBucket.get)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // A failed query must leave an artifact: an absent output directory
@@ -57,6 +63,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/cap_drops.json"),
       capRows.map { case (k, (b, r, m)) =>
         s"""\"$k\": {\"dropped_buckets\": $b, \"dropped_rows\": $r, \"max_bucket\": $m}"""
+      }.mkString("{", ", ", "}"))
+    Files.writeString(Paths.get(s"$outDir/cap_splits.json"),
+      splitRows.map { case (k, (b, r, m)) =>
+        s"""\"$k\": {\"split_buckets\": $b, \"split_rows\": $r, \"max_bucket\": $m}"""
       }.mkString("{", ", ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

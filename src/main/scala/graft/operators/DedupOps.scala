@@ -205,15 +205,41 @@ object DedupOps {
     * sides of the trade: a planted all-shingles-dodge fragment the
     * default misses and `sampleMod = 1` catches. Exact containment
     * always uses the FULL shingle sets.
+    *
+    * Over-cap buckets are SPLIT, not dropped: a bucket of c > maxBucket
+    * members is partitioned into ⌈c/maxBucket⌉ deterministic sub-buckets
+    * by member-hash, and the self-join runs per (shingle, sub-bucket).
+    * Dropping was a measured recall hole on exactly this operator:
+    * members of a large dup cluster share EVERY shingle with >cap other
+    * docs, so no surviving bucket could ever pair them
+    * (ContainmentRecallSpec pins the fix). Work stays bounded — each
+    * member joins against ~maxBucket sub-bucket mates, so a hot bucket
+    * costs O(c·maxBucket), linear in its size, and the sub-bucket key
+    * spreads it across partitions instead of one task. The split volume
+    * is reported via the `[capSplit]` census (bounded extra work, vs
+    * `[capDrop]`'s recall hole).
     * Output: doc_a < doc_b, n_common, cont_a (share of a's shingles in
     * b), cont_b. */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
                        minContainment: Double, maxBucket: Int = 20,
                        sampleMod: Int = 8): DataFrame = {
     val base = Pins.pin(shingleHashArrays(docs, id, text))
-    val cand = cappedPairs(
-      explodeHashes(base).filter($"h31" % sampleMod === 0),
-      Seq("h31"), maxBucket)
+    val samp = Pins.pin(explodeHashes(base).filter($"h31" % sampleMod === 0))
+    val counts = DedupStats.observeCapSplits(
+        samp.groupBy($"h31").count(), "containment", maxBucket)
+      .filter($"count" >= 2)
+      .select($"h31",
+        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+          .as("nsub"))
+    val sub = samp.join(counts, "h31")
+      .select($"h31", $"doc_id",
+        (DetHash.h60(concat(lit("cs:"), $"h31".cast("string"), lit(":"),
+          $"doc_id".cast("string"))) % $"nsub").as("sub"))
+    val cand = sub
+      .join(sub.select($"h31", $"doc_id".as("doc_b"), $"sub"),
+        Seq("h31", "sub"))
+      .filter($"doc_id" < $"doc_b")
+      .select($"doc_id".as("doc_a"), $"doc_b").distinct()
     cand
       .join(base.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
       .join(base.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")

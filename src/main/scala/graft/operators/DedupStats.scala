@@ -35,8 +35,18 @@ object DedupStats {
   /** Size of the largest dropped bucket seen (skew magnitude). */
   val maxDroppedBucket = new AtomicLong(0)
 
+  /** Buckets SPLIT (not dropped) for exceeding their cap — the
+    * containment generator's bounded sub-bucket path: work stays capped
+    * but candidates survive, so the trade is cost, never recall. */
+  val splitBuckets = new AtomicLong(0)
+  /** Rows inside those split buckets (the bounded extra join volume). */
+  val splitRows = new AtomicLong(0)
+  /** Size of the largest split bucket seen (skew magnitude). */
+  val maxSplitBucket = new AtomicLong(0)
+
   def reset(): Unit = {
     droppedBuckets.set(0); droppedRows.set(0); maxDroppedBucket.set(0)
+    splitBuckets.set(0); splitRows.set(0); maxSplitBucket.set(0)
   }
 
   private val seq = new AtomicLong(0)
@@ -52,6 +62,7 @@ object DedupStats {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private val Prefix = "graft.capDrop."
+  private val SplitPrefix = "graft.capSplit."
 
   /** Attach the overflow observation to a bucket-counts DataFrame
     * (columns: keys..., count). Returns the same rows, instrumented;
@@ -64,6 +75,20 @@ object DedupStats {
     // capped generators (funnel/pipeline) and observe names must not
     // collide within a query
     counts.observe(s"$Prefix$tag.${seq.incrementAndGet()}",
+      sum(when(over, 1L).otherwise(0L)).as("dropped_buckets"),
+      sum(when(over, $"count").otherwise(0L)).as("dropped_rows"),
+      max(when(over, $"count").otherwise(0L)).as("max_bucket"))
+  }
+
+  /** [[observeCapDrops]]' sibling for generators that SPLIT over-cap
+    * buckets into bounded sub-buckets instead of dropping them: same
+    * instrumentation, separate counters, so the census distinguishes a
+    * recall hole (drop) from bounded extra work (split). */
+  def observeCapSplits(counts: DataFrame, tag: String,
+                       maxBucket: Int): DataFrame = {
+    ensureListener(counts.sparkSession)
+    val over: Column = $"count" > maxBucket
+    counts.observe(s"$SplitPrefix$tag.${seq.incrementAndGet()}",
       sum(when(over, 1L).otherwise(0L)).as("dropped_buckets"),
       sum(when(over, $"count").otherwise(0L)).as("dropped_rows"),
       max(when(over, $"count").otherwise(0L)).as("max_bucket"))
@@ -87,6 +112,19 @@ object DedupStats {
                 System.err.println(s"[capDrop] ${name.stripPrefix(Prefix)}: " +
                   s"$b buckets over cap ($r rows, largest $m) dropped — " +
                   "potential recall hole; raise maxBucket or pre-split keys")
+              }
+            } else if (name.startsWith(SplitPrefix)) {
+              val b = Option(row.getAs[java.lang.Long]("dropped_buckets"))
+                .fold(0L)(_.longValue)
+              if (b > 0) {
+                val r = row.getAs[Long]("dropped_rows")
+                val m = row.getAs[Long]("max_bucket")
+                splitBuckets.addAndGet(b)
+                splitRows.addAndGet(r)
+                maxSplitBucket.getAndAccumulate(m, math.max)
+                System.err.println(s"[capSplit] ${name.stripPrefix(SplitPrefix)}: " +
+                  s"$b buckets over cap ($r rows, largest $m) split into " +
+                  "bounded sub-buckets — extra join volume, no recall loss")
               }
             }
           }

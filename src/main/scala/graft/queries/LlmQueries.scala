@@ -1106,12 +1106,21 @@ object LlmQueries {
     "llm_containment" -> s"""
       WITH $ShingleCte,
       samp AS (SELECT doc_id, h31 FROM sh WHERE h31 % $ContainSampleMod = 0),
-      ccaps AS (SELECT h31 FROM samp GROUP BY 1
-                HAVING count(*) >= 2 AND count(*) <= $CapBucket),
+      -- over-cap buckets are SPLIT into ceil(c/cap) member-hash
+      -- sub-buckets (not dropped), mirroring containmentPairs
+      ccnt AS (SELECT h31,
+                      CAST((count(*) + ${CapBucket - 1}) // $CapBucket
+                        AS BIGINT) AS nsub
+               FROM samp GROUP BY 1 HAVING count(*) >= 2),
+      csub AS (SELECT s.doc_id, s.h31,
+                      ${graft.functions.DetHash.h60Sql(
+                        "'cs:' || CAST(s.h31 AS VARCHAR) || ':' || " +
+                        "CAST(s.doc_id AS VARCHAR)")} % c.nsub AS sub
+               FROM samp s JOIN ccnt c USING (h31)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM samp a JOIN ccaps USING (h31)
-        JOIN samp b ON b.h31 = a.h31 AND a.doc_id < b.doc_id),
+        FROM csub a JOIN csub b
+          ON b.h31 = a.h31 AND b.sub = a.sub AND a.doc_id < b.doc_id),
       $JaccardSelect,
       cont AS (
         SELECT doc_a, doc_b, n_common,

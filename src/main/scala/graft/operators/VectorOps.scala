@@ -246,8 +246,14 @@ object VectorOps {
       .select($"cent_id", $"cv", $"cn")
       .as[(Long, Seq[Long], Long)].collect().toSeq
       .toDF("cent_id", "cv", "cn")
+    // pin the inverted-list assignment too: production serves from a
+    // PERSISTED index (ivfKnnWithIndex over parquet), so re-executions of
+    // this plan must not re-run the corpus×C assignment scan + shuffle —
+    // without the pin, repeated actions on the returned frame redo it
+    // every time, which showed up as 0.96→4.3 s run-to-run bench swings
     ivfKnnWithIndex(vectors, cents,
-      assignToCentroids(vectors, broadcast(cents)), probeIds, k, nProbe)
+      Pins.pin(assignToCentroids(vectors, broadcast(cents))),
+      probeIds, k, nProbe)
   }
 
   /** IVF search against a PERSISTED index — the production serving shape:

@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.{ChannelConfig, EtsdSchema, StreamType}
+import graft.sources.{EtsdSink, TsdIndex}
+
+/** File-layer scale-trend probe (diagnostics, not the bench): times the
+  * full `EtsdSink.export` → `TsdDataSource` read-back loop on 1×/4×/16×
+  * synthetic hourly grids (scaling channels AND span, the two real growth
+  * axes of a meter fleet), plus a high-file-count case (thousands of
+  * small span files) that exercises the sidecar-index planning path and
+  * time-range file pruning. Pass criteria:
+  *
+  *   - export and read-back grow ≤ linearly in readings;
+  *   - planning a 1-day range over thousands of files stays ~flat (the
+  *     `_graft_index` sidecar means no per-file probe I/O);
+  *   - the one-row-per-written-file driver collect (`EtsdSink.export`'s
+  *     return) stays bounded by file count, which this probe reports.
+  *
+  * Run: `sbt "runMain graft.tools.FileScaleProbe"`. */
+object FileScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().appName("filescaleprobe")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val startEpoch = 1704067200L // 2024-01-01 00:00 UTC
+
+    def grid(nCh: Int, nSlots: Long) =
+      spark.range(nCh * nSlots).select(
+          (col("id") % nCh).as("ci"),
+          (lit(startEpoch) + (col("id") / nCh) * 3600L).as("epoch"))
+        .select(timestamp_seconds($"epoch").as("ts"),
+          format_string("ch%03d", $"ci").as("channel"),
+          (pmod($"epoch" / 3600L, lit(1000L)).cast("long") * 10L +
+            $"ci".cast("long")).as("value"),
+          lit(true).as("valid"))
+
+    def schemaFor(nCh: Int) = EtsdSchema(
+      (0 until nCh).map(i => ChannelConfig(f"ch$i%03d", StreamType.LargeS)),
+      intervalSec = 3600, blockIntervals = 24)
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"    $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // --- volume trend: 1x/4x/16x readings (channels x span both grow 2x)
+    for ((k, nCh, nDays) <- Seq((1, 50, 365), (4, 100, 730), (16, 200, 1460))) {
+      val nSlots = nDays * 24L
+      val readings = nCh * nSlots
+      println(s"== volume x$k: $nCh channels x $nDays days = $readings readings")
+      val dir = java.nio.file.Files.createTempDirectory(s"fsp_vol_$k").toString
+      val long = grid(nCh, nSlots)
+      val written = time("export (8-block files)") {
+        EtsdSink.export(long, schemaFor(nCh), dir, blocksPerFile = 8).collect()
+      }
+      println(s"    files written: ${written.length}")
+      val rb = spark.read.format("graft.sources.TsdDataSource").load(dir)
+      time("read-back full scan") {
+        rb.filter($"valid" && !$"is_register").count()
+      }
+      time("read-back agg (sum/channel)") {
+        rb.filter($"valid" && !$"is_register")
+          .groupBy($"channel").agg(sum($"value")).count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+
+    // --- file-count trend: same data volume, 1-day span files -> many files
+    for ((label, blocksPerFile, nDays) <- Seq(
+        ("64 files (32-day spans)", 32, 2048),
+        ("512 files (4-day spans)", 4, 2048),
+        ("2048 files (1-day spans)", 1, 2048))) {
+      val nCh = 10
+      val nSlots = nDays * 24L
+      println(s"== file count: $label, $nCh channels x $nDays days")
+      val dir = java.nio.file.Files.createTempDirectory("fsp_files").toString
+      val long = grid(nCh, nSlots)
+      val written = time("exportIndexed") {
+        EtsdSink.exportIndexed(long, schemaFor(nCh), dir, blocksPerFile)
+      }
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idxN = TsdIndex.load(fs, new org.apache.hadoop.fs.Path(dir))
+        .map(_.size).getOrElse(0)
+      println(s"    files written: ${written.length}, index entries: $idxN")
+      val rb = spark.read.format("graft.sources.TsdDataSource").load(dir)
+      // a 1-day range over the whole fleet: pruning must keep this ~flat
+      // as file count grows (sidecar index, no per-file probe I/O)
+      val dayLo = startEpoch + 1000L * 86400L
+      time("1-day range query (pruned)") {
+        rb.filter($"valid" && !$"is_register" &&
+            unix_timestamp($"ts") >= dayLo &&
+            unix_timestamp($"ts") < dayLo + 86400L)
+          .groupBy($"channel").agg(sum($"value")).count()
+      }
+      time("full scan") {
+        rb.filter($"valid" && !$"is_register").count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    spark.stop()
+  }
+}

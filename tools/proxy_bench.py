@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""DuckDB-proxy baseline timing: run every oracle SQL from a Verify
+oracle_sql.json against the parquet tables at a scale-factor dir and
+time each. This is the denominator for the BENCH ratio (BASELINE.md
+publishes no reference wall-time, so the working proxy IS the bar).
+
+Usage: python3 tools/proxy_bench.py [sfdir] [oracle_sql.json] [out.json]
+"""
+import sys, os, json, time
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/proxy_bench.json"
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(oracle_path))
+    times, failed = {}, []
+    for name, sql in sorted(oracles.items()):
+        t0 = time.monotonic()
+        try:
+            con.execute(sql).fetchall()
+            times[name] = round(time.monotonic() - t0, 6)
+        except Exception as e:
+            times[name] = -1.0
+            failed.append(name)
+            print(f"FAIL {name}: {str(e)[:160]}", file=sys.stderr)
+        print(f"{times[name]:10.3f}  {name}", file=sys.stderr)
+    total = sum(v for v in times.values() if v > 0)
+    result = {"metric": "proxy_total", "value": round(total, 3), "unit": "sec",
+              "sf": sfdir, "n_queries": len(times), "n_failed": len(failed),
+              "failed": failed, "queries": times}
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps({k: result[k] for k in
+                      ("metric", "value", "unit", "sf", "n_queries", "n_failed")}))
+
+
+if __name__ == "__main__":
+    main()

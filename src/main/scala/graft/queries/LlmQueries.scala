@@ -1117,10 +1117,25 @@ object LlmQueries {
                         "'cs:' || CAST(s.h31 AS VARCHAR) || ':' || " +
                         "CAST(s.doc_id AS VARCHAR)")} % c.nsub AS sub
                FROM samp s JOIN ccnt c USING (h31)),
-      cand AS (
+      cand0 AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM csub a JOIN csub b
           ON b.h31 = a.h31 AND b.sub = a.sub AND a.doc_id < b.doc_id),
+      -- sampled-containment pre-filter (mirrors containmentPairs):
+      -- a pair reaches the exact full-set stage only if its shared
+      -- SAMPLED count is at least half of either side's sampled size
+      -- (exact integer compare; candidacy guarantees s_common >= 1)
+      ssz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ssz
+              FROM samp GROUP BY 1),
+      scom AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS s_common
+               FROM cand0 c
+               JOIN samp a ON a.doc_id = c.doc_a
+               JOIN samp b ON b.doc_id = c.doc_b AND b.h31 = a.h31
+               GROUP BY 1, 2),
+      cand AS (SELECT s.doc_a, s.doc_b FROM scom s
+               JOIN ssz za ON za.doc_id = s.doc_a
+               JOIN ssz zb ON zb.doc_id = s.doc_b
+               WHERE s.s_common * 2 >= za.ssz OR s.s_common * 2 >= zb.ssz),
       $JaccardSelect,
       cont AS (
         SELECT doc_a, doc_b, n_common,

@@ -99,6 +99,7 @@ object EtsdCmd {
       }
     }
     if (st == StreamType.DoubleS) { counter = false; register = false }
+    if (st == StreamType.FloatS) { counter = false; signed = false }
     ChannelConfig(name, st, counter, register, signed, edo, sourceId, sourceChan)
   }
 

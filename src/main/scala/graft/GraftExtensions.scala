@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{LongArrayDot, Md5Long60}
+import graft.functions.{HalfBits, HalfValue, LongArrayDot, Md5Long60}
 
 /** Session extensions for the library's native functions — attach with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(Md5Long60.registryEntry)
     ext.injectFunction(LongArrayDot.registryEntry)
+    ext.injectFunction(HalfBits.registryEntry)
+    ext.injectFunction(HalfValue.registryEntry)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

@@ -120,7 +120,10 @@ final class BlockCodec(val layout: Layout) {
         w16(buf, a.qs, interV, (raw & 0xFFFF).toInt)
         w16(buf, a.qs + 4, interV, ((raw >>> 16) & 0xFFFF).toInt)
       case AutoScale => writeAutoScale(buf, chan, interV, raw)
-      case FloatS => throw new IllegalStateException("unreachable")
+      case FloatS => // binary16 pattern in a FullS-shaped 16-bit lane;
+        // the generic clamp above already maps >=0xFFFF to the sentinel,
+        // and HalfFloat.bits never produces 0xFFFF from a valid double
+        w16(buf, a.qs, interV, v.toInt)
     }
   }
 
@@ -153,7 +156,7 @@ final class BlockCodec(val layout: Layout) {
       case DoubleS =>
         r16(buf, a.qs, interV).toLong | (r16(buf, a.qs + 4, interV).toLong << 16)
       case AutoScale => readAutoScale(buf, chan, interV)
-      case FloatS => throw new IllegalStateException("unreachable")
+      case FloatS => r16(buf, a.qs, interV).toLong
     }
   }
 

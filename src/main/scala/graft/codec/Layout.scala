@@ -32,6 +32,7 @@ final class Layout(val schema: EtsdSchema) {
   private def qsWidth(t: StreamType): Int = t match {
     case DontSave => 0
     case DoubleS  => 8
+    case FloatS   => 4 // 16-bit binary16 lane, FullS-shaped
     case AutoScale => 4
     case other    => (other.code & 14) / 2 // 2-bit:0, 4:1, 8:2, 12:3, 16:4, 20:5, 24:6
   }
@@ -40,15 +41,13 @@ final class Layout(val schema: EtsdSchema) {
   private def streamUnits(t: StreamType): Int = t match {
     case DontSave => 0
     case DoubleS  => 16
+    case FloatS   => 8
     case AutoScale => 8
     case other    => other.code & 14
   }
 
   private def hasExt(c: ChannelConfig): Boolean =
     (c.streamType.code & 1) == 1 && c.streamType.code < 13 // EXTS_BIT, etsd.h:51
-
-  require(!schema.channels.exists(_.streamType == FloatS),
-    "stream type 14 (float) is reserved/unimplemented in the reference (README.md:45)")
 
   // storage-order check (stored channels only; type-0 channels hold no space)
   private val SortRank: Map[Int, Int] =

@@ -35,7 +35,12 @@ object StreamType {
   case object ExtTwenty extends StreamType(11, 20, 2)
   case object LargeS    extends StreamType(12, 24, 0)
   case object DoubleS   extends StreamType(13, 32, 0)
-  case object FloatS    extends StreamType(14, 32, 0) // reserved, unimplemented in reference
+  // the reference RESERVES this one ("1/2 Precision float (16) — planned
+  // but not yet implemented", README.md:45, etsdSave.c:410-412); we ship
+  // it: a 16-bit lane carrying IEEE binary16 patterns (graft.functions
+  // .HalfFloat converts), all-ones = the usual invalid sentinel (a NaN
+  // pattern no valid conversion produces)
+  case object FloatS    extends StreamType(14, 16, 0)
   case object AutoScale extends StreamType(15, 16, 0) // 16 bits, per-block 1/2/4/8x scale
 
   val all: Seq[StreamType] = Seq(DontSave, TwoBit, QuarterS, ExtQuarter, HalfS,
@@ -69,6 +74,11 @@ final case class ChannelConfig(
     sourceId: Int = 0,
     sourceChan: Int = 0) {
   require(ChannelConfig.nameOk(name), s"bad channel name '$name'")
+  // a FloatS lane carries IEEE binary16 PATTERNS: counter deltas and
+  // offset-signed encoding are integer semantics that would corrupt them
+  // (sign/exponent/mantissa fields are already part of the pattern)
+  require(streamType != StreamType.FloatS || (!counter && !signed),
+    "float streams are gauges; the binary16 pattern already carries sign")
   require(sourceId >= 0 && sourceId <= 3, "sourceId 0-3")
   require(sourceChan >= 0 && sourceChan <= 63, "sourceChan 0-63")
 

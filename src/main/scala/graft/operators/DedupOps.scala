@@ -240,26 +240,36 @@ object DedupOps {
         Seq("h31", "sub"))
       .filter($"doc_id" < $"doc_b")
       .select($"doc_id".as("doc_a"), $"doc_b").distinct()
-    // sampled-containment pre-filter: most candidates share only a hot
-    // (boilerplate) shingle and can never reach minContainment — reject
-    // them from the cheap 1-in-sampleMod shingle table before the exact
-    // stage intersects FULL shingle sets (measured 1.25M candidates /
-    // 96M intersect rows at sf0.1 without it, ~10 s of a 35 s battery).
-    // A pair survives iff its shared-sampled count reaches HALF of either
-    // side's sampled size (exact integer compare — oracle-identical):
-    // a true ≥0.9-contained doc has expected sampled containment 0.9
-    // (the sample is a uniform hash slice of the shingle space), so 0.5
-    // is >4σ of slack even at a dozen sampled shingles, and candidacy
-    // already guarantees s_common ≥ 1 — docs with ≤2 sampled shingles
-    // pass unconditionally. ContainmentRecallSpec re-measures the floor.
-    val ssz = samp.groupBy($"doc_id").agg(count(lit(1)).as("ssz"))
+    // sampled-containment pre-filter: most candidates share only hot
+    // (boilerplate/template) shingles and can never reach minContainment
+    // — reject them on the cheap 1-in-sampleMod sampled sets before the
+    // exact stage intersects FULL shingle sets (measured at sf0.1:
+    // 1.25M candidates, of which 579k still share ≥50% of a sampled set
+    // — the corpus is heavily templated — but only 50k share ≥70%, and
+    // 144 truly contain). The sampled sets are per-doc ARRAY columns
+    // derived from the pinned base (no corpus-sized explode join: the
+    // measured alternative shuffled 34M exploded rows for the same
+    // counts). A pair survives iff its sampled intersection reaches 70%
+    // of either side's sampled size (exact integer compare —
+    // oracle-identical), OR either side has ≤6 sampled shingles (the
+    // binomial slack argument needs a dozen samples; tiny docs pass
+    // through on candidacy alone, so short-doc recall is untouched).
+    // For a true ≥0.9-contained doc with ssz sampled shingles the
+    // sampled containment is Binomial(ssz, ≥0.9)/ssz: at ssz = 12 the
+    // 0.7 cut is ~2σ below the mean, beyond ssz = 25 it is >3.5σ.
+    // ContainmentRecallSpec re-measures the recall floor.
+    val sampArr = base.select($"doc_id",
+      expr(s"filter(hs, h -> h % $sampleMod = 0)").as("shs"))
     val pre = cand
-      .join(samp.select($"doc_id".as("doc_a"), $"h31"), "doc_a")
-      .join(samp.select($"doc_id".as("doc_b"), $"h31"), Seq("doc_b", "h31"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("s_common"))
-      .join(ssz.select($"doc_id".as("doc_a"), $"ssz".as("ssz_a")), "doc_a")
-      .join(ssz.select($"doc_id".as("doc_b"), $"ssz".as("ssz_b")), "doc_b")
-      .filter($"s_common" * 2 >= $"ssz_a" || $"s_common" * 2 >= $"ssz_b")
+      .join(sampArr.select($"doc_id".as("doc_a"), $"shs".as("shs_a")), "doc_a")
+      .join(sampArr.select($"doc_id".as("doc_b"), $"shs".as("shs_b")), "doc_b")
+      .withColumn("s_common",
+        size(array_intersect($"shs_a", $"shs_b")).cast("long"))
+      .filter(
+        $"s_common" * 10 >= size($"shs_a").cast("long") * 7 ||
+        size($"shs_a") <= 6 ||
+        $"s_common" * 10 >= size($"shs_b").cast("long") * 7 ||
+        size($"shs_b") <= 6)
       .select($"doc_a", $"doc_b")
     pre
       .join(base.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")

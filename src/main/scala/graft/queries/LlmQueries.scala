@@ -1123,8 +1123,9 @@ object LlmQueries {
           ON b.h31 = a.h31 AND b.sub = a.sub AND a.doc_id < b.doc_id),
       -- sampled-containment pre-filter (mirrors containmentPairs):
       -- a pair reaches the exact full-set stage only if its shared
-      -- SAMPLED count is at least half of either side's sampled size
-      -- (exact integer compare; candidacy guarantees s_common >= 1)
+      -- SAMPLED count is at least 70% of either side's sampled size
+      -- (exact integer compare), or either side has <= 6 sampled
+      -- shingles (tiny docs pass on candidacy alone)
       ssz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ssz
               FROM samp GROUP BY 1),
       scom AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS s_common
@@ -1135,7 +1136,8 @@ object LlmQueries {
       cand AS (SELECT s.doc_a, s.doc_b FROM scom s
                JOIN ssz za ON za.doc_id = s.doc_a
                JOIN ssz zb ON zb.doc_id = s.doc_b
-               WHERE s.s_common * 2 >= za.ssz OR s.s_common * 2 >= zb.ssz),
+               WHERE s.s_common * 10 >= za.ssz * 7 OR za.ssz <= 6
+                  OR s.s_common * 10 >= zb.ssz * 7 OR zb.ssz <= 6),
       $JaccardSelect,
       cont AS (
         SELECT doc_a, doc_b, n_common,

@@ -329,6 +329,40 @@ object TimeSeriesQueries {
         .orderBy("channel", "bucket_epoch")
     }),
 
+    // stream type 14 in the gate — the float stream the reference plans
+    // but never implements (README.md:45, etsdSave.c:410-412): hourly
+    // cents sums are mapped to exactly-representable binary16 values
+    // ((s_c mod 1024) + 0.5 — integer and fraction bits both exercised),
+    // converted to patterns by the native graft_half_bits expression,
+    // written through the FloatS 16-bit block lane by the REAL file
+    // layer, and decoded back via graft_half. On representable values
+    // the round-trip is an identity, so the oracle is the plain closed
+    // form — any pattern corruption in the lane or the conversions
+    // breaks the hash.
+    "ts_tsd_float_roundtrip" -> ((s, d) => {
+      import graft.functions.HalfFloat
+      val names = Tables.EventTypeCatalog
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.FloatS)),
+        intervalSec = 3600, blockIntervals = 24)
+      val hourly = events(s, d).groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val long = hourly.select(timestamp_seconds($"bucket").as("ts"),
+        $"channel",
+        HalfFloat.halfBits(pmod($"s_c", lit(1024L)).cast("double") + 0.5)
+          .as("value"),
+        lit(true).as("valid"))
+      val dir = java.nio.file.Files.createTempDirectory("tsd_float_rt").toString
+      EtsdSink.export(long, schema, dir, blocksPerFile = 8).collect()
+      s.read.format("graft.sources.TsdDataSource").load(dir)
+        .filter($"valid" && !$"is_register")
+        .select($"channel",
+          (unix_timestamp($"ts") - Hour).as("bucket_epoch"),
+          HalfFloat.halfValue($"value").as("v_half"))
+        .orderBy("channel", "bucket_epoch")
+    }),
+
     // etsdTimeS in the gate: the block-timestamp probe over real
     // exported files. The sink feeds each file-group's slot range
     // continuously (missing hours as the invalid sentinel), so the
@@ -992,6 +1026,14 @@ object TimeSeriesQueries {
       SELECT event_type AS channel,
              ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
              $centsSum AS s_c
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the fixture values are exactly representable in binary16, so the
+    // float-lane round-trip is an identity on the closed form
+    "ts_tsd_float_roundtrip" -> s"""
+      SELECT event_type AS channel,
+             ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+             CAST((($centsSum % 1024) + 1024) % 1024 AS DOUBLE) + 0.5 AS v_half
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // closed form of the sink's block layout: per 8-day file group with

@@ -20,11 +20,16 @@ class ModelSpec extends AnyFunSuite {
       t <- StreamType.all if t != DontSave
       counter <- Seq(true, false); reg <- Seq(true, false)
       signed <- Seq(true, false); edo <- Seq(true, false)
+      // FloatS lanes carry binary16 patterns: counter/signed integer
+      // semantics are rejected at construction (see ChannelConfig)
+      if t != FloatS || (!counter && !signed)
     } {
       val c = ChannelConfig("x", t, counter, reg, signed, edo, sourceId = 2, sourceChan = 17)
       val back = ChannelConfig.fromBytes("x", c.sourceByte, c.destinationByte)
       assert(back == c, s"$t counter=$counter reg=$reg signed=$signed edo=$edo")
     }
+    intercept[IllegalArgumentException](ChannelConfig("x", FloatS, counter = true))
+    intercept[IllegalArgumentException](ChannelConfig("x", FloatS, signed = true))
   }
 
   test("channel name validation: [A-Za-z0-9_]{1,19} (etsdCmd.c:38-50)") {

@@ -363,6 +363,48 @@ object TimeSeriesQueries {
         .orderBy("channel", "bucket_epoch")
     }),
 
+    // mixed-width + signed lanes through the REAL file layer: one block
+    // packs LargeS(24b), ExtFull(16+2b ext region), signed FullS(16b
+    // offset-encode, etsdRead.c:29-34), ShortS(12b nibble lane), and
+    // TwoBit(2b) channels, so the create-time width-desc storage sort
+    // (etsdCmd.c:93,167-185), the extended-bit region, and the signed
+    // codec all sit in the oracle gate, not just ScalaCheck. Each lane's
+    // value is the hourly cents sum folded into that lane's valid range
+    // (the signed lane deliberately straddles zero); the round-trip must
+    // be an identity on the closed form.
+    "ts_tsd_mixed_roundtrip" -> ((s, d) => {
+      val lanes: Map[String, (StreamType, Boolean)] = Map(
+        "click"    -> (StreamType.ShortS,  false),
+        "error"    -> (StreamType.LargeS,  false),
+        "purchase" -> (StreamType.FullS,   true),
+        "signup"   -> (StreamType.ExtFull, false),
+        "view"     -> (StreamType.TwoBit,  false))
+      // the create path's width-desc storage sort (etsdCmd.c:93) — the
+      // header requires it, and the mixed widths here actually exercise it
+      val schema = EtsdSchema(
+        graft.codec.Layout.sortChannels(Tables.EventTypeCatalog.map { n =>
+          val (t, sg) = lanes(n); ChannelConfig(n, t, signed = sg) }),
+        intervalSec = 3600, blockIntervals = 24)
+      val hourly = events(s, d).groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val folded = when($"channel" === "click", pmod($"s_c", lit(4000L)))
+        .when($"channel" === "error", pmod($"s_c", lit(1000000L)))
+        .when($"channel" === "purchase", pmod($"s_c", lit(60000L)) - 30000L)
+        .when($"channel" === "signup", pmod($"s_c", lit(262142L)))
+        .otherwise(pmod($"s_c", lit(3L)))
+      val long = hourly.select(timestamp_seconds($"bucket").as("ts"),
+        $"channel", folded.as("value"), lit(true).as("valid"))
+      val dir = java.nio.file.Files.createTempDirectory("tsd_mixed_rt").toString
+      EtsdSink.export(long, schema, dir, blocksPerFile = 8).collect()
+      s.read.format("graft.sources.TsdDataSource").load(dir)
+        .filter($"valid" && !$"is_register")
+        .select($"channel",
+          (unix_timestamp($"ts") - Hour).as("bucket_epoch"),
+          $"value".as("v"))
+        .orderBy("channel", "bucket_epoch")
+    }),
+
     // etsdTimeS in the gate: the block-timestamp probe over real
     // exported files. The sink feeds each file-group's slot range
     // continuously (missing hours as the invalid sentinel), so the
@@ -1035,6 +1077,24 @@ object TimeSeriesQueries {
              ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
              CAST((($centsSum % 1024) + 1024) % 1024 AS DOUBLE) + 0.5 AS v_half
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // each lane's fold of the same closed form; the signed purchase lane
+    // straddles zero to exercise the offset encode
+    "ts_tsd_mixed_roundtrip" -> s"""
+      WITH h AS (
+        SELECT event_type AS channel,
+               ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+               $centsSum AS s_c
+        FROM events GROUP BY 1, 2)
+      SELECT channel, bucket_epoch,
+             CASE channel
+               WHEN 'click'    THEN ((s_c % 4000) + 4000) % 4000
+               WHEN 'error'    THEN ((s_c % 1000000) + 1000000) % 1000000
+               WHEN 'purchase' THEN ((s_c % 60000) + 60000) % 60000 - 30000
+               WHEN 'signup'   THEN ((s_c % 262142) + 262142) % 262142
+               ELSE ((s_c % 3) + 3) % 3
+             END AS v
+      FROM h ORDER BY 1, 2""",
 
     // closed form of the sink's block layout: per 8-day file group with
     // present hour-slots [lo, hi], blocks at lo+24j carrying

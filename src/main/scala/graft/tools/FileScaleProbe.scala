@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{ChannelConfig, EtsdSchema, StreamType}
@@ -8,10 +8,18 @@ import graft.sources.{EtsdSink, TsdIndex}
 
 /** File-layer scale-trend probe (diagnostics, not the bench): times the
   * full `EtsdSink.export` → `TsdDataSource` read-back loop on 1×/4×/16×
-  * synthetic hourly grids (scaling channels AND span, the two real growth
-  * axes of a meter fleet), plus a high-file-count case (thousands of
+  * synthetic hourly grids, plus a high-file-count case (thousands of
   * small span files) that exercises the sidecar-index planning path and
-  * time-range file pruning. Pass criteria:
+  * time-range file pruning.
+  *
+  * The growth axes mirror how an ETSD fleet actually scales: a single
+  * store's channel set is bounded by the 512-byte block capacity
+  * (etsdCmd.c:295-299 — 10 FullS channels at 24 intervals is a full
+  * block), so fleets add STORES (one per daemon, etsd.c:33) and extend
+  * SPAN. The volume trend therefore scales stores × days with a fixed
+  * 10-channel FullS schema per store, and reads back fleet-wide as a
+  * union of per-store DSv2 scans — the plan a cluster-wide query would
+  * run. Pass criteria:
   *
   *   - export and read-back grow ≤ linearly in readings;
   *   - planning a 1-day range over thousands of files stays ~flat (the
@@ -31,19 +39,20 @@ object FileScaleProbe {
     import spark.implicits._
 
     val startEpoch = 1704067200L // 2024-01-01 00:00 UTC
+    val nCh = 10 // a full 512-byte block: 10 × FullS(16b) × 24 intervals
 
-    def grid(nCh: Int, nSlots: Long) =
+    def grid(nSlots: Long) =
       spark.range(nCh * nSlots).select(
           (col("id") % nCh).as("ci"),
           (lit(startEpoch) + (col("id") / nCh) * 3600L).as("epoch"))
         .select(timestamp_seconds($"epoch").as("ts"),
-          format_string("ch%03d", $"ci").as("channel"),
+          format_string("ch%02d", $"ci").as("channel"),
           (pmod($"epoch" / 3600L, lit(1000L)).cast("long") * 10L +
             $"ci".cast("long")).as("value"),
           lit(true).as("valid"))
 
-    def schemaFor(nCh: Int) = EtsdSchema(
-      (0 until nCh).map(i => ChannelConfig(f"ch$i%03d", StreamType.LargeS)),
+    val storeSchema = EtsdSchema(
+      (0 until nCh).map(i => ChannelConfig(f"ch$i%02d", StreamType.FullS)),
       intervalSec = 3600, blockIntervals = 24)
 
     def time[T](label: String)(f: => T): T = {
@@ -52,26 +61,31 @@ object FileScaleProbe {
       r
     }
 
-    // --- volume trend: 1x/4x/16x readings (channels x span both grow 2x)
-    for ((k, nCh, nDays) <- Seq((1, 50, 365), (4, 100, 730), (16, 200, 1460))) {
+    // --- volume trend: 1x/4x/16x readings (stores x span both grow 2x)
+    for ((k, nStores, nDays) <- Seq((1, 1, 365), (4, 2, 730), (16, 4, 1460))) {
       val nSlots = nDays * 24L
-      val readings = nCh * nSlots
-      println(s"== volume x$k: $nCh channels x $nDays days = $readings readings")
-      val dir = java.nio.file.Files.createTempDirectory(s"fsp_vol_$k").toString
-      val long = grid(nCh, nSlots)
-      val written = time("export (8-block files)") {
-        EtsdSink.export(long, schemaFor(nCh), dir, blocksPerFile = 8).collect()
+      val readings = nStores * nCh * nSlots
+      println(s"== volume x$k: $nStores stores x $nCh channels x $nDays days = $readings readings")
+      val root = java.nio.file.Files.createTempDirectory(s"fsp_vol_$k").toString
+      val stores = (0 until nStores).map(i => s"$root/store$i")
+      val long = grid(nSlots)
+      val nFiles = time("export (8-block files)") {
+        stores.map { d =>
+          EtsdSink.export(long, storeSchema, d, blocksPerFile = 8).collect().length
+        }.sum
       }
-      println(s"    files written: ${written.length}")
-      val rb = spark.read.format("graft.sources.TsdDataSource").load(dir)
+      println(s"    files written: $nFiles")
+      def fleet: DataFrame = stores.map { d =>
+        spark.read.format("graft.sources.TsdDataSource").load(d)
+      }.reduce(_ union _)
       time("read-back full scan") {
-        rb.filter($"valid" && !$"is_register").count()
+        fleet.filter($"valid" && !$"is_register").count()
       }
       time("read-back agg (sum/channel)") {
-        rb.filter($"valid" && !$"is_register")
+        fleet.filter($"valid" && !$"is_register")
           .groupBy($"channel").agg(sum($"value")).count()
       }
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
 
     // --- file-count trend: same data volume, 1-day span files -> many files
@@ -79,13 +93,12 @@ object FileScaleProbe {
         ("64 files (32-day spans)", 32, 2048),
         ("512 files (4-day spans)", 4, 2048),
         ("2048 files (1-day spans)", 1, 2048))) {
-      val nCh = 10
       val nSlots = nDays * 24L
       println(s"== file count: $label, $nCh channels x $nDays days")
       val dir = java.nio.file.Files.createTempDirectory("fsp_files").toString
-      val long = grid(nCh, nSlots)
+      val long = grid(nSlots)
       val written = time("exportIndexed") {
-        EtsdSink.exportIndexed(long, schemaFor(nCh), dir, blocksPerFile)
+        EtsdSink.exportIndexed(long, storeSchema, dir, blocksPerFile)
       }
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -94,12 +107,15 @@ object FileScaleProbe {
       println(s"    files written: ${written.length}, index entries: $idxN")
       val rb = spark.read.format("graft.sources.TsdDataSource").load(dir)
       // a 1-day range over the whole fleet: pruning must keep this ~flat
-      // as file count grows (sidecar index, no per-file probe I/O)
+      // as file count grows (sidecar index, no per-file probe I/O).
+      // Compare ts DIRECTLY against a literal — wrapping the column
+      // (unix_timestamp(ts) >= lo) is not translatable to a source
+      // filter and silently degrades to a full scan
       val dayLo = startEpoch + 1000L * 86400L
       time("1-day range query (pruned)") {
         rb.filter($"valid" && !$"is_register" &&
-            unix_timestamp($"ts") >= dayLo &&
-            unix_timestamp($"ts") < dayLo + 86400L)
+            $"ts" >= timestamp_seconds(lit(dayLo)) &&
+            $"ts" < timestamp_seconds(lit(dayLo + 86400L)))
           .groupBy($"channel").agg(sum($"value")).count()
       }
       time("full scan") {

@@ -438,9 +438,13 @@ object TextAnalysisOps {
     val ma = c.groupBy($"a").agg(sum($"n_ab").as("n_a"))
     val mb = c.groupBy($"b").agg(sum($"n_ab").as("n_b"))
     val tot = c.agg(sum($"n_ab").as("t"))
-    val j = c.filter($"n_ab" >= minCount)
-      .join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
-    rankTopN(j, topK, $"n_ab".desc, $"a", $"b")
+    // rank FIRST: the top-K order depends only on n_ab, so the marginal
+    // joins run against the K winners (broadcast under AQE), not the
+    // whole bigram table — at corpus scale ma/mb join volume drops from
+    // |bigrams| to K
+    val top = rankTopN(c.filter($"n_ab" >= minCount), topK,
+      $"n_ab".desc, $"a", $"b")
+    top.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
       .select($"rk", $"a", $"b", $"n_ab", $"n_a", $"n_b",
         expr("CAST((CAST(n_ab AS DECIMAL(20,0)) * t * 1000000)" +
           " DIV (CAST(n_a AS DECIMAL(20,0)) * n_b) AS BIGINT)")
@@ -463,23 +467,33 @@ object TextAnalysisOps {
                iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
     val c = bigramCounts(docs, id, text).filter($"n_ab" >= minCount)
-    val edges = Pins.pin(c.select($"a".as("u"), $"b".as("v"))
-      .union(c.select($"b".as("u"), $"a".as("v"))).distinct())
-    val nodes = Pins.pin(edges.select($"u".as("w")).distinct())
+    val edges = c.select($"a".as("u"), $"b".as("v"))
+      .union(c.select($"b".as("u"), $"a".as("v"))).distinct()
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    // degree pre-joined once: each power iteration then touches ONE
+    // pinned edge frame instead of re-joining degrees every round
+    val edeg = Pins.pin(edges.join(deg, "u"))
+    val nodes = Pins.pin(edeg.select($"u".as("w")).distinct())
     val n = nodes.count() // one scalar, vocab-sized agg
     if (n == 0)
       return nodes.select($"w", lit(0L).as("rk"), lit(0L).as("score"))
         .select($"rk", $"w", $"score")
+    // the rank map is one (word, long) row per vocab entry — broadcast
+    // it while the vocab fits, so each iteration costs a single shuffle
+    // (the contribution groupBy); past the cap, fall back to the shuffle
+    // join (same values — the hint changes the plan, not the arithmetic)
+    val bcast = n <= 2000000L
     val tele = Scale * 15L / 100L / n
     var r = nodes.select($"w", lit(Scale / n).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(r, $"u" === $"w").join(deg, "u")
+      // the symmetrized union puts every node in BOTH the u and v sets,
+      // so the contribution aggregate already covers the whole vocab —
+      // no nodes re-join needed to keep zero-in-degree words alive
+      r = edeg.join(if (bcast) broadcast(r) else r, $"u" === $"w")
         .select($"v", expr("r div deg").as("cn"))
         .groupBy($"v").agg(sum($"cn").as("acc"))
-      r = nodes.join(contrib, $"w" === $"v", "left")
-        .select($"w",
-          (lit(tele) + expr("(85 * coalesce(acc, 0L)) div 100")).as("r"))
+        .select($"v".as("w"),
+          (lit(tele) + expr("(85 * acc) div 100")).as("r"))
     }
     rankTopN(r, topK, $"r".desc, $"w")
       .select($"rk", $"w", $"r".as("score"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,14 @@ object TimeSeriesQueries {
   private val EEpoch = 1706208300L // 2024-01-25 18:45:00 UTC
   private val VatT = "2024-01-15 12:00:00"
   private val Hour = 3600L
+
+  /** Per-channel fold caps for the AutoScale gate: pin blocks at every
+    * scale code (0-3) across the catalog — 60k stays 16-bit, 120k/250k
+    * force scale 1/2, 500k sweeps up to scale 3 (shared with the SQL
+    * twin; max < 524,287 by construction). */
+  private val AutoScaleCaps: Seq[(String, Long)] = Seq(
+    "click" -> 60000L, "error" -> 120000L, "purchase" -> 250000L,
+    "signup" -> 500000L, "view" -> 500000L)
   private val Day = 86400L
 
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -396,6 +404,41 @@ object TimeSeriesQueries {
       val long = hourly.select(timestamp_seconds($"bucket").as("ts"),
         $"channel", folded.as("value"), lit(true).as("valid"))
       val dir = java.nio.file.Files.createTempDirectory("tsd_mixed_rt").toString
+      EtsdSink.export(long, schema, dir, blocksPerFile = 8).collect()
+      s.read.format("graft.sources.TsdDataSource").load(dir)
+        .filter($"valid" && !$"is_register")
+        .select($"channel",
+          (unix_timestamp($"ts") - Hour).as("bucket_epoch"),
+          $"value".as("v"))
+        .orderBy("channel", "bucket_epoch")
+    }),
+
+    // AutoScale (stream type 15) through the REAL file layer: per-block
+    // 1/2/4/8× scaling with retroactive in-block rescale
+    // (etsdSave.c:153-187) — the codec's most intricate feature, and
+    // decodable by a CLOSED FORM because right-shifts compose: whatever
+    // order values arrive in, a sample's stored value ends at
+    // raw >> S_block where S_block is the scale the block's max valid
+    // value needs, so decoded = (raw >> S) << S. The ×37 multiplier
+    // spreads the hourly cents sums across each channel's fold range,
+    // and the per-channel caps pin blocks at every scale 0-3 (plus a
+    // mixed-scale spread on the wide channels, so small-hour-then-big-
+    // hour retroactive rescales actually fire), while staying clear of
+    // the 524,287 overflow and the 0xFFFF store collision.
+    "ts_tsd_autoscale_roundtrip" -> ((s, d) => {
+      val names = Tables.EventTypeCatalog
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.AutoScale)),
+        intervalSec = 3600, blockIntervals = 24)
+      val hourly = events(s, d).groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val cap = AutoScaleCaps.foldLeft(lit(500000L): Column) {
+        case (acc, (n, c)) => when($"channel" === n, lit(c)).otherwise(acc) }
+      val long = hourly.select(timestamp_seconds($"bucket").as("ts"),
+        $"channel", pmod($"s_c" * 37L, cap).as("value"),
+        lit(true).as("valid"))
+      val dir = java.nio.file.Files.createTempDirectory("tsd_asc_rt").toString
       EtsdSink.export(long, schema, dir, blocksPerFile = 8).collect()
       s.read.format("graft.sources.TsdDataSource").load(dir)
         .filter($"valid" && !$"is_register")
@@ -1095,6 +1138,39 @@ object TimeSeriesQueries {
                ELSE ((s_c % 3) + 3) % 3
              END AS v
       FROM h ORDER BY 1, 2""",
+
+    // the AutoScale closed form: a sample's decode depends only on its
+    // own value and its block's final scale (right-shifts compose), so
+    // per (channel, block) S = the scale the block's max folded value
+    // needs, decoded = (raw >> S) << S; the block grid is the sink
+    // layout's (8-day groups of DISTINCT present slots, blocks at
+    // lo + 24j — the same CTE as ts_tsd_block_index)
+    "ts_tsd_autoscale_roundtrip" -> s"""
+      WITH h AS (
+        SELECT event_type AS channel,
+               (epoch_us(ts)//1000000)//3600 AS slot,
+               $centsSum AS s_c
+        FROM events GROUP BY 1, 2),
+      caps(channel, cap) AS (VALUES
+        ${AutoScaleCaps.map { case (n, c) => s"('$n', $c)" }.mkString(", ")}),
+      v AS (SELECT h.channel, slot,
+                   (((s_c * 37) % cap) + cap) % cap AS raw
+            FROM h JOIN caps ON h.channel = caps.channel),
+      sl AS (SELECT DISTINCT slot FROM v),
+      g AS (SELECT slot//192 AS grp, min(slot) AS lo FROM sl GROUP BY 1),
+      b AS (SELECT v.channel, v.slot, v.raw,
+                   g.lo + 24*((v.slot - g.lo)//24) AS blk
+            FROM v JOIN g ON v.slot//192 = g.grp),
+      sc AS (SELECT channel, blk,
+                    CASE WHEN max(raw) < 65536 THEN 0
+                         WHEN max(raw) < 131072 THEN 1
+                         WHEN max(raw) < 262144 THEN 2
+                         ELSE 3 END AS s
+             FROM b GROUP BY 1, 2)
+      SELECT b.channel, CAST(b.slot*3600 AS BIGINT) AS bucket_epoch,
+             CAST((b.raw >> sc.s) << sc.s AS BIGINT) AS v
+      FROM b JOIN sc ON b.channel = sc.channel AND b.blk = sc.blk
+      ORDER BY 1, 2""",
 
     // closed form of the sink's block layout: per 8-day file group with
     // present hour-slots [lo, hi], blocks at lo+24j carrying

@@ -448,6 +448,48 @@ object TimeSeriesQueries {
         .orderBy("channel", "bucket_epoch")
     }),
 
+    // counter + register channels through the REAL file layer: the
+    // encoder's stateful LastReading/MissedUpdate loop (etsdSave.c:
+    // 430-460) and per-block 32-bit register snapshots (edd.c:371-382)
+    // under the oracle gate, not just ScalaCheck. A monotone odometer
+    // (prefix sum of folded hourly cents) is fed per channel; missing
+    // hours become invalid feeds, so consecutive valid readings at slot
+    // distance g emit the averaged delta (odo−prev)//g backfilled into
+    // min(g−1, slot−blockStart) preceding same-block slots, each group's
+    // first valid reading stores invalid (anchor only), and every block
+    // start snapshots the last valid odometer into the register lane.
+    // All of it is a closed form over the sink's block grid.
+    "ts_tsd_counter_roundtrip" -> ((s, d) => {
+      val names = Tables.EventTypeCatalog
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.LargeS,
+          counter = true, register = true)),
+        intervalSec = 3600, blockIntervals = 24)
+      val hourly = events(s, d).groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      // fold keeps the whole-fixture odometer under 2^31 (register is a
+      // 32-bit absolute lane) and each delta far below the 24-bit lane
+      val odo = hourly.select($"channel", $"bucket",
+        sum(pmod($"s_c", lit(100000L)))
+          .over(Window.partitionBy($"channel").orderBy($"bucket"))
+          .as("odo"))
+      val long = odo.select(timestamp_seconds($"bucket").as("ts"),
+        $"channel", $"odo".as("value"), lit(true).as("valid"))
+      val dir = java.nio.file.Files.createTempDirectory("tsd_cnt_rt").toString
+      EtsdSink.export(long, schema, dir, blocksPerFile = 8).collect()
+      s.read.format("graft.sources.TsdDataSource").load(dir)
+        .filter($"valid")
+        .select($"channel",
+          // delta samples cover the previous hour; register rows carry
+          // the block-start timestamp itself
+          when($"is_register", unix_timestamp($"ts"))
+            .otherwise(unix_timestamp($"ts") - Hour).as("ts_epoch"),
+          $"is_register".cast("long").as("is_reg"),
+          $"value".as("v"))
+        .orderBy("channel", "ts_epoch", "is_reg")
+    }),
+
     // etsdTimeS in the gate: the block-timestamp probe over real
     // exported files. The sink feeds each file-group's slot range
     // continuously (missing hours as the invalid sentinel), so the
@@ -1171,6 +1213,55 @@ object TimeSeriesQueries {
              CAST((b.raw >> sc.s) << sc.s AS BIGINT) AS v
       FROM b JOIN sc ON b.channel = sc.channel AND b.blk = sc.blk
       ORDER BY 1, 2""",
+
+    // the counter/register closed form over the sink's block grid:
+    // deltas = (odo−prev)//gap backfilled into min(gap−1, slot−blk)
+    // preceding slots (the encoder can't backfill across a block
+    // boundary); registers = the last valid odometer before each block
+    // start (odo is monotone, so max() IS the arg-max); each group's
+    // first valid reading emits nothing (invalid anchor store)
+    "ts_tsd_counter_roundtrip" -> s"""
+      WITH h AS (
+        SELECT event_type AS channel,
+               (epoch_us(ts)//1000000)//3600 AS slot,
+               $centsSum AS s_c
+        FROM events GROUP BY 1, 2),
+      o AS (SELECT channel, slot,
+                   sum(((s_c % 100000) + 100000) % 100000)
+                     OVER (PARTITION BY channel ORDER BY slot) AS odo
+            FROM h),
+      sl AS (SELECT DISTINCT slot FROM o),
+      g AS (SELECT slot//192 AS grp, min(slot) AS lo, max(slot) AS hi
+            FROM sl GROUP BY 1),
+      oo AS (SELECT o.channel, o.slot, o.odo, g.grp,
+                    g.lo + 24*((o.slot - g.lo)//24) AS blk
+             FROM o JOIN g ON o.slot//192 = g.grp),
+      d AS (SELECT channel, grp, slot, blk, odo,
+                   lag(slot) OVER (PARTITION BY channel, grp ORDER BY slot)
+                     AS pslot,
+                   lag(odo) OVER (PARTITION BY channel, grp ORDER BY slot)
+                     AS podo
+            FROM oo),
+      deltas AS (
+        SELECT channel,
+               unnest(range(slot - least(slot - pslot - 1, slot - blk),
+                            slot + 1)) AS ds,
+               (odo - podo) // (slot - pslot) AS v
+        FROM d WHERE pslot IS NOT NULL),
+      blks AS (SELECT grp, lo + 24*unnest(range(0, (hi - lo)//24 + 1)) AS L
+               FROM g),
+      regs AS (
+        SELECT o.channel, b.L, max(o.odo) AS v
+        FROM oo o JOIN blks b ON o.grp = b.grp AND o.slot < b.L
+        GROUP BY 1, 2)
+      SELECT channel, CAST(ds*3600 AS BIGINT) AS ts_epoch,
+             CAST(0 AS BIGINT) AS is_reg, CAST(v AS BIGINT) AS v
+      FROM deltas
+      UNION ALL
+      SELECT channel, CAST(L*3600 AS BIGINT), CAST(1 AS BIGINT),
+             CAST(v AS BIGINT)
+      FROM regs
+      ORDER BY 1, 2, 3""",
 
     // closed form of the sink's block layout: per 8-day file group with
     // present hour-slots [lo, hi], blocks at lo+24j carrying

@@ -593,6 +593,58 @@ object StreamingQueries {
       .orderBy("channel")
   }
 
+  // ---- ts_stream_timeout fixture geometry (give-up after 255 misses) ----
+  private val TimeoutN = 700L
+  /** A contiguous 261-tick outage (ticks 151..411 all fail checksum):
+    * long enough that `MissedUpdate` saturates and the decoder must GIVE
+    * UP (etsdSave.c:445-459: after 255 missed intervals the baseline is
+    * abandoned, the next valid reading re-anchors instead of emitting a
+    * delta averaged over the whole outage). Two isolated corrupt ticks
+    * exercise the ordinary averaged-gap division on either side. */
+  private val TimeoutRunLo = 151L
+  private val TimeoutRunHi = 411L
+  private val TimeoutIsolated = Set(50L, 600L)
+
+  /** The timeout/give-up path end to end (edd.c:322-331 status handling +
+    * etsdSave.c:445-459 give-up): golden ECM packets with a 261-tick
+    * corrupted run flow through the real decode into the stateful
+    * [[Ingest.counterDeltas]]. Every failed tick must store an invalid
+    * row with the running missed count; at 255 misses the baseline is
+    * abandoned, so the first valid tick after the outage RE-ANCHORS
+    * (NULL delta) rather than emitting `(odo-podo)/262` — a decoder that
+    * never gives up would emit 9 extra deltas and shift every total. The
+    * outage straddles a micro-batch boundary so the saturating counter
+    * itself crosses checkpointed state. Totals hash-compare against the
+    * closed form (re-anchor iff the gap exceeds 255 missed intervals). */
+  def streamTimeoutTotals(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_timeout")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val deltas = Ingest.counterDeltas(EcmPackets.toSrcRows(
+      EcmPackets.decodeStream(mem.toDS()), sourceId = 5))
+    val q = Ingest.commitStream(deltas.toDF(), BlockSec, s"$dir/out", s"$dir/ckpt")
+    def buffer(n: Long): (Long, Array[Byte]) = {
+      val p = ecmPacket(n)
+      if (TimeoutIsolated(n) || (n >= TimeoutRunLo && n <= TimeoutRunHi))
+        p(20) = (p(20) ^ 0x5A).toByte // checksum breaks in flight
+      ((EcmT0 + n * 10L) * 1000000L, p)
+    }
+    try {
+      // batch 1 ends mid-outage (tick 300 is inside the corrupted run)
+      Seq(1L to 300L, 301L to 500L, 501L to TimeoutN).foreach { b =>
+        mem.addData(b.map(buffer): _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(s"$dir/out")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"delta").as("n_deltas"),
+        (count(lit(1)) - count($"delta")).as("n_invalid"),
+        sum($"delta").as("total"))
+      .orderBy("channel")
+  }
+
   // ---- ts_stream_edd fixture geometry (assembled ≤4-source daemon) ----
   private val EddN = 400L
   private val EddConfigText = """#edd config (first char defines comments)
@@ -651,6 +703,7 @@ object StreamingQueries {
     "ts_stream_tsd" -> ((s, _) => streamTsdMirror(s)),
     "ts_stream_ecm" -> ((s, _) => streamEcmTotals(s)),
     "ts_stream_reset" -> ((s, _) => streamResetTotals(s)),
+    "ts_stream_timeout" -> ((s, _) => streamTimeoutTotals(s)),
     "ts_stream_edd" -> ((s, _) => streamEddTotals(s)))
 
   def oracles: Map[String, String] = Map(
@@ -868,6 +921,37 @@ object StreamingQueries {
              CAST($ResetN AS BIGINT) AS n_rows,
              CAST(count(delta) AS BIGINT) AS n_deltas,
              CAST($ResetN - count(delta) AS BIGINT) AS n_invalid,
+             CAST(sum(delta) AS BIGINT) AS total
+      FROM e GROUP BY 1 ORDER BY 1""",
+
+    // closed form of the saturating-timeout replay: quadratic odometers
+    // m·n(n+1)/2; valid rows lag per channel; a pair straddling a gap of
+    // >= 256 missed intervals re-anchors (NULL delta — the decoder gave
+    // up at 255, etsdSave.c:445-459), shorter gaps divide by the tick
+    // distance (1 + missed)
+    "ts_stream_timeout" -> s"""
+      WITH chans(channel, m) AS (VALUES
+        ${(EcmMain.zip(Seq("ch1a", "ch2a", "ch1p", "ch2p")) ++
+           EcmAux.zip(Seq("aux1", "aux2", "aux3", "aux4", "aux5")))
+          .map { case (m, c) => s"('src5_$c', $m)" }.mkString(", ")}),
+      t AS (SELECT n FROM generate_series(1, $TimeoutN) g(n)
+            WHERE n NOT IN (${TimeoutIsolated.mkString(", ")})
+              AND (n < $TimeoutRunLo OR n > $TimeoutRunHi)),
+      r AS (SELECT channel, n, m * (n * (n + 1)) // 2 AS odo
+            FROM chans CROSS JOIN t),
+      d AS (SELECT channel, n, odo,
+              lag(odo) OVER (PARTITION BY channel ORDER BY n) AS podo,
+              lag(n)   OVER (PARTITION BY channel ORDER BY n) AS pn
+            FROM r),
+      e AS (SELECT channel,
+              CASE WHEN pn IS NULL OR n - pn - 1 >= 256
+                   THEN NULL
+                   ELSE (odo - podo) // (n - pn) END AS delta
+            FROM d)
+      SELECT channel,
+             CAST($TimeoutN AS BIGINT) AS n_rows,
+             CAST(count(delta) AS BIGINT) AS n_deltas,
+             CAST($TimeoutN - count(delta) AS BIGINT) AS n_invalid,
              CAST(sum(delta) AS BIGINT) AS total
       FROM e GROUP BY 1 ORDER BY 1""",
 

@@ -576,6 +576,61 @@ object TimeSeriesQueries {
         .orderBy("channel")
     }),
 
+    // the many-file deployment shape in the gate (etsdRotate's one-file-
+    // per-rotation layout, SURVEY §2.1): blocksPerFile=1 shatters the
+    // fixture span into ~60 single-day .tsd files, exportIndexed keeps
+    // the `_graft_index` sidecar current, and the read-back filters a
+    // mid-span time range — so the sidecar-planned file prune (~17 of
+    // ~60 files read, TsdIndex.load → no per-file probe I/O) AND the
+    // residual in-file row filter (the range ends mid-block) both sit
+    // under the oracle. A prune that drops a boundary file, an index
+    // entry with an off-by-one span, or a row filter applied to the
+    // wrong interval edge all shift the totals.
+    "ts_tsd_manyfile" -> ((s, d) => {
+      val names = Tables.EventTypeCatalog
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.LargeS)),
+        intervalSec = 3600, blockIntervals = 24)
+      val hourly = events(s, d).groupBy($"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val long = hourly.select(timestamp_seconds($"bucket").as("ts"),
+        $"channel", $"s_c".as("value"), $"s_c".isNotNull.as("valid"))
+      val dir = java.nio.file.Files.createTempDirectory("tsd_manyfile").toString
+      // one row per WRITTEN FILE (~62 at sf0.01) — bounded by span/day
+      EtsdSink.exportIndexed(long, schema, dir, blocksPerFile = 1)
+      // a reading at ts covers the interval ENDING at ts (bucket = ts−1h),
+      // so bucket ∈ [S, E) ⟺ ts ∈ [S+1h, E+1h); literal timestamp
+      // comparisons (not unix_timestamp wraps) so the source prunes
+      s.read.format("graft.sources.TsdDataSource").load(dir)
+        .filter($"valid" && !$"is_register" &&
+          $"ts" >= timestamp_seconds(lit(SEpoch + Hour)) &&
+          $"ts" < timestamp_seconds(lit(EEpoch + Hour)))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum($"value").as("total_c"))
+        .orderBy("channel")
+    }),
+
+    // the AC-voltage offset codec in the gate (srcECM.c:45-47,238-253):
+    // a deterministic volts×10 sweep off event_id covers every code
+    // region — 0 outage, 1 brownout, 2..253 offset-encoded, 0xFE
+    // overvoltage, 0xFF invalid — including the reference's own edge
+    // quirk that v=1040/1041 collide with the outage/brownout codes.
+    // One row per code with its decode; the oracle re-derives the
+    // piecewise closed form independently.
+    "ts_volts_codec" -> ((s, d) => {
+      val v = when(pmod($"event_id", lit(97L)) === 0, lit(null).cast("long"))
+        .otherwise(pmod($"event_id" * 7L, lit(1600L)))
+      events(s, d).select(v.as("v"))
+        .select($"v", graft.streaming.Ingest.acVoltsEncode($"v").as("code"))
+        .groupBy($"code")
+        .agg(count(lit(1)).as("n"), min($"v").as("v_min"),
+          max($"v").as("v_max"))
+        .withColumn("dec", graft.streaming.Ingest.acVoltsDecode($"code"))
+        .orderBy("code")
+    }),
+
     // the etsdCmd-style string-driven query path: verb substring, channel
     // substring resolution, CLI time literals (etsdCmd.c:333-461)
     "ts_cli_query" -> ((s, d) => {
@@ -1299,6 +1354,38 @@ object TimeSeriesQueries {
       SELECT channel, CAST(count(*) AS BIGINT) AS n_buckets,
              CAST(sum(s_c) AS BIGINT) AS total_c
       FROM b WHERE bucket_epoch >= 1704844800 GROUP BY 1 ORDER BY 1""",
+
+    // the pruned many-file read must equal the plain range-filtered
+    // hourly aggregation — present buckets only, range ends mid-block
+    "ts_tsd_manyfile" -> s"""
+      WITH b AS (SELECT event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+                        $centsSum AS s_c
+                 FROM events GROUP BY 1, 2)
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(s_c) AS BIGINT) AS total_c
+      FROM b WHERE bucket_epoch >= $SEpoch AND bucket_epoch < $EEpoch
+      GROUP BY 1 ORDER BY 1""",
+
+    // independent re-derivation of the one-byte AC-voltage piecewise
+    // code (0 outage / 1 brownout / 2..253 = v−1040 / 254 over / 255
+    // invalid) and its partial decode
+    "ts_volts_codec" -> s"""
+      WITH v AS (SELECT CASE WHEN event_id % 97 = 0 THEN NULL
+                             ELSE (event_id * 7) % 1600 END AS v
+                 FROM events),
+      c AS (SELECT v, CASE WHEN v IS NULL THEN 255
+                           WHEN v = 0 THEN 0
+                           WHEN v < 1040 THEN 1
+                           ELSE least(v - 1040, 254) END AS code
+            FROM v)
+      SELECT CAST(code AS BIGINT) AS code,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(v) AS BIGINT) AS v_min,
+             CAST(max(v) AS BIGINT) AS v_max,
+             CAST(CASE WHEN code > 1 AND code < 254 THEN code + 1040 END
+               AS BIGINT) AS dec
+      FROM c GROUP BY code ORDER BY code""",
 
     "ts_cli_query" -> s"""
       SELECT event_type AS channel, count(*) AS n,

@@ -240,4 +240,37 @@ class IngestSpec extends AnyFunSuite {
     // for the reset interval) — then ts 7 re-baselines with no delta
     assert(got.last.ts_us == 7 * 1000000L && got.last.delta.isEmpty)
   }
+
+  test("counterDeltas give-up boundary: 255 misses average, 256 re-anchor" +
+    " (etsdSave.c:445-459)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two channels, same tick grid: channel a has a 255-miss outage (the
+    // decoder must still average the recovery delta over 256 intervals),
+    // channel b a 256-miss outage (one past the MissedUpdate ceiling —
+    // the baseline is abandoned and the recovery tick re-anchors)
+    def rows(ch: String, run: Int): Seq[SrcRow] =
+      (SrcRow(1000000L, 0, ch, 1000L, 0, counter = true) +:
+        (1 to run).map(i =>
+          SrcRow((1 + i) * 1000000L, 0, ch, 0L, 1, counter = true))) :+
+        SrcRow((2 + run) * 1000000L, 0, ch, 1000L + 512L * (run + 1), 0,
+          counter = true)
+    val mem = MemoryStream[SrcRow]
+    val q = Ingest.counterDeltas(mem.toDS())
+      .writeStream.format("memory").queryName("giveup")
+      .outputMode("append").start()
+    mem.addData(rows("a", 255) ++ rows("b", 256): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("giveup").as[DeltaRow].collect()
+    val aRec = got.filter(r => r.channel == "a" && r.ts_us == 257 * 1000000L).head
+    val bRec = got.filter(r => r.channel == "b" && r.ts_us == 258 * 1000000L).head
+    assert(aRec.delta.contains(512L) && aRec.missed == 255,
+      s"255-miss recovery must average (got $aRec)")
+    assert(bRec.delta.isEmpty,
+      s"256-miss recovery must re-anchor, not emit a delta (got $bRec)")
+    // after the re-anchor, deltas resume from the new baseline
+    assert(got.count(r => r.channel == "b" && r.delta.isDefined) == 0)
+    assert(got.count(r => r.channel == "a" && r.delta.isDefined) == 1)
+  }
 }

@@ -432,8 +432,23 @@ object DedupOps {
   }
 
   /** Near-dup pairs by SimHash: band the 32-bit fingerprint into 4 bytes,
-    * bucket-join docs agreeing on any byte (capped), keep pairs within
-    * `maxHamming` bits. */
+    * bucket-join docs agreeing on any byte, keep pairs within
+    * `maxHamming` bits.
+    *
+    * Over-cap band buckets are SPLIT into ⌈c/maxBucket⌉ deterministic
+    * member-hash sub-buckets, not dropped (same rationale as
+    * [[containmentPairs]]: members of a large near-dup cluster agree on
+    * EVERY band byte, so under drop semantics no surviving bucket could
+    * ever pair them — precisely the pairs a deduper exists to find).
+    * Recall under the split: a near-dup pair (hamming ≤ 2 leaves ≥ 2 of
+    * the 4 band bytes intact) gets an independent 1/nsub co-bucket draw
+    * per agreeing band — ≥ 1−(1−1/nsub)² pairwise — and what a deduper
+    * actually needs from a mega-cluster is CONNECTIVITY, which the
+    * ~c·maxBucket/2 retained intra-cluster edges give with overwhelming
+    * probability (vs exactly zero edges under drop semantics).
+    * `SimHashRecallSpec` pins both on a planted over-cap cluster. Work
+    * stays O(c·maxBucket) per hot bucket; split volume lands in the
+    * `[capSplit]` census. */
   def simHashPairs(fp: DataFrame, maxHamming: Int, maxBucket: Int = 50): DataFrame = {
     // pin the fingerprints (tiny: doc_id + one long) — three consumers
     // below; identical-plan cache dedup keeps repeated calls bounded
@@ -442,16 +457,23 @@ object DedupOps {
       struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("bkey")))
     val bands = fpP.select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-    // skew-safe partial-agg cap (see candidatePairs)
-    val caps = DedupStats.observeCapDrops(
+    // skew-safe partial-agg counts (see candidatePairs); over-cap →
+    // ceil(c/cap) sub-buckets
+    val counts = DedupStats.observeCapSplits(
         bands.groupBy($"band", $"bkey").count(), "simhash", maxBucket)
-      .filter($"count" >= 2 && $"count" <= maxBucket).select($"band", $"bkey")
-    val capped = bands.join(caps, Seq("band", "bkey"))
-      .select($"band", $"bkey", $"doc_id", $"simhash")
-    capped.join(
-        capped.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("simhash", "fp_b"),
-        Seq("band", "bkey"))
+      .filter($"count" >= 2)
+      .select($"band", $"bkey",
+        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+          .as("nsub"))
+    val sub = bands.join(counts, Seq("band", "bkey"))
+      .select($"band", $"bkey", $"doc_id", $"simhash",
+        (DetHash.h60(concat(lit("sh:"), $"band".cast("string"), lit(":"),
+          $"bkey".cast("string"), lit(":"), $"doc_id".cast("string")))
+          % $"nsub").as("sub"))
+    sub.join(
+        sub.select($"band", $"bkey", $"sub", $"doc_id".as("doc_b"),
+          $"simhash".as("fp_b")),
+        Seq("band", "bkey", "sub"))
       .filter($"doc_id" < $"doc_b")
       .select($"doc_id".as("doc_a"), $"doc_b",
         bit_count($"simhash".bitwiseXOR($"fp_b")).cast("long").as("hamming"))

@@ -1393,13 +1393,23 @@ object LlmQueries {
       bands AS (
         SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS bkey
         FROM fp, (SELECT unnest([0,1,2,3]) AS band)),
-      caps AS (SELECT band, bkey FROM bands GROUP BY 1, 2
-               HAVING count(*) >= 2 AND count(*) <= 50),
+      -- over-cap band buckets are SPLIT into ceil(c/50) member-hash
+      -- sub-buckets (not dropped), mirroring simHashPairs
+      ccnt AS (SELECT band, bkey,
+                      CAST((count(*) + 49) // 50 AS BIGINT) AS nsub
+               FROM bands GROUP BY 1, 2 HAVING count(*) >= 2),
+      csub AS (SELECT s.doc_id, s.simhash, s.band, s.bkey,
+                      ${graft.functions.DetHash.h60Sql(
+                        "'sh:' || CAST(s.band AS VARCHAR) || ':' || " +
+                        "CAST(s.bkey AS VARCHAR) || ':' || " +
+                        "CAST(s.doc_id AS VARCHAR)")} % c.nsub AS sub
+               FROM bands s JOIN ccnt c USING (band, bkey)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        FROM bands a JOIN caps USING (band, bkey)
-        JOIN bands b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id)
+        FROM csub a JOIN csub b
+          ON b.band = a.band AND b.bkey = a.bkey AND b.sub = a.sub
+         AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, hamming FROM cand
       WHERE hamming <= $MaxHamming ORDER BY doc_a, doc_b"""
     },

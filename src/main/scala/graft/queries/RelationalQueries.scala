@@ -49,6 +49,35 @@ object RelationalQueries {
     // star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with the
     // three small dims broadcast (no shuffle on the fact side beyond the
     // orders join; at 100 TB orders/lineitem co-partition on orderkey).
+    // the bucketed co-located layout under the oracle (SURVEY §2.1): both
+    // sides are rewritten as bucketed+sorted managed tables on the join
+    // key (the write-time shuffle that buys every later join/agg on that
+    // key its Exchange back), then joined and aggregated THROUGH the
+    // bucketed read path — values must match the plain-parquet closed
+    // form exactly. BucketingSpec holds the zero-runtime-shuffle plan
+    // assert; this gate holds the layout's value fidelity (bucket
+    // routing, per-bucket sort, bucket-file read-back).
+    "rel_bucketed_join" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      // external tables in a temp dir: nothing accumulates under the
+      // session warehouse across verify runs; UUID names keep parallel
+      // suites race-free
+      val dir = java.nio.file.Files.createTempDirectory("bucketed_gate")
+      graft.sources.Bucketing.writeBucketed(
+        t(s, d, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        s"bg_ord_$tag", "o_custkey", 8, Some(s"$dir/ord"))
+      graft.sources.Bucketing.writeBucketed(
+        t(s, d, "customer").select($"c_custkey", $"c_mktsegment"),
+        s"bg_cust_$tag", "c_custkey", 8, Some(s"$dir/cust"))
+      val bo = s.table(s"bg_ord_$tag")
+      val bc = s.table(s"bg_cust_$tag")
+      bo.join(bc, bo("o_custkey") === bc("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("rev_c"))
+        .orderBy("c_mktsegment")
+    }),
+
     "rel_star_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders")
@@ -519,6 +548,15 @@ object RelationalQueries {
         count(*) AS count_order
       FROM lineitem
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the bucketed layout must be value-transparent: same closed form as
+    // the plain-parquet join it co-locates
+    "rel_bucketed_join" -> """
+      SELECT c_mktsegment,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1""",
 
     "rel_star_revenue" -> """
       SELECT r_name, n_name,

@@ -16,10 +16,13 @@ import org.apache.spark.sql.DataFrame
   * parallelism of bucket-local joins. */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed parquet table. */
+  /** Write `df` as a bucketed+sorted parquet table. With `path` the
+    * table is external (files live there, e.g. a temp dir for tests and
+    * gate fixtures); without, it is managed under the warehouse dir. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
-    df.write.format("parquet").mode("overwrite")
+                    buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

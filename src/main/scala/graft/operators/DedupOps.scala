@@ -134,28 +134,59 @@ object DedupOps {
       .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
 
   /** THE skew-guarded candidate generator shared by every bucket-keyed
-    * dedup family: a capped equality self-join over `(keys..., doc_id)`
-    * rows. The bucket-size cap is a partial aggregation — hot keys are
-    * counted map-side and the tiny caps table broadcasts, so a
-    * degenerate mega-bucket never lands in one task (a window count over
-    * the key would buffer the whole hot bucket in a single WindowExec
-    * just to discard it). The rows are pinned — three consumers (caps +
-    * both self-join sides); the caller releases via Pins.releaseAll()/
-    * Pins.scoped at its query boundary.
-    * Output: distinct doc_a < doc_b from buckets with [2, maxBucket]
-    * members. */
+    * dedup family: a skew-split equality self-join over
+    * `(keys..., doc_id)` rows. Bucket sizes come from a partial
+    * aggregation — hot keys are counted map-side and the tiny counts
+    * table broadcasts, so a degenerate mega-bucket never lands in one
+    * task (a window count over the key would buffer the whole hot
+    * bucket in a single WindowExec).
+    *
+    * Over-cap buckets are SPLIT into ⌈c/maxBucket⌉ deterministic
+    * member-hash sub-buckets, not dropped. Dropping was a recall hole
+    * on exactly the inputs a deduper exists for: members of a dup
+    * cluster larger than the cap share EVERY bucket key, so no
+    * surviving bucket could ever pair them. Under the split a
+    * high-similarity pair gets an independent 1/nsub co-bucket draw per
+    * shared key (near-dups share MANY band/gram keys — minhash pairs
+    * collide on multiple of the 16 bands, n-gram pairs on most of their
+    * 5-grams), and a mega-cluster keeps ~c·maxBucket/2 intra edges —
+    * connectivity for the cluster fold with bounded work, vs zero edges
+    * under drops. Work per hot bucket is O(c·maxBucket); split volume
+    * lands in the `[capSplit]` census ([[DedupStats.observeCapSplits]]).
+    * The sub-bucket hash string (`ps:k1:…:kn:doc`) is the cross-engine
+    * contract the SQL oracles reproduce verbatim.
+    *
+    * The rows are pinned — three consumers (counts + both self-join
+    * sides); the caller releases via Pins.releaseAll()/Pins.scoped at
+    * its query boundary.
+    * Output: distinct doc_a < doc_b from buckets with ≥ 2 members. */
   def cappedPairs(rows: DataFrame, keys: Seq[String],
                   maxBucket: Int): DataFrame = {
     val kc = keys.map(col)
     val b = Pins.pin(rows)
-    val caps = DedupStats.observeCapDrops(
+    val counts = DedupStats.observeCapSplits(
         b.groupBy(kc: _*).count(), s"pairs[${keys.mkString(",")}]", maxBucket)
-      .filter($"count" >= 2 && $"count" <= maxBucket)
-      .select(kc: _*)
-    val capped = b.join(caps, keys).select((kc :+ $"doc_id"): _*)
-    capped.join(capped.withColumnRenamed("doc_id", "doc_b"), keys)
+      .filter($"count" >= 2)
+      .select(kc :+
+        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+          .as("nsub"): _*)
+    val sub = withSubBucket(b.join(counts, keys), keys)
+      .select((kc :+ $"doc_id" :+ $"sub"): _*)
+    sub.join(sub.withColumnRenamed("doc_id", "doc_b"), keys :+ "sub")
       .filter($"doc_id" < $"doc_b")
       .select($"doc_id".as("doc_a"), $"doc_b").distinct()
+  }
+
+  /** Deterministic sub-bucket assignment for an over-cap bucket member:
+    * `h60("ps:" + k1 + ":" + … + ":" + doc_id) % nsub`. Factored out so
+    * [[cappedPairs]] and [[incrementalDedupAgainstIndex]] assign
+    * IDENTICAL sub-buckets (the incremental == full-run pair-for-pair
+    * invariant depends on it), and mirrored textually by the oracles. */
+  private def withSubBucket(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val parts = lit("ps:") +:
+      keys.flatMap(k => Seq(col(k).cast("string"), lit(":"))) :+
+      $"doc_id".cast("string")
+    rows.withColumn("sub", DetHash.h60(concat(parts: _*)) % $"nsub")
   }
 
   /** Candidate pairs from an equality bucket join over (band, bkey), with
@@ -305,7 +336,7 @@ object DedupOps {
     * only as its [[buildDedupIndex]] table (read from parquet; the raw
     * old documents are never re-hashed), and a new batch is deduped
     * against it without ever generating old×old pairs. Band buckets are
-    * capped over the full index (old ∪ new, exactly as a fresh full run
+    * sized and skew-split over the full index (old ∪ new, exactly as a fresh full run
     * would), but only buckets actually touched by a new doc produce
     * candidates, so join cost scales with the BATCH, not the corpus.
     * After the run, append `buildDedupIndex(newDocs)` to the index table
@@ -321,16 +352,23 @@ object DedupOps {
     val baseNew = Pins.pin(shingleHashArrays(newDocs, id, text))
     val newBands = Pins.pin(bandRows(minHashSignatures(baseNew)))
     val allBands = Pins.pin(indexBandRows(idx).unionByName(newBands))
-    // caps over the FULL index — same [2, maxBucket] rule as a from-
-    // scratch run, so incremental and full runs agree pair-for-pair
-    val caps = DedupStats.observeCapDrops(
+    // counts (and hence sub-bucket splits) over the FULL index — the
+    // same rule as a from-scratch run, so incremental and full runs
+    // agree pair-for-pair: withSubBucket assigns each doc the identical
+    // sub it gets in cappedPairs, and only the new side probes
+    val counts = DedupStats.observeCapSplits(
         allBands.groupBy($"band", $"bkey").count(), "incremental", maxBucket)
-      .filter($"count" >= 2 && $"count" <= maxBucket)
-      .select($"band", $"bkey")
-    val cappedAll = allBands.join(caps, Seq("band", "bkey"))
-    val cappedNew = newBands.join(caps, Seq("band", "bkey"))
-    val cand = cappedNew
-      .join(cappedAll.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
+      .filter($"count" >= 2)
+      .select($"band", $"bkey",
+        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+          .as("nsub"))
+    val subAll = withSubBucket(allBands.join(counts, Seq("band", "bkey")),
+      Seq("band", "bkey"))
+    val subNew = withSubBucket(newBands.join(counts, Seq("band", "bkey")),
+      Seq("band", "bkey"))
+    val cand = subNew
+      .join(subAll.withColumnRenamed("doc_id", "doc_b"),
+        Seq("band", "bkey", "sub"))
       .filter($"doc_id" =!= $"doc_b")
       .select(least($"doc_id", $"doc_b").as("doc_a"),
         greatest($"doc_id", $"doc_b").as("doc_b"))
@@ -542,10 +580,24 @@ object DedupOps {
     val e = Pins.pin(gramArrays(evalDocs, id, text))
     val tb = t.select($"doc_id".as("train_id"), explode($"b5").as("bkey"))
     val eb = e.select($"doc_id".as("eval_id"), explode($"b5").as("bkey"))
-    val caps = DedupStats.observeCapDrops(
+    // over-cap TRAIN buckets split into ceil(c/cap) sub-buckets instead
+    // of dropping (a contaminated pair shares most of its 5-grams — each
+    // shared gram is an independent 1/nsub co-sub draw, so recall
+    // survives while join volume stays ≤ |eval rows|·cap); the eval
+    // probe hashes into the SAME sub space sized by the train counts
+    val counts = DedupStats.observeCapSplits(
         tb.groupBy($"bkey").count(), "contamination", maxBucket)
-      .filter($"count" <= maxBucket).select($"bkey")
-    val cand = tb.join(caps, "bkey").join(eb, "bkey")
+      .select($"bkey",
+        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+          .as("nsub"))
+    def subOf(idc: String) = (DetHash.h60(concat(lit("ps:"),
+      $"bkey".cast("string"), lit(":"), col(idc).cast("string")))
+      % $"nsub").as("sub")
+    val tsub = tb.join(counts, "bkey")
+      .select($"bkey", $"train_id", subOf("train_id"))
+    val esub = eb.join(counts, "bkey")
+      .select($"bkey", $"eval_id", subOf("eval_id"))
+    val cand = tsub.join(esub, Seq("bkey", "sub"))
       .select($"train_id", $"eval_id").distinct()
     cand
       .join(t.select($"doc_id".as("train_id"), $"g3".as("hs_a")), "train_id")

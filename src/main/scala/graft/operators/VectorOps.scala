@@ -101,17 +101,27 @@ object VectorOps {
     // sides); pin it so the planes× dot-product bucketing runs once —
     // identical-plan cache dedup bounds repeated calls on the same input
     val b = Pins.pin(vectors.withColumn("bucket", lshBucket(planes, dim)))
-    // skew-safe bucket cap: partial-agg count (hot buckets collapse
-    // map-side, the tiny caps table broadcasts) — a window count here
-    // would buffer a whole degenerate bucket in one task
-    val caps = DedupStats.observeCapDrops(
+    // skew-safe bucket sizing: partial-agg count (hot buckets collapse
+    // map-side, the tiny counts table broadcasts) — a window count here
+    // would buffer a whole degenerate bucket in one task. Over-cap
+    // buckets SPLIT into ⌈c/maxBucket⌉ member-hash sub-buckets instead
+    // of dropping (DedupOps.cappedPairs' rationale: a >cap near-dup
+    // cluster must not become invisible); the `ps:bucket:vec` string is
+    // the cross-engine sub-assignment contract the oracle mirrors.
+    val counts = DedupStats.observeCapSplits(
         b.groupBy($"bucket").count(), "cosine", maxBucket)
-      .filter($"count" >= 2 && $"count" <= maxBucket).select($"bucket")
-    val capped = b.join(caps, "bucket")
-      .select($"bucket", $"vec_id", $"qv", $"nrm")
-    val r = capped.select($"bucket", $"vec_id".as("vec_b"), $"qv".as("vb"),
-      $"nrm".as("nb"))
-    capped.join(r, Seq("bucket")).filter($"vec_id" < $"vec_b")
+      .filter($"count" >= 2)
+      .select($"bucket",
+        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+          .as("nsub"))
+    val capped = b.join(counts, "bucket")
+      .withColumn("sub", DetHash.h60(concat(lit("ps:"),
+        $"bucket".cast("string"), lit(":"), $"vec_id".cast("string")))
+        % $"nsub")
+      .select($"bucket", $"sub", $"vec_id", $"qv", $"nrm")
+    val r = capped.select($"bucket", $"sub", $"vec_id".as("vec_b"),
+      $"qv".as("vb"), $"nrm".as("nb"))
+    capped.join(r, Seq("bucket", "sub")).filter($"vec_id" < $"vec_b")
       .withColumn("dot", LongArrayDot($"qv", $"vb"))
       .withColumn("cos", $"dot".cast("double") /
         sqrt($"nrm".cast("double") * $"nb".cast("double")))
@@ -420,8 +430,9 @@ object VectorOps {
     * N probes — structurally impossible at corpus scale — so every
     * vector instead probes its own hyperplane bucket plus the
     * `planes` Hamming-1 flips (the [[lshKnn]] multi-probe trick turned
-    * corpus-wide), and candidates come only from corpus buckets inside
-    * the standard [2, maxBucket] skew cap ([[DedupStats]]-observed).
+    * corpus-wide), and over-cap corpus buckets are skew-SPLIT into
+    * member-hash sub-buckets ([[DedupStats]]-observed) with each probe
+    * drawing one sub per probed bucket.
     * The flip set is distinct, so a neighbor pairs with a probe at most
     * once — no dedup stage. Per-vector candidate state is bounded by
     * (1+planes)·maxBucket; planes is the bucket-size dial at scale.
@@ -429,18 +440,32 @@ object VectorOps {
   def knnGraph(vectors: DataFrame, k: Int, planes: Int, dim: Int,
                maxBucket: Int): DataFrame = {
     val b = Pins.pin(vectors.withColumn("bucket", lshBucket(planes, dim)))
-    val caps = DedupStats.observeCapDrops(
+    // over-cap buckets SPLIT into member-hash sub-buckets (see
+    // cosineDedup): each probe hashes into ONE sub of each probed
+    // bucket, so per-vector candidate state stays bounded by
+    // (1+planes)·maxBucket while a >cap bucket keeps contributing
+    // neighbors (under drops its members had NO graph edges at all);
+    // the 1+planes independent probes carry the recall across subs
+    val counts = DedupStats.observeCapSplits(
         b.groupBy($"bucket").count(), "knngraph", maxBucket)
-      .filter($"count" >= 2 && $"count" <= maxBucket).select($"bucket")
-    val corpus = b.join(caps, "bucket")
-      .select($"bucket", $"vec_id".as("nbr_id"), $"qv".as("nv"),
-        $"nrm".as("nn"))
+      .filter($"count" >= 2)
+      .select($"bucket",
+        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+          .as("nsub"))
+    def subOf(idc: String) = (DetHash.h60(concat(lit("ps:"),
+      $"bucket".cast("string"), lit(":"), col(idc).cast("string")))
+      % $"nsub").as("sub")
+    val corpus = b.join(counts, "bucket")
+      .select($"bucket", subOf("vec_id"), $"vec_id".as("nbr_id"),
+        $"qv".as("nv"), $"nrm".as("nn"))
     val flips = array(($"bucket" +: (0 until planes).map(pl =>
       $"bucket".bitwiseXOR(lit(1L << pl)))): _*)
     val probes = b.select(explode(flips).as("bucket"), $"vec_id", $"qv",
-      $"nrm")
+        $"nrm")
+      .join(counts, "bucket")
+      .select($"bucket", subOf("vec_id"), $"vec_id", $"qv", $"nrm")
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr_id")
-    probes.join(corpus, "bucket")
+    probes.join(corpus, Seq("bucket", "sub"))
       .filter($"vec_id" =!= $"nbr_id")
       .withColumn("dot", LongArrayDot($"qv", $"nv"))
       .withColumn("cos", $"dot".cast("double") /

@@ -626,14 +626,29 @@ object LlmQueries {
     s"bands AS ($rows)"
   }
 
-  /** Candidate pairs from capped (band,bkey) buckets (mirrors candidatePairs). */
+  /** Candidate pairs from skew-split (band,bkey) buckets (mirrors
+    * candidatePairs: over-cap buckets shatter into ceil(c/cap)
+    * member-hash sub-buckets — the `ps:band:bkey:doc` hash string is the
+    * cross-engine contract with DedupOps.withSubBucket). */
   private def candCte(maxBucket: Int): String = s"""
-    caps AS (SELECT band, bkey FROM bands GROUP BY 1, 2
-             HAVING count(*) >= 2 AND count(*) <= $maxBucket),
+    ccnt AS MATERIALIZED (SELECT band, bkey,
+                    CAST((count(*) + ${maxBucket - 1}) // $maxBucket
+                      AS BIGINT) AS nsub
+             FROM bands GROUP BY 1, 2 HAVING count(*) >= 2),
+    -- MATERIALIZED: csub is self-joined below; without the hint DuckDB
+    -- inlines it twice and re-evaluates the whole upstream signature
+    -- pipeline per side (measured 265 s vs 1.9 s on minhash at sf0.1)
+    csub AS MATERIALIZED (SELECT s.doc_id, s.band, s.bkey,
+                    ${graft.functions.DetHash.h60Sql(
+                      "'ps:' || CAST(s.band AS VARCHAR) || ':' || " +
+                      "CAST(s.bkey AS VARCHAR) || ':' || " +
+                      "CAST(s.doc_id AS VARCHAR)")} % c.nsub AS sub
+             FROM bands s JOIN ccnt c USING (band, bkey)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN caps USING (band, bkey)
-      JOIN bands b ON b.band = a.band AND b.bkey = a.bkey AND a.doc_id < b.doc_id)"""
+      FROM csub a JOIN csub b
+        ON b.band = a.band AND b.bkey = a.bkey AND b.sub = a.sub
+       AND a.doc_id < b.doc_id)"""
 
   /** Exact Jaccard over candidates vs a (doc_id, h31) set table `sh`. */
   private val JaccardSelect = s"""
@@ -1007,10 +1022,24 @@ object LlmQueries {
               FROM g3p)),
       tb AS (SELECT doc_id AS train_id, bkey FROM b5 WHERE bucket < 90),
       eb AS (SELECT doc_id AS eval_id,  bkey FROM b5 WHERE bucket >= 90),
-      caps AS (SELECT bkey FROM tb GROUP BY 1 HAVING count(*) <= 50),
+      -- over-cap TRAIN buckets split into ceil(c/50) sub-buckets; the
+      -- eval probe hashes into the same train-sized sub space (mirrors
+      -- DedupOps.contamination)
+      tcnt AS MATERIALIZED (SELECT bkey, CAST((count(*) + 49) // 50 AS BIGINT) AS nsub
+               FROM tb GROUP BY 1),
+      tsub AS MATERIALIZED (SELECT t.train_id, t.bkey,
+                      ${graft.functions.DetHash.h60Sql(
+                        "'ps:' || CAST(t.bkey AS VARCHAR) || ':' || " +
+                        "CAST(t.train_id AS VARCHAR)")} % c.nsub AS sub
+               FROM tb t JOIN tcnt c USING (bkey)),
+      esub AS (SELECT e.eval_id, e.bkey,
+                      ${graft.functions.DetHash.h60Sql(
+                        "'ps:' || CAST(e.bkey AS VARCHAR) || ':' || " +
+                        "CAST(e.eval_id AS VARCHAR)")} % c.nsub AS sub
+               FROM eb e JOIN tcnt c USING (bkey)),
       cand AS (
         SELECT DISTINCT train_id, eval_id
-        FROM tb JOIN caps USING (bkey) JOIN eb USING (bkey)),
+        FROM tsub JOIN esub USING (bkey, sub)),
       sh3 AS (SELECT DISTINCT doc_id, unnest(g) AS h31 FROM g3p),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh3 GROUP BY 1),
       inter AS (
@@ -1395,10 +1424,10 @@ object LlmQueries {
         FROM fp, (SELECT unnest([0,1,2,3]) AS band)),
       -- over-cap band buckets are SPLIT into ceil(c/50) member-hash
       -- sub-buckets (not dropped), mirroring simHashPairs
-      ccnt AS (SELECT band, bkey,
+      ccnt AS MATERIALIZED (SELECT band, bkey,
                       CAST((count(*) + 49) // 50 AS BIGINT) AS nsub
                FROM bands GROUP BY 1, 2 HAVING count(*) >= 2),
-      csub AS (SELECT s.doc_id, s.simhash, s.band, s.bkey,
+      csub AS MATERIALIZED (SELECT s.doc_id, s.simhash, s.band, s.bkey,
                       ${graft.functions.DetHash.h60Sql(
                         "'sh:' || CAST(s.band AS VARCHAR) || ':' || " +
                         "CAST(s.bkey AS VARCHAR) || ':' || " +
@@ -1433,12 +1462,19 @@ object LlmQueries {
               FROM g3p)),
       sh AS (
         SELECT DISTINCT doc_id, unnest(g) AS h31 FROM g3p),
-      caps AS (SELECT bkey FROM bucket5 GROUP BY 1
-               HAVING count(*) >= 2 AND count(*) <= 20),
+      -- over-cap 5-gram buckets split into ceil(c/20) member-hash
+      -- sub-buckets (mirrors cappedPairs via withSubBucket)
+      ccnt AS MATERIALIZED (SELECT bkey, CAST((count(*) + 19) // 20 AS BIGINT) AS nsub
+               FROM bucket5 GROUP BY 1 HAVING count(*) >= 2),
+      csub AS MATERIALIZED (SELECT s.doc_id, s.bkey,
+                      ${graft.functions.DetHash.h60Sql(
+                        "'ps:' || CAST(s.bkey AS VARCHAR) || ':' || " +
+                        "CAST(s.doc_id AS VARCHAR)")} % c.nsub AS sub
+               FROM bucket5 s JOIN ccnt c USING (bkey)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bucket5 a JOIN caps USING (bkey)
-        JOIN bucket5 b ON b.bkey = a.bkey AND a.doc_id < b.doc_id),
+        FROM csub a JOIN csub b
+          ON b.bkey = a.bkey AND b.sub = a.sub AND a.doc_id < b.doc_id),
       $JaccardSelect
       SELECT * FROM jac WHERE jaccard >= $NgramMinJaccard ORDER BY doc_a, doc_b"""
     },
@@ -1542,20 +1578,30 @@ object LlmQueries {
       bucket AS (SELECT vec_id,
                CAST(sum(CASE WHEN d >= 0 THEN $buckVal ELSE 0 END) AS BIGINT) AS bucket
                FROM bdot GROUP BY 1),
-      cap AS (SELECT bucket FROM (SELECT bucket, count(*) AS cnt
-                                  FROM bucket GROUP BY 1)
-              WHERE cnt >= 2 AND cnt <= 500),
-      corpus AS (SELECT b.vec_id, b.bucket
-                 FROM bucket b JOIN cap USING (bucket)),
+      -- over-cap corpus buckets split into ceil(c/500) member-hash
+      -- sub-buckets; each probe draws one sub per probed bucket
+      -- (mirrors knnGraph)
+      ccnt AS MATERIALIZED (SELECT bucket, CAST((count(*) + 499) // 500 AS BIGINT) AS nsub
+               FROM bucket GROUP BY 1 HAVING count(*) >= 2),
+      corpus AS MATERIALIZED (SELECT b.vec_id, b.bucket,
+                        ${graft.functions.DetHash.h60Sql(
+                          "'ps:' || CAST(b.bucket AS VARCHAR) || ':' || " +
+                          "CAST(b.vec_id AS VARCHAR)")} % c.nsub AS sub
+                 FROM bucket b JOIN ccnt c USING (bucket)),
       pbuckets AS ( -- every vector probes its own + Hamming-1 buckets
         SELECT vec_id AS probe_id, unnest([bucket, $flipList]) AS bucket
         FROM bucket),
+      psub AS (SELECT p.probe_id, p.bucket,
+                      ${graft.functions.DetHash.h60Sql(
+                        "'ps:' || CAST(p.bucket AS VARCHAR) || ':' || " +
+                        "CAST(p.probe_id AS VARCHAR)")} % c.nsub AS sub
+               FROM pbuckets p JOIN ccnt c USING (bucket)),
       dots AS (
         SELECT pl.probe_id, pb.vec_id AS nbr_id,
                CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
                any_value(pa.nrm) AS pn, any_value(pb.nrm) AS nrm
-        FROM pbuckets pl
-        JOIN corpus bb ON bb.bucket = pl.bucket
+        FROM psub pl
+        JOIN corpus bb ON bb.bucket = pl.bucket AND bb.sub = pl.sub
         JOIN qn pa ON pa.vec_id = pl.probe_id
         JOIN qn pb ON pb.vec_id = bb.vec_id AND pb.vec_id <> pl.probe_id
         JOIN u ua ON ua.vec_id = pl.probe_id
@@ -1687,12 +1733,19 @@ object LlmQueries {
       bucket AS (SELECT vec_id,
                CAST(sum(CASE WHEN d >= 0 THEN $buckVal ELSE 0 END) AS BIGINT) AS bucket
                FROM bdot GROUP BY 1),
-      caps AS (SELECT bucket FROM bucket GROUP BY 1
-               HAVING count(*) >= 2 AND count(*) <= 500),
+      -- over-cap LSH buckets split into ceil(c/500) member-hash
+      -- sub-buckets (mirrors cosineDedup)
+      ccnt AS MATERIALIZED (SELECT bucket, CAST((count(*) + 499) // 500 AS BIGINT) AS nsub
+               FROM bucket GROUP BY 1 HAVING count(*) >= 2),
+      csub AS MATERIALIZED (SELECT s.vec_id, s.bucket,
+                      ${graft.functions.DetHash.h60Sql(
+                        "'ps:' || CAST(s.bucket AS VARCHAR) || ':' || " +
+                        "CAST(s.vec_id AS VARCHAR)")} % c.nsub AS sub
+               FROM bucket s JOIN ccnt c USING (bucket)),
       pair AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM bucket a JOIN caps USING (bucket)
-        JOIN bucket b ON b.bucket = a.bucket AND a.vec_id < b.vec_id),
+        FROM csub a JOIN csub b
+          ON b.bucket = a.bucket AND b.sub = a.sub AND a.vec_id < b.vec_id),
       dots AS (
         SELECT p.vec_a, p.vec_b, CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
                any_value(na.nrm) AS na, any_value(nb.nrm) AS nb

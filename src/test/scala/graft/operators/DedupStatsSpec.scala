@@ -5,14 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft._
 import graft.TestSpark
 
-/** Cap-overflow observability: dropping an over-cap bucket is a recall
-  * trade that must surface as a metric, not a silent hole (round-3
-  * advice item 6). */
+/** Cap-overflow observability: splitting an over-cap bucket is bounded
+  * extra work that must surface as a metric, not happen silently
+  * (round-3 advice item 6 established the census; round 9 turned the
+  * generator's drops into splits). */
 class DedupStatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("a planted mega-bucket is counted, sized, and excluded from pairs") {
+  test("a planted mega-bucket is counted, sized, and SPLIT — not dropped") {
     // one hot bucket of 30 members (over the cap of 10) + two small ones
     val rows = ((1 to 30).map(i => (i.toLong, "HOT")) ++
       Seq((31L, "a"), (32L, "a"), (40L, "b"), (41L, "b"), (42L, "b")))
@@ -22,21 +23,30 @@ class DedupStatsSpec extends AnyFunSuite {
       DedupOps.cappedPairs(rows, Seq("bkey"), maxBucket = 10).collect()
     }
     DedupStats.awaitQuiesce(spark)
-    assert(DedupStats.droppedBuckets.get() == 1,
-      s"expected the HOT bucket reported, got ${DedupStats.droppedBuckets.get()}")
-    assert(DedupStats.droppedRows.get() == 30)
-    assert(DedupStats.maxDroppedBucket.get() == 30)
-    // the dropped bucket contributed no candidate pairs; small ones did
-    assert(pairs.length == 1 + 3) // C(2,2)=1 from "a", C(3,2)=3 from "b"
-    assert(pairs.forall(r => r.getLong(0) > 30L))
+    assert(DedupStats.splitBuckets.get() == 1,
+      s"expected the HOT bucket reported, got ${DedupStats.splitBuckets.get()}")
+    assert(DedupStats.splitRows.get() == 30)
+    assert(DedupStats.maxSplitBucket.get() == 30)
+    assert(DedupStats.droppedBuckets.get() == 0,
+      "cappedPairs must never DROP a bucket")
+    // the hot bucket still contributes pairs (within its 3 member-hash
+    // sub-buckets: Σ C(|sub|,2) < C(30,2)) and stays connected enough
+    // to matter; the small buckets' pairs are exactly the full sets
+    val hot = pairs.filter(r => r.getLong(0) <= 30L)
+    val small = pairs.filter(r => r.getLong(0) > 30L)
+    assert(small.length == 1 + 3) // C(2,2)=1 from "a", C(3,2)=3 from "b"
+    assert(hot.nonEmpty, "split hot bucket must still produce pairs")
+    assert(hot.length < 30 * 29 / 2,
+      "split hot bucket must not produce the full all-pairs set")
   }
 
-  test("an in-cap run reports zero drops") {
+  test("an in-cap run reports zero splits") {
     val rows = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "bkey")
     DedupStats.reset()
     Pins.scoped { DedupOps.cappedPairs(rows, Seq("bkey"), 10).collect() }
     DedupStats.awaitQuiesce(spark)
+    assert(DedupStats.splitBuckets.get() == 0)
+    assert(DedupStats.splitRows.get() == 0)
     assert(DedupStats.droppedBuckets.get() == 0)
-    assert(DedupStats.droppedRows.get() == 0)
   }
 }

@@ -178,18 +178,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
       caught.head._3 == 1.0, s"exhaustive pass should flag the pair: $caught")
   }
 
-  test("degenerate corpus: mega-buckets are dropped by the cap, " +
-    "and exactDedup still collapses the clones") {
+  test("degenerate corpus: mega-buckets SPLIT (bounded pairs, cluster " +
+    "connected), and exactDedup still collapses the clones") {
     // 60 byte-identical docs: every LSH bucket holds all 60 > maxBucket,
-    // so the near-dup pass emits nothing rather than 60²/2 pairs in one
-    // task — the documented skew guard. The clones are exact dups, which
-    // the (cheap, uncapped) exact pass upstream is responsible for.
+    // so each of the 16 band buckets splits into 3 member-hash
+    // sub-buckets — the near-dup pass emits the sub-mate pairs (every
+    // one jaccard 1.0), NOT the full 60²/2 set in one task, and the
+    // retained edges keep the clone cluster in one dedup component
+    // (under the old drop semantics this cluster produced ZERO pairs).
+    // The clones are also exact dups, which the cheap uncapped exact
+    // pass collapses regardless.
     val clones = (1L to 60L).map(i => (i, lorem)).toDF("doc_id", "text")
+    DedupStats.awaitQuiesce(spark); DedupStats.reset()
     val near = Pins.scoped {
       DedupOps.minHashDedup(clones, $"doc_id", $"text", 0.5, maxBucket = 20)
-        .count()
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
     }
-    assert(near == 0L)
+    DedupStats.awaitQuiesce(spark)
+    assert(DedupStats.splitBuckets.get > 0 && DedupStats.droppedBuckets.get == 0)
+    assert(near.nonEmpty, "split mega-buckets must still pair sub-mates")
+    assert(near.size < 60 * 59 / 2,
+      s"the skew guard must bound the pair set, got ${near.size}")
+    // union-find: retained edges connect all 60 clones
+    val parent = Array.tabulate(61)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }; r }
+    near.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    assert((1 to 60).map(find).distinct.size == 1,
+      "clone cluster fractured under the split")
     val exact = DedupOps.exactDedup(clones, $"doc_id", $"text")
       .select($"keeper_doc_id", $"n_docs").as[(Long, Long)].collect()
     assert(exact.toSeq == Seq((1L, 60L)))

@@ -98,7 +98,7 @@ object ScaleProbe {
           $"doc_id", $"text").count())
       }
       println("  knnGraph (corpus-wide probes; clone replicas push " +
-        "buckets into the cap at 16x - the documented skew guard)")
+        "buckets over the cap at 16x - the split skew guard fires)")
       time(VectorOps.knnGraph(
         VectorOps.quantize(e, $"vec_id", $"embedding"), 5, 6, 64, 500)
         .count())

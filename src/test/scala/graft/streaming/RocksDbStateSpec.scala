@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft._
+import graft.TestSpark
+
+/** The 100 TB state-store path: at cluster scale, streaming state (the
+  * per-channel `LastReading` decode state, windowed block aggregates,
+  * dedup key sets) must not live in executor heap — Spark's RocksDB
+  * provider spills it to local disk with incremental checkpointing.
+  * These tests run the SAME stateful operators the oracle gate runs,
+  * but on `RocksDBStateStoreProvider`, and require identical results —
+  * proving none of our stateful code depends on the default
+  * HDFS-backed in-memory store (provider choice is then purely a
+  * deploy-time `spark.sql.streaming.stateStore.providerClass` conf). */
+class RocksDbStateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Provider = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[A](f: => A): A = {
+    // the provider is captured at query START, so a scoped session conf
+    // is enough; restore the default for the rest of the suite
+    val prev = spark.conf.getOption(Provider)
+    spark.conf.set(Provider, RocksDb)
+    try f
+    finally prev.fold(spark.conf.unset(Provider))(spark.conf.set(Provider, _))
+  }
+
+  test("counterDeltas state lives in RocksDB: identical decode across batches") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(): Seq[DeltaRow] = {
+      val mem = MemoryStream[SrcRow]
+      val sink = s"rocks_cd_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = Ingest.counterDeltas(mem.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      def row(i: Int, reading: Long, status: Int) =
+        SrcRow(i * 1000000L, 0, "c", reading, status, counter = true)
+      try {
+        mem.addData(row(1, 100, 0), row(2, 150, 0), row(3, 0, 1))
+        q.processAllAvailable()
+        mem.addData(row(4, 0, 1), row(5, 250, 0), row(6, 0, 2), row(7, 999, 0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).as[DeltaRow].collect().toSeq.sortBy(_.ts_us)
+    }
+    val rocks = withRocksDb { run() }
+    val default = run()
+    assert(rocks == default, "RocksDB-backed decode diverged from default")
+    assert(rocks.map(_.delta) == Seq(None, Some(50L), None, None,
+      Some((250L - 150L) / 3), None, None))
+  }
+
+  test("windowed block aggregate + watermark on RocksDB matches the closed form") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val got = withRocksDb {
+      val mem = MemoryStream[Long]
+      val t0 = 1700000000L
+      val rows = mem.toDF().select(
+        ($"value" * 10L + t0).cast("long").alias("epoch"))
+        .select(($"epoch" * 1000000L).as("ts_us"), lit("g").as("channel"),
+          ($"epoch" % 7L).as("value"), lit(true).as("valid"))
+      val agg = Ingest.blockAggregate(rows, blockSec = 600L,
+        maxLateness = "30 seconds")
+      val sink = s"rocks_ba_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData(1L to 60L: _*); q.processAllAvailable()
+        mem.addData(61L to 200L: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink)
+        .select($"block_epoch", $"n", $"total").as[(Long, Long, Long)]
+        .collect().toSeq.sortBy(_._1)
+    }
+    // closed form over the ticks whose 600 s block CLOSED under the
+    // watermark (ticks run to t0+2000 s; max event time 1700002000,
+    // watermark 1700001970 → blocks starting 1700000400, 1700001000 are
+    // complete; the partial last block stays open)
+    val t0 = 1700000000L
+    val byBlock = (1L to 200L).map(n => t0 + n * 10)
+      .groupBy(e => e / 600 * 600).toSeq.sortBy(_._1)
+      .map { case (b, es) => (b, es.size.toLong, es.map(_ % 7).sum) }
+    val closed = byBlock.filter(_._1 + 600 <= t0 + 200 * 10 - 30)
+    assert(got == closed, s"got $got want $closed")
+  }
+
+  test("streaming exact dedup keyed state on RocksDB drops the same dups") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val got = withRocksDb {
+      val mem = MemoryStream[Long]
+      val t0 = 1700000000L
+      val rows = mem.toDF().select(
+        timestamp_seconds(lit(t0) + $"value" * 10L).as("ts"),
+        pmod($"value", lit(37L)).as("k"))
+      val sink = s"rocks_dd_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = graft.operators.DedupOps.streamingExactDedup(
+          rows, concat(lit("doc "), $"k".cast("string")), "1 hour")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { mem.addData(1L to 300L: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(sink).count()
+    }
+    assert(got == 37L, s"expected one survivor per key, got $got")
+  }
+
+}

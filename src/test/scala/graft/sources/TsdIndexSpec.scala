@@ -100,6 +100,21 @@ class TsdIndexSpec extends AnyFunSuite {
     assert(TsdIndex.PlanStats.probedFiles.get() == 0)
   }
 
+  test("the ts_tsd_manyfile gate shape plans from the sidecar: zero probes") {
+    // the oracle gate's many-file query end to end (exportIndexed →
+    // range-filtered DSv2 read): its correctness row in CORRECTNESS and
+    // this planning assert together pin value AND plan for the
+    // many-file deployment shape
+    TsdIndex.PlanStats.reset()
+    val df = graft.SparkEntry.queries("ts_tsd_manyfile")(
+      spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    assert(TsdIndex.PlanStats.probedFiles.get() == 0,
+      "the gate's read must plan from the sink-maintained sidecar")
+    assert(TsdIndex.PlanStats.indexedFiles.get() > 0)
+    assert(TsdIndex.PlanStats.driverProbedFiles.get() == 0)
+  }
+
   test("header-only single file plans zero blocks instead of probing past EOF") {
     val dir = Files.createTempDirectory("hdr").toString
     val f = s"$dir/new.tsd"

@@ -15,9 +15,12 @@ import graft.functions.DetHash
   * Scale stance (100 TB): every candidate-pair generator goes through an
   * equality bucket join with a bucket-size cap — the plan contains no
   * cartesian/all-pairs stage, and skewed mega-buckets (a near-constant
-  * shingle or band) are dropped by the cap rather than exploding one task.
-  * All hashes are [[DetHash]] md5-derived integers, so dedup decisions are
-  * reproducible across engines and re-runs.
+  * shingle or band) are SPLIT into bounded member-hash sub-buckets
+  * ([[withSubBucket]]) rather than exploding one task — or silently
+  * dropping their candidates, which would hide exactly the clusters a
+  * deduper exists to find. All hashes are [[DetHash]] md5-derived
+  * integers, so dedup decisions (including the sub-bucket assignment)
+  * are reproducible across engines and re-runs.
   *
   * Per-document set computations (distinct shingle hashes, MinHash
   * signatures, SimHash bit sums) stay in ARRAY form inside one narrow
@@ -168,8 +171,7 @@ object DedupOps {
         b.groupBy(kc: _*).count(), s"pairs[${keys.mkString(",")}]", maxBucket)
       .filter($"count" >= 2)
       .select(kc :+
-        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
-          .as("nsub"): _*)
+        nsubExpr(maxBucket).as("nsub"): _*)
     val sub = withSubBucket(b.join(counts, keys), keys)
       .select((kc :+ $"doc_id" :+ $"sub"): _*)
     sub.join(sub.withColumnRenamed("doc_id", "doc_b"), keys :+ "sub")
@@ -177,15 +179,26 @@ object DedupOps {
       .select($"doc_id".as("doc_a"), $"doc_b").distinct()
   }
 
+  /** ⌈count/maxBucket⌉ as an exact integer column — THE cap formula
+    * every split generator (and every SQL oracle) shares. */
+  private[operators] def nsubExpr(maxBucket: Int): Column =
+    expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+
   /** Deterministic sub-bucket assignment for an over-cap bucket member:
-    * `h60("ps:" + k1 + ":" + … + ":" + doc_id) % nsub`. Factored out so
-    * [[cappedPairs]] and [[incrementalDedupAgainstIndex]] assign
-    * IDENTICAL sub-buckets (the incremental == full-run pair-for-pair
-    * invariant depends on it), and mirrored textually by the oracles. */
-  private def withSubBucket(rows: DataFrame, keys: Seq[String]): DataFrame = {
-    val parts = lit("ps:") +:
+    * `h60(prefix + k1 + ":" + … + ":" + id) % nsub`. THE one
+    * implementation all split generators share — [[cappedPairs]],
+    * [[incrementalDedupAgainstIndex]] (whose pair-for-pair equality
+    * with full runs depends on identical assignment),
+    * [[containmentPairs]], [[contamination]], [[simHashPairs]], and
+    * VectorOps' cosineDedup/knnGraph — and the textual contract the SQL
+    * oracles mirror. `rows` must carry an `nsub` column (from
+    * [[nsubExpr]] over the bucket counts). */
+  private[operators] def withSubBucket(rows: DataFrame, keys: Seq[String],
+                                       idCol: String = "doc_id",
+                                       prefix: String = "ps:"): DataFrame = {
+    val parts = lit(prefix) +:
       keys.flatMap(k => Seq(col(k).cast("string"), lit(":"))) :+
-      $"doc_id".cast("string")
+      col(idCol).cast("string")
     rows.withColumn("sub", DetHash.h60(concat(parts: _*)) % $"nsub")
   }
 
@@ -260,12 +273,10 @@ object DedupOps {
         samp.groupBy($"h31").count(), "containment", maxBucket)
       .filter($"count" >= 2)
       .select($"h31",
-        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
-          .as("nsub"))
-    val sub = samp.join(counts, "h31")
-      .select($"h31", $"doc_id",
-        (DetHash.h60(concat(lit("cs:"), $"h31".cast("string"), lit(":"),
-          $"doc_id".cast("string"))) % $"nsub").as("sub"))
+        nsubExpr(maxBucket).as("nsub"))
+    val sub = withSubBucket(samp.join(counts, "h31"), Seq("h31"),
+        prefix = "cs:")
+      .select($"h31", $"doc_id", $"sub")
     val cand = sub
       .join(sub.select($"h31", $"doc_id".as("doc_b"), $"sub"),
         Seq("h31", "sub"))
@@ -360,8 +371,7 @@ object DedupOps {
         allBands.groupBy($"band", $"bkey").count(), "incremental", maxBucket)
       .filter($"count" >= 2)
       .select($"band", $"bkey",
-        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
-          .as("nsub"))
+        nsubExpr(maxBucket).as("nsub"))
     val subAll = withSubBucket(allBands.join(counts, Seq("band", "bkey")),
       Seq("band", "bkey"))
     val subNew = withSubBucket(newBands.join(counts, Seq("band", "bkey")),
@@ -501,13 +511,10 @@ object DedupOps {
         bands.groupBy($"band", $"bkey").count(), "simhash", maxBucket)
       .filter($"count" >= 2)
       .select($"band", $"bkey",
-        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
-          .as("nsub"))
-    val sub = bands.join(counts, Seq("band", "bkey"))
-      .select($"band", $"bkey", $"doc_id", $"simhash",
-        (DetHash.h60(concat(lit("sh:"), $"band".cast("string"), lit(":"),
-          $"bkey".cast("string"), lit(":"), $"doc_id".cast("string")))
-          % $"nsub").as("sub"))
+        nsubExpr(maxBucket).as("nsub"))
+    val sub = withSubBucket(bands.join(counts, Seq("band", "bkey")),
+        Seq("band", "bkey"), prefix = "sh:")
+      .select($"band", $"bkey", $"doc_id", $"simhash", $"sub")
     sub.join(
         sub.select($"band", $"bkey", $"sub", $"doc_id".as("doc_b"),
           $"simhash".as("fp_b")),
@@ -588,15 +595,13 @@ object DedupOps {
     val counts = DedupStats.observeCapSplits(
         tb.groupBy($"bkey").count(), "contamination", maxBucket)
       .select($"bkey",
-        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
-          .as("nsub"))
-    def subOf(idc: String) = (DetHash.h60(concat(lit("ps:"),
-      $"bkey".cast("string"), lit(":"), col(idc).cast("string")))
-      % $"nsub").as("sub")
-    val tsub = tb.join(counts, "bkey")
-      .select($"bkey", $"train_id", subOf("train_id"))
-    val esub = eb.join(counts, "bkey")
-      .select($"bkey", $"eval_id", subOf("eval_id"))
+        nsubExpr(maxBucket).as("nsub"))
+    val tsub = withSubBucket(tb.join(counts, "bkey"), Seq("bkey"),
+        idCol = "train_id")
+      .select($"bkey", $"train_id", $"sub")
+    val esub = withSubBucket(eb.join(counts, "bkey"), Seq("bkey"),
+        idCol = "eval_id")
+      .select($"bkey", $"eval_id", $"sub")
     val cand = tsub.join(esub, Seq("bkey", "sub"))
       .select($"train_id", $"eval_id").distinct()
     cand

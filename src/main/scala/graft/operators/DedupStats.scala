@@ -9,14 +9,19 @@ import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft._
 
-/** Cap-overflow observability for the capped-bucket candidate generators.
+/** Cap-overflow observability for the bucket-keyed candidate generators.
   *
-  * Every dedup-family candidate generator drops buckets larger than
-  * `maxBucket` (the skew guard that keeps a degenerate mega-bucket — a
-  * boilerplate shingle, a constant band — from exploding one task). At
-  * 100 TB that drop is a deliberate recall trade, and it must be a
-  * METRIC, not a silent hole: a corpus whose hot buckets swallow 30% of
-  * documents looks identical to a clean one in the output alone.
+  * Every dedup-family candidate generator SPLITS buckets larger than
+  * `maxBucket` into bounded member-hash sub-buckets (the skew guard
+  * that keeps a degenerate mega-bucket — a boilerplate shingle, a
+  * constant band — from exploding one task, without losing its
+  * candidates). At 100 TB that split is bounded extra join volume, and
+  * it must be a METRIC, not silent: a corpus whose hot buckets hold
+  * 30% of documents deserves a visible census. The drop counters
+  * remain for the one operator with documented drop-style semantics
+  * (`semDedup`'s over-cap clusters are left un-pruned rather than
+  * partially pruned — see its scaladoc) and as a tripwire: the oracle
+  * battery's census is expected to report zero drops.
   *
   * Mechanism: the bucket-count aggregate (computed anyway for the cap)
   * carries a Spark `observe` — a native `CollectMetrics` node, zero
@@ -35,9 +40,10 @@ object DedupStats {
   /** Size of the largest dropped bucket seen (skew magnitude). */
   val maxDroppedBucket = new AtomicLong(0)
 
-  /** Buckets SPLIT (not dropped) for exceeding their cap — the
-    * containment generator's bounded sub-bucket path: work stays capped
-    * but candidates survive, so the trade is cost, never recall. */
+  /** Buckets SPLIT (not dropped) for exceeding their cap — the shared
+    * bounded sub-bucket path of every candidate generator: work stays
+    * capped but candidates survive, so the trade is cost, never
+    * recall. */
   val splitBuckets = new AtomicLong(0)
   /** Rows inside those split buckets (the bounded extra join volume). */
   val splitRows = new AtomicLong(0)
@@ -64,69 +70,65 @@ object DedupStats {
   private val Prefix = "graft.capDrop."
   private val SplitPrefix = "graft.capSplit."
 
-  /** Attach the overflow observation to a bucket-counts DataFrame
+  /** Attach an overflow observation to a bucket-counts DataFrame
     * (columns: keys..., count). Returns the same rows, instrumented;
-    * callers apply their own `[2, maxBucket]` filter on top. */
-  def observeCapDrops(counts: DataFrame, tag: String,
-                      maxBucket: Int): DataFrame = {
+    * callers apply their own over-cap handling on top. Unique name per
+    * call site instance: one plan may stack several generators
+    * (funnel/pipeline) and observe names must not collide within a
+    * query. */
+  private def observeOverCap(counts: DataFrame, name: String,
+                             maxBucket: Int): DataFrame = {
     ensureListener(counts.sparkSession)
     val over: Column = $"count" > maxBucket
-    // unique name per call site instance: one plan may stack several
-    // capped generators (funnel/pipeline) and observe names must not
-    // collide within a query
-    counts.observe(s"$Prefix$tag.${seq.incrementAndGet()}",
-      sum(when(over, 1L).otherwise(0L)).as("dropped_buckets"),
-      sum(when(over, $"count").otherwise(0L)).as("dropped_rows"),
+    counts.observe(name,
+      sum(when(over, 1L).otherwise(0L)).as("over_buckets"),
+      sum(when(over, $"count").otherwise(0L)).as("over_rows"),
       max(when(over, $"count").otherwise(0L)).as("max_bucket"))
   }
 
-  /** [[observeCapDrops]]' sibling for generators that SPLIT over-cap
-    * buckets into bounded sub-buckets instead of dropping them: same
-    * instrumentation, separate counters, so the census distinguishes a
-    * recall hole (drop) from bounded extra work (split). */
+  /** Census a generator that DROPS over-cap buckets (recall hole —
+    * today only semDedup's documented leave-intact semantics). */
+  def observeCapDrops(counts: DataFrame, tag: String,
+                      maxBucket: Int): DataFrame =
+    observeOverCap(counts, s"$Prefix$tag.${seq.incrementAndGet()}", maxBucket)
+
+  /** Census a generator that SPLITS over-cap buckets into bounded
+    * sub-buckets (extra work, zero recall loss) — the shared path. */
   def observeCapSplits(counts: DataFrame, tag: String,
-                       maxBucket: Int): DataFrame = {
-    ensureListener(counts.sparkSession)
-    val over: Column = $"count" > maxBucket
-    counts.observe(s"$SplitPrefix$tag.${seq.incrementAndGet()}",
-      sum(when(over, 1L).otherwise(0L)).as("dropped_buckets"),
-      sum(when(over, $"count").otherwise(0L)).as("dropped_rows"),
-      max(when(over, $"count").otherwise(0L)).as("max_bucket"))
-  }
+                       maxBucket: Int): DataFrame =
+    observeOverCap(counts, s"$SplitPrefix$tag.${seq.incrementAndGet()}", maxBucket)
 
   private def ensureListener(spark: SparkSession): Unit =
     if (registeredSessions.add(spark))
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit = {
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith(Prefix)) {
-              val b = Option(row.getAs[java.lang.Long]("dropped_buckets"))
+          def harvest(name: String, row: org.apache.spark.sql.Row,
+                      prefix: String, buckets: AtomicLong, rows: AtomicLong,
+                      maxB: AtomicLong, label: String, note: String): Unit = {
+            // null-guard: a metrics row from an empty plan can carry nulls
+            val b = Option(row.getAs[java.lang.Long]("over_buckets"))
+              .fold(0L)(_.longValue)
+            if (b > 0) {
+              val r = Option(row.getAs[java.lang.Long]("over_rows"))
                 .fold(0L)(_.longValue)
-              if (b > 0) {
-                val r = row.getAs[Long]("dropped_rows")
-                val m = row.getAs[Long]("max_bucket")
-                droppedBuckets.addAndGet(b)
-                droppedRows.addAndGet(r)
-                maxDroppedBucket.getAndAccumulate(m, math.max)
-                System.err.println(s"[capDrop] ${name.stripPrefix(Prefix)}: " +
-                  s"$b buckets over cap ($r rows, largest $m) dropped — " +
-                  "potential recall hole; raise maxBucket or pre-split keys")
-              }
-            } else if (name.startsWith(SplitPrefix)) {
-              val b = Option(row.getAs[java.lang.Long]("dropped_buckets"))
+              val m = Option(row.getAs[java.lang.Long]("max_bucket"))
                 .fold(0L)(_.longValue)
-              if (b > 0) {
-                val r = row.getAs[Long]("dropped_rows")
-                val m = row.getAs[Long]("max_bucket")
-                splitBuckets.addAndGet(b)
-                splitRows.addAndGet(r)
-                maxSplitBucket.getAndAccumulate(m, math.max)
-                System.err.println(s"[capSplit] ${name.stripPrefix(SplitPrefix)}: " +
-                  s"$b buckets over cap ($r rows, largest $m) split into " +
-                  "bounded sub-buckets — extra join volume, no recall loss")
-              }
+              buckets.addAndGet(b); rows.addAndGet(r)
+              maxB.getAndAccumulate(m, math.max)
+              System.err.println(s"[$label] ${name.stripPrefix(prefix)}: " +
+                s"$b buckets over cap ($r rows, largest $m) $note")
             }
+          }
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(Prefix))
+              harvest(name, row, Prefix, droppedBuckets, droppedRows,
+                maxDroppedBucket, "capDrop",
+                "dropped — potential recall hole; raise maxBucket or pre-split keys")
+            else if (name.startsWith(SplitPrefix))
+              harvest(name, row, SplitPrefix, splitBuckets, splitRows,
+                maxSplitBucket, "capSplit",
+                "split into bounded sub-buckets — extra join volume, no recall loss")
           }
         }
         override def onFailure(funcName: String, qe: QueryExecution,

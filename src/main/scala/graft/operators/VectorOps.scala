@@ -112,12 +112,9 @@ object VectorOps {
         b.groupBy($"bucket").count(), "cosine", maxBucket)
       .filter($"count" >= 2)
       .select($"bucket",
-        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
-          .as("nsub"))
-    val capped = b.join(counts, "bucket")
-      .withColumn("sub", DetHash.h60(concat(lit("ps:"),
-        $"bucket".cast("string"), lit(":"), $"vec_id".cast("string")))
-        % $"nsub")
+        DedupOps.nsubExpr(maxBucket).as("nsub"))
+    val capped = DedupOps.withSubBucket(b.join(counts, "bucket"),
+        Seq("bucket"), idCol = "vec_id")
       .select($"bucket", $"sub", $"vec_id", $"qv", $"nrm")
     val r = capped.select($"bucket", $"sub", $"vec_id".as("vec_b"),
       $"qv".as("vb"), $"nrm".as("nb"))
@@ -450,20 +447,18 @@ object VectorOps {
         b.groupBy($"bucket").count(), "knngraph", maxBucket)
       .filter($"count" >= 2)
       .select($"bucket",
-        expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
-          .as("nsub"))
-    def subOf(idc: String) = (DetHash.h60(concat(lit("ps:"),
-      $"bucket".cast("string"), lit(":"), col(idc).cast("string")))
-      % $"nsub").as("sub")
-    val corpus = b.join(counts, "bucket")
-      .select($"bucket", subOf("vec_id"), $"vec_id".as("nbr_id"),
+        DedupOps.nsubExpr(maxBucket).as("nsub"))
+    val corpus = DedupOps.withSubBucket(b.join(counts, "bucket"),
+        Seq("bucket"), idCol = "vec_id")
+      .select($"bucket", $"sub", $"vec_id".as("nbr_id"),
         $"qv".as("nv"), $"nrm".as("nn"))
     val flips = array(($"bucket" +: (0 until planes).map(pl =>
       $"bucket".bitwiseXOR(lit(1L << pl)))): _*)
-    val probes = b.select(explode(flips).as("bucket"), $"vec_id", $"qv",
-        $"nrm")
-      .join(counts, "bucket")
-      .select($"bucket", subOf("vec_id"), $"vec_id", $"qv", $"nrm")
+    val probes = DedupOps.withSubBucket(
+        b.select(explode(flips).as("bucket"), $"vec_id", $"qv", $"nrm")
+          .join(counts, "bucket"),
+        Seq("bucket"), idCol = "vec_id")
+      .select($"bucket", $"sub", $"vec_id", $"qv", $"nrm")
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr_id")
     probes.join(corpus, Seq("bucket", "sub"))
       .filter($"vec_id" =!= $"nbr_id")

@@ -59,9 +59,18 @@ object RelationalQueries {
     // routing, per-bucket sort, bucket-file read-back).
     "rel_bucketed_join" -> ((s, d) => {
       val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      // external tables in a temp dir: nothing accumulates under the
-      // session warehouse across verify runs; UUID names keep parallel
-      // suites race-free
+      // external tables in a temp dir keep the session warehouse clean;
+      // UUID names keep concurrent invocations race-free. Catalog
+      // hygiene: invocations within one session accumulate bg_* entries,
+      // so drop the STALE ones here (sequential runners — Verify, the
+      // specs — have finished their actions by the next invocation; the
+      // dropped tables are external, so an in-flight plan's files are
+      // never deleted). The per-run temp dirs are small (two bucketed
+      // copies at gate scale) and OS-reaped with /tmp.
+      s.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => n.startsWith("bg_ord_") || n.startsWith("bg_cust_"))
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
       val dir = java.nio.file.Files.createTempDirectory("bucketed_gate")
       graft.sources.Bucketing.writeBucketed(
         t(s, d, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice"),

@@ -106,8 +106,9 @@ class TsdIndexSpec extends AnyFunSuite {
     // this planning assert together pin value AND plan for the
     // many-file deployment shape
     TsdIndex.PlanStats.reset()
-    val df = graft.SparkEntry.queries("ts_tsd_manyfile")(
-      spark, "/root/testdata/sf0.001")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val df = graft.SparkEntry.queries("ts_tsd_manyfile")(spark, sfDir)
     assert(df.count() > 0)
     assert(TsdIndex.PlanStats.probedFiles.get() == 0,
       "the gate's read must plan from the sink-maintained sidecar")

@@ -18,10 +18,8 @@ import graft._
   * candidates). At 100 TB that split is bounded extra join volume, and
   * it must be a METRIC, not silent: a corpus whose hot buckets hold
   * 30% of documents deserves a visible census. The drop counters
-  * remain for the one operator with documented drop-style semantics
-  * (`semDedup`'s over-cap clusters are left un-pruned rather than
-  * partially pruned — see its scaladoc) and as a tripwire: the oracle
-  * battery's census is expected to report zero drops.
+  * remain purely as a tripwire — no shipping generator drops anymore,
+  * and the oracle battery's census is expected to report zero drops.
   *
   * Mechanism: the bucket-count aggregate (computed anyway for the cap)
   * carries a Spark `observe` — a native `CollectMetrics` node, zero
@@ -86,8 +84,8 @@ object DedupStats {
       max(when(over, $"count").otherwise(0L)).as("max_bucket"))
   }
 
-  /** Census a generator that DROPS over-cap buckets (recall hole —
-    * today only semDedup's documented leave-intact semantics). */
+  /** Census a generator that DROPS over-cap buckets — retained as a
+    * tripwire only; every shipping generator splits instead. */
   def observeCapDrops(counts: DataFrame, tag: String,
                       maxBucket: Int): DataFrame =
     observeOverCap(counts, s"$Prefix$tag.${seq.incrementAndGet()}", maxBucket)

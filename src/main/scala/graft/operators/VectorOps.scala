@@ -351,10 +351,15 @@ object VectorOps {
     * scan. A pure function of the id set either way: keepers are
     * identical under any partitioning or engine.
     *
-    * Scale: pairwise work is Σ|cluster|² — bounded per-cluster by
-    * `maxList` (a degenerate mega-cluster is left intact rather than
-    * exploding one task; raise `nCentroids` to shrink clusters) — and the
-    * self-join is an equality join on list_id, never all-pairs.
+    * Scale: pairwise work is Σ|cluster|², bounded by `maxList` — a
+    * cluster over the cap is SPLIT into ⌈c/maxList⌉ member-hash
+    * sub-lists and pruned within each (so a degenerate mega-cluster
+    * neither explodes one task nor escapes pruning; it keeps ~nsub
+    * sub-list representatives, and `nCentroids` remains the dial for
+    * cluster granularity). The self-join is an equality join on
+    * (list_id, sub), never all-pairs, and a vector is only ever dropped
+    * with a witness mate within `minCos` — the split costs maximality
+    * on cross-sub pairs, never soundness.
     * Output: vec_id, list_id, is_keeper (one row per corpus vector). */
   def semDedup(vectors0: DataFrame, minCos: Double, nCentroids: Int,
                trainIters: Int, maxList: Int,
@@ -366,13 +371,24 @@ object VectorOps {
         clusterAssign(vectors, nCentroids, trainIters, trainSampleMod),
         "vec_id")
         .select($"list_id", $"vec_id", $"qv", $"nrm"))
-    val caps = DedupStats.observeCapDrops(
+    // over-cap CLUSTERS split into ⌈c/maxList⌉ member-hash sub-lists and
+    // prune within each sub-list — a mega-cluster (where most of the
+    // prunable dup mass lives) keeps ~nsub representatives instead of
+    // escaping pruning entirely. Sound either way: a vector is dropped
+    // only with a WITNESS mate within minCos; the split trades
+    // maximality (cross-sub pairs go unexamined), never correctness,
+    // and work stays Σ per-sub |s|² ≤ c·maxList per cluster.
+    val counts = DedupStats.observeCapSplits(
         members.groupBy($"list_id").count(), "semdedup", maxList)
-      .filter($"count" >= 2 && $"count" <= maxList).select($"list_id")
-    val capped = members.join(caps, "list_id")
-    val r = capped.select($"list_id", $"vec_id".as("vec_b"), $"qv".as("vb"),
-      $"nrm".as("nb"))
-    val dropped = capped.join(r, Seq("list_id")).filter($"vec_id" < $"vec_b")
+      .filter($"count" >= 2)
+      .select($"list_id", DedupOps.nsubExpr(maxList).as("nsub"))
+    val capped = DedupOps.withSubBucket(members.join(counts, "list_id"),
+        Seq("list_id"), idCol = "vec_id")
+      .select($"list_id", $"sub", $"vec_id", $"qv", $"nrm")
+    val r = capped.select($"list_id", $"sub", $"vec_id".as("vec_b"),
+      $"qv".as("vb"), $"nrm".as("nb"))
+    val dropped = capped.join(r, Seq("list_id", "sub"))
+      .filter($"vec_id" < $"vec_b")
       .withColumn("dot", LongArrayDot($"qv", $"vb"))
       .withColumn("cos", $"dot".cast("double") /
         sqrt($"nrm".cast("double") * $"nb".cast("double")))

@@ -1087,12 +1087,22 @@ object LlmQueries {
       ${ivfAssignCtes(IvfIters)},
       mem AS (SELECT a.vec_id, a.list_id, q.nrm
               FROM assigned a JOIN qn q USING (vec_id)),
-      mcaps AS (SELECT list_id FROM mem GROUP BY 1
-                HAVING count(*) >= 2 AND count(*) <= $SemMaxList),
+      -- over-cap clusters split into ceil(c/cap) member-hash sub-lists,
+      -- pruned within each (mirrors semDedup via withSubBucket)
+      mcnt AS MATERIALIZED (SELECT list_id,
+                     CAST((count(*) + ${SemMaxList - 1}) // $SemMaxList
+                       AS BIGINT) AS nsub
+              FROM mem GROUP BY 1 HAVING count(*) >= 2),
+      msub AS MATERIALIZED (SELECT m.vec_id, m.list_id, m.nrm,
+                     ${graft.functions.DetHash.h60Sql(
+                       "'ps:' || CAST(m.list_id AS VARCHAR) || ':' || " +
+                       "CAST(m.vec_id AS VARCHAR)")} % c.nsub AS sub
+              FROM mem m JOIN mcnt c USING (list_id)),
       mpairs AS (
         SELECT a.vec_id AS va, b.vec_id AS vb, a.nrm AS pn, b.nrm AS nrm
-        FROM mem a JOIN mcaps USING (list_id)
-        JOIN mem b ON b.list_id = a.list_id AND a.vec_id < b.vec_id),
+        FROM msub a
+        JOIN msub b ON b.list_id = a.list_id AND b.sub = a.sub
+         AND a.vec_id < b.vec_id),
       pdot AS (
         SELECT p.va, p.vb, CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
                any_value(p.pn) AS pn, any_value(p.nrm) AS nrm

@@ -49,12 +49,38 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got.exists(_._3), "expected at least one keeper")
   }
 
-  test("oversized clusters are left intact (cap short-circuit)") {
-    val q = VectorOps.quantize(
-      Tables.table(spark, sfDir, "embeddings"), $"vec_id", $"embedding")
-    // maxList below every cluster size → nothing is ever compared
-    val got = VectorOps.semDedup(q, 0.0, nCentroids = 2,
-      trainIters = 0, maxList = 1)
-    assert(got.filter(!$"is_keeper").isEmpty)
+  test("oversized clusters are SPLIT and pruned within sub-lists " +
+    "(bounded work, mega-cluster no longer escapes pruning)") {
+    // cluster A: 60 identical vectors (over maxList=10 → 6 sub-lists);
+    // cluster B: 10 identical vectors orthogonal to A (in-cap).
+    // Seeds for nCentroids=2 / trainIters=0 are the two lowest ids, so
+    // id 0 (pattern A) and id 1 (pattern B) anchor the two clusters.
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val rows = ((0L +: (2L to 60L)).map(i => (i, a)) ++
+      (1L +: (1001L to 1009L)).map(i => (i, b))).toDF("vec_id", "embedding")
+    val q = VectorOps.quantize(rows, $"vec_id", $"embedding")
+    DedupStats.awaitQuiesce(spark); DedupStats.reset()
+    val got = Pins.scoped {
+      VectorOps.semDedup(q, minCos = 0.9, nCentroids = 2,
+          trainIters = 0, maxList = 10)
+        .as[(Long, Long, Boolean)].collect().toSeq
+    }
+    DedupStats.awaitQuiesce(spark)
+    assert(DedupStats.splitBuckets.get > 0 && DedupStats.droppedBuckets.get == 0,
+      "the over-cap cluster must be censused as split, never dropped")
+    val (aRows, bRows) = got.partition { case (id, _, _) => id == 0L || id >= 2L && id <= 60L }
+    // in-cap cluster B: plain greedy keep-lowest-id — 1 keeper of 10
+    assert(bRows.count(_._3) == 1 && bRows.size == 10)
+    // over-cap cluster A: each of the ≤6 member-hash sub-lists keeps
+    // exactly its lowest id — vs the old leave-intact semantics where
+    // all 60 identical vectors survived as keepers
+    val aKeep = aRows.count(_._3)
+    assert(aRows.size == 60)
+    assert(aKeep >= 1 && aKeep <= 6,
+      s"expected ≤ ceil(60/10)=6 sub-list representatives, got $aKeep")
+    // soundness: every drop has an identical lower-id cluster-mate, so
+    // minCos is trivially witnessed; maximality loss is only cross-sub
+    assert(aRows.count(!_._3) == 60 - aKeep)
   }
 }

@@ -167,11 +167,8 @@ object DedupOps {
                   maxBucket: Int): DataFrame = {
     val kc = keys.map(col)
     val b = Pins.pin(rows)
-    val counts = DedupStats.observeCapSplits(
-        b.groupBy(kc: _*).count(), s"pairs[${keys.mkString(",")}]", maxBucket)
-      .filter($"count" >= 2)
-      .select(kc :+
-        nsubExpr(maxBucket).as("nsub"): _*)
+    val counts = subSizedCounts(b, keys,
+      s"pairs[${keys.mkString(",")}]", maxBucket)
     val sub = withSubBucket(b.join(counts, keys), keys)
       .select((kc :+ $"doc_id" :+ $"sub"): _*)
     sub.join(sub.withColumnRenamed("doc_id", "doc_b"), keys :+ "sub")
@@ -183,6 +180,21 @@ object DedupOps {
     * every split generator (and every SQL oracle) shares. */
   private[operators] def nsubExpr(maxBucket: Int): Column =
     expr(s"CAST((count + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+
+  /** The split generators' shared prelude: bucket sizes by partial
+    * aggregation (hot keys collapse map-side, the tiny result
+    * broadcasts), censused via [[DedupStats.observeCapSplits]], filtered
+    * to buckets with ≥ `minCount` members, with the ⌈c/maxBucket⌉
+    * sub-bucket count attached. Output: keys..., nsub. `minCount = 1`
+    * for cross-corpus probes (contamination), where a 1-member bucket
+    * still pairs with the other side. */
+  private[operators] def subSizedCounts(rows: DataFrame, keys: Seq[String],
+                                        tag: String, maxBucket: Int,
+                                        minCount: Int = 2): DataFrame =
+    DedupStats.observeCapSplits(
+        rows.groupBy(keys.map(col): _*).count(), tag, maxBucket)
+      .filter($"count" >= minCount)
+      .select(keys.map(col) :+ nsubExpr(maxBucket).as("nsub"): _*)
 
   /** Deterministic sub-bucket assignment for an over-cap bucket member:
     * `h60(prefix + k1 + ":" + … + ":" + id) % nsub`. THE one
@@ -269,11 +281,7 @@ object DedupOps {
                        sampleMod: Int = 8): DataFrame = {
     val base = Pins.pin(shingleHashArrays(docs, id, text))
     val samp = Pins.pin(explodeHashes(base).filter($"h31" % sampleMod === 0))
-    val counts = DedupStats.observeCapSplits(
-        samp.groupBy($"h31").count(), "containment", maxBucket)
-      .filter($"count" >= 2)
-      .select($"h31",
-        nsubExpr(maxBucket).as("nsub"))
+    val counts = subSizedCounts(samp, Seq("h31"), "containment", maxBucket)
     val sub = withSubBucket(samp.join(counts, "h31"), Seq("h31"),
         prefix = "cs:")
       .select($"h31", $"doc_id", $"sub")
@@ -367,11 +375,8 @@ object DedupOps {
     // same rule as a from-scratch run, so incremental and full runs
     // agree pair-for-pair: withSubBucket assigns each doc the identical
     // sub it gets in cappedPairs, and only the new side probes
-    val counts = DedupStats.observeCapSplits(
-        allBands.groupBy($"band", $"bkey").count(), "incremental", maxBucket)
-      .filter($"count" >= 2)
-      .select($"band", $"bkey",
-        nsubExpr(maxBucket).as("nsub"))
+    val counts = subSizedCounts(allBands, Seq("band", "bkey"),
+      "incremental", maxBucket)
     val subAll = withSubBucket(allBands.join(counts, Seq("band", "bkey")),
       Seq("band", "bkey"))
     val subNew = withSubBucket(newBands.join(counts, Seq("band", "bkey")),
@@ -507,11 +512,8 @@ object DedupOps {
       .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
     // skew-safe partial-agg counts (see candidatePairs); over-cap →
     // ceil(c/cap) sub-buckets
-    val counts = DedupStats.observeCapSplits(
-        bands.groupBy($"band", $"bkey").count(), "simhash", maxBucket)
-      .filter($"count" >= 2)
-      .select($"band", $"bkey",
-        nsubExpr(maxBucket).as("nsub"))
+    val counts = subSizedCounts(bands, Seq("band", "bkey"), "simhash",
+      maxBucket)
     val sub = withSubBucket(bands.join(counts, Seq("band", "bkey")),
         Seq("band", "bkey"), prefix = "sh:")
       .select($"band", $"bkey", $"doc_id", $"simhash", $"sub")
@@ -592,10 +594,8 @@ object DedupOps {
     // shared gram is an independent 1/nsub co-sub draw, so recall
     // survives while join volume stays ≤ |eval rows|·cap); the eval
     // probe hashes into the SAME sub space sized by the train counts
-    val counts = DedupStats.observeCapSplits(
-        tb.groupBy($"bkey").count(), "contamination", maxBucket)
-      .select($"bkey",
-        nsubExpr(maxBucket).as("nsub"))
+    val counts = subSizedCounts(tb, Seq("bkey"), "contamination",
+      maxBucket, minCount = 1)
     val tsub = withSubBucket(tb.join(counts, "bkey"), Seq("bkey"),
         idCol = "train_id")
       .select($"bkey", $"train_id", $"sub")

@@ -108,11 +108,8 @@ object VectorOps {
     // of dropping (DedupOps.cappedPairs' rationale: a >cap near-dup
     // cluster must not become invisible); the `ps:bucket:vec` string is
     // the cross-engine sub-assignment contract the oracle mirrors.
-    val counts = DedupStats.observeCapSplits(
-        b.groupBy($"bucket").count(), "cosine", maxBucket)
-      .filter($"count" >= 2)
-      .select($"bucket",
-        DedupOps.nsubExpr(maxBucket).as("nsub"))
+    val counts = DedupOps.subSizedCounts(b, Seq("bucket"), "cosine",
+      maxBucket)
     val capped = DedupOps.withSubBucket(b.join(counts, "bucket"),
         Seq("bucket"), idCol = "vec_id")
       .select($"bucket", $"sub", $"vec_id", $"qv", $"nrm")
@@ -378,10 +375,8 @@ object VectorOps {
     // only with a WITNESS mate within minCos; the split trades
     // maximality (cross-sub pairs go unexamined), never correctness,
     // and work stays Σ per-sub |s|² ≤ c·maxList per cluster.
-    val counts = DedupStats.observeCapSplits(
-        members.groupBy($"list_id").count(), "semdedup", maxList)
-      .filter($"count" >= 2)
-      .select($"list_id", DedupOps.nsubExpr(maxList).as("nsub"))
+    val counts = DedupOps.subSizedCounts(members, Seq("list_id"),
+      "semdedup", maxList)
     val capped = DedupOps.withSubBucket(members.join(counts, "list_id"),
         Seq("list_id"), idCol = "vec_id")
       .select($"list_id", $"sub", $"vec_id", $"qv", $"nrm")
@@ -459,11 +454,8 @@ object VectorOps {
     // (1+planes)·maxBucket while a >cap bucket keeps contributing
     // neighbors (under drops its members had NO graph edges at all);
     // the 1+planes independent probes carry the recall across subs
-    val counts = DedupStats.observeCapSplits(
-        b.groupBy($"bucket").count(), "knngraph", maxBucket)
-      .filter($"count" >= 2)
-      .select($"bucket",
-        DedupOps.nsubExpr(maxBucket).as("nsub"))
+    val counts = DedupOps.subSizedCounts(b, Seq("bucket"), "knngraph",
+      maxBucket)
     val corpus = DedupOps.withSubBucket(b.join(counts, "bucket"),
         Seq("bucket"), idCol = "vec_id")
       .select($"bucket", $"sub", $"vec_id".as("nbr_id"),

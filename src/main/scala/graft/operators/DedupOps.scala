@@ -67,14 +67,16 @@ object DedupOps {
     * The compact (id, norm) projection is spread by doc before the heavy
     * hashing: md5 cost is ~n_chars× the projection, so parallelism must
     * not depend on the input file layout (a single small parquet file is
-    * one partition — and one core doing all the hashing). */
+    * one partition — and one core doing all the hashing). The spread is
+    * conditional ([[graft.spreadByKey]]): a pre-split 100 TB input skips
+    * the exchange. */
   def shingleHashArrays(docs: DataFrame, id: Column, text: Column,
                         shingleLen: Int = 5): DataFrame = {
     val shingles = transform(
       sequence(lit(1), greatest(length($"norm") - (shingleLen - 1), lit(1))),
       i => $"norm".substr(i, lit(shingleLen)))
-    docs.select(id.as("doc_id"), normText(text).as("norm"))
-      .repartition($"doc_id")
+    spreadByKey(
+        docs.select(id.as("doc_id"), normText(text).as("norm")), $"doc_id")
       .select($"doc_id",
         array_distinct(transform(shingles, s => DetHash.h31(s))).as("hs"))
   }
@@ -214,9 +216,10 @@ object DedupOps {
     rows.withColumn("sub", DetHash.h60(concat(parts: _*)) % $"nsub")
   }
 
-  /** Candidate pairs from an equality bucket join over (band, bkey), with
-    * buckets capped at [2, maxBucket] — the LSH instance of
-    * [[cappedPairs]]. Output: doc_a < doc_b. */
+  /** Candidate pairs from an equality bucket join over (band, bkey) —
+    * the LSH instance of [[cappedPairs]]: buckets with ≥ 2 members pair
+    * up; over-cap buckets split into ⌈c/maxBucket⌉ member-hash
+    * sub-buckets (bounded work, no recall drop). Output: doc_a < doc_b. */
   def candidatePairs(bands: DataFrame, maxBucket: Int): DataFrame =
     cappedPairs(bands, Seq("band", "bkey"), maxBucket)
 
@@ -247,8 +250,9 @@ object DedupOps {
     * exact containment is then computed both directions on candidates
     * only. A pair is emitted when EITHER direction reaches
     * `minContainment`. Still no all-pairs stage: the bucket join is an
-    * equality join on the shingle hash with the same [2, maxBucket] skew
-    * cap as every other candidate generator.
+    * equality join on the shingle hash over buckets with ≥ 2 members,
+    * with the same split-over-cap skew guard as every other candidate
+    * generator (next paragraph).
     *
     * Candidate shingles are hash-sampled 1-in-`sampleMod` (`h31 ≡ 0`):
     * a contained doc shares ALL its shingles with its host, so sharing
@@ -473,7 +477,7 @@ object DedupOps {
     * narrow projection, no token-level exchange. Output: doc_id, simhash. */
   def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val hs = docs.select(id.as("doc_id"), normText(text).as("norm"))
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select($"doc_id",
         transform(split($"norm", " "), w => DetHash.h60(w)).as("hs"))
     val fp = (0 until 32).map { j =>
@@ -553,7 +557,7 @@ object DedupOps {
     }
     docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
       .filter(size($"ws") >= 5)
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select($"doc_id",
         transform(sequence(lit(1), size($"ws") - 2),
           i => DetHash.h31(gram3(i))).as("g3p"))
@@ -644,7 +648,7 @@ object DedupOps {
                              n: Int): DataFrame =
     docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
       .filter(size($"ws") >= n)
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       // RAW gram strings, not hashes: the join key is the exact n-gram
       // (collision-free by definition, and the oracle replicates it with
       // plain string equality); hashing every gram through interpreted

@@ -84,8 +84,14 @@ object DedupStats {
       max(when(over, $"count").otherwise(0L)).as("max_bucket"))
   }
 
-  /** Census a generator that DROPS over-cap buckets — retained as a
-    * tripwire only; every shipping generator splits instead. */
+  /** Census a generator that DROPS over-cap buckets. TEST-ONLY: no
+    * shipping generator drops anymore (all call [[observeCapSplits]]),
+    * so this attach point exists solely for specs that construct a
+    * dropping plan on purpose (`DedupStatsSpec`) to prove the listener
+    * harvests drops. The drop COUNTERS above stay production-visible —
+    * Bench/Verify publish them as the `cap_drops` census, whose
+    * expected value is empty (the no-drop invariant, asserted at zero
+    * by the recall specs). */
   def observeCapDrops(counts: DataFrame, tag: String,
                       maxBucket: Int): DataFrame =
     observeOverCap(counts, s"$Prefix$tag.${seq.incrementAndGet()}", maxBucket)

@@ -52,10 +52,10 @@ object MultimodalOps {
   /** Batched decode + feature extraction: one partition = one sequential
     * batch through the (stub) codec, mirroring mapInPandas batch shape.
     * Input spread by media_id first so codec work parallelizes regardless
-    * of the input file layout. */
+    * of the input file layout (conditional — [[graft.spreadByKey]]). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.repartition($"media_id").mapPartitions { batch =>
+    graft.spreadByKey(media, $"media_id").mapPartitions { batch =>
       // per-batch codec setup would go here (amortized across the batch)
       // NULL payloads have no features — matches the SQL oracles, where
       // NULL rows produce no unnested output rather than a crash
@@ -73,7 +73,7 @@ object MultimodalOps {
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = FrameBytes,
                    stride: Int = 2): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
-    media.repartition($"media_id").flatMap { m =>
+    graft.spreadByKey(media, $"media_id").flatMap { m =>
       if (m.payload == null) Iterator.empty // NULL payload → zero frames
       else {
         val n = (m.payload.length + frameBytes - 1) / frameBytes

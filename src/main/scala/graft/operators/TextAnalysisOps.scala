@@ -333,7 +333,7 @@ object TextAnalysisOps {
   def tfIdfTopTerms(docs: DataFrame, id: Column, text: Column,
                     k: Int = 3): DataFrame = {
     val terms = docs.select(id.as("doc_id"), normText(text).as("norm"))
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select($"doc_id", explode(split($"norm", " ")).as("term"))
       .filter(length($"term") > 0)
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
@@ -361,7 +361,7 @@ object TextAnalysisOps {
   def vocabulary(docs: DataFrame, id: Column, text: Column,
                  topN: Int = 100): DataFrame = {
     val counts = docs.select(id.as("doc_id"), normText(text).as("norm"))
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select(explode(split($"norm", " ")).as("tok"))
       .filter(length($"tok") > 0)
       .groupBy($"tok").agg(count(lit(1)).as("n"))
@@ -388,7 +388,7 @@ object TextAnalysisOps {
   def bpePairCounts(docs: DataFrame, id: Column, text: Column,
                     topK: Int = 20): DataFrame = {
     val words = docs.select(id.as("doc_id"), normText(text).as("norm"))
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select(explode(split($"norm", " ")).as("w"))
       .filter(length($"w") >= 2)
       .groupBy($"w").agg(count(lit(1)).as("wn"))
@@ -421,7 +421,7 @@ object TextAnalysisOps {
   private def bigramCounts(docs: DataFrame, id: Column,
                            text: Column): DataFrame =
     docs.select(id.as("doc_id"), normText(text).as("norm"))
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select(split($"norm", " ").as("ws"))
       .filter(size($"ws") >= 2) // sequence(1, 0) would run DESCENDING
       .select(explode(expr(
@@ -586,11 +586,12 @@ object TextAnalysisOps {
 
   /** Character trigrams (multiset) per doc. Spread by doc before the
     * generator so the ~n_chars× explode parallelizes independently of the
-    * input file layout (see DedupOps.shingleHashes). */
+    * input file layout (see DedupOps.shingleHashes); conditional
+    * ([[graft.spreadByKey]]) — a pre-split input skips the exchange. */
   private def trigrams(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), normText(text).as("norm"))
-      .filter(length($"norm") >= 3)
-      .repartition($"doc_id")
+    spreadByKey(
+        docs.select(id.as("doc_id"), normText(text).as("norm"))
+          .filter(length($"norm") >= 3), $"doc_id")
       .select($"doc_id", explode(expr(
         "transform(sequence(1, length(norm)-2), i -> substring(norm, i, 3))")).as("tri"))
 
@@ -686,7 +687,7 @@ object TextAnalysisOps {
     val stride = chunkLen - overlap
     docs.select(id.as("doc_id"), normText(text).as("norm"))
       .filter(length($"norm") > 0)
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(0, CAST(greatest(length(norm) - $overlap - 1, 0)" +
           s" DIV $stride AS INT)), j -> substring(norm, j * $stride + 1, $chunkLen))")))
@@ -715,7 +716,7 @@ object TextAnalysisOps {
     require(segWords > 0 && minDocs >= 2)
     val perDoc = Pins.pin(
       docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
-        .repartition($"doc_id")) // hash-wide parallelism (see shingleHashArrays)
+        .spreadBy($"doc_id")) // conditional hash-wide parallelism (graft.spreadByKey)
     val segs = Pins.pin(
       perDoc.select($"doc_id", posexplode(expr(
           s"transform(sequence(0, CAST((size(ws) - 1) DIV $segWords AS INT))," +
@@ -760,7 +761,7 @@ object TextAnalysisOps {
     require(spanLen >= 8 && anchorMod > 0 && minDocs >= 2)
     docs.select(id.as("doc_id"), normText(text).as("norm"))
       .filter(length($"norm") >= spanLen)
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       // the anchor probe is an md5 per char position — the op's genuine,
       // linearly-scaling cost (an exploded codegen variant measured the
       // same: the md5 work dominates, not lambda interpretation)
@@ -814,7 +815,7 @@ object TextAnalysisOps {
     docs.select(id.as("doc_id") +: extra.map { case (c, n) => c.as(n) } :+
         split(normText(text), " ").as("ws"): _*)
       .filter(size($"ws") >= 2)
-      .repartition($"doc_id") // hash-wide parallelism (see shingleHashArrays)
+      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select($"doc_id" +: carried :+ explode(expr(
         "transform(sequence(1, size(ws) - 1)," +
           " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))

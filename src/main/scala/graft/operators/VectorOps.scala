@@ -27,13 +27,15 @@ object VectorOps {
   /** Milli-quantized integer vector + its squared norm.
     * Output: id, qv (array<long>), nrm (long). Spread by id so the k·N
     * scoring scan parallelizes even when the corpus arrives as one small
-    * file (one partition otherwise — one core scoring everything). */
+    * file (one partition otherwise — one core scoring everything); the
+    * spread is conditional ([[graft.spreadByKey]]) so a pre-split input
+    * keeps its layout, exchange-free. */
   private def quantizeArr(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
 
   def quantize(df: DataFrame, id: Column, emb: Column): DataFrame =
-    df.select(id.as("vec_id"), quantizeArr(emb).as("qv"))
-      .repartition($"vec_id")
+    spreadByKey(df.select(id.as("vec_id"), quantizeArr(emb).as("qv")),
+        $"vec_id")
       .withColumn("nrm", LongArrayDot($"qv", $"qv"))
 
   private def cosCol: Column =

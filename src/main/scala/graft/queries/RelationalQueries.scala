@@ -18,6 +18,23 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
 
+  // rel_bucketed_join writes two bucketed table copies to a fresh temp
+  // dir per invocation; DROP TABLE on external tables leaves the files,
+  // so a long-lived bench loop would accumulate /tmp dirs. Track the
+  // previous invocation's dir and reap it when its bg_* tables are
+  // dropped (sequential runners have finished their actions by then).
+  private val prevBucketedDir =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary over lineitem: the widest scan +
     // 2-key aggregation; map-side partial agg, no join.
@@ -65,13 +82,14 @@ object RelationalQueries {
       // so drop the STALE ones here (sequential runners — Verify, the
       // specs — have finished their actions by the next invocation; the
       // dropped tables are external, so an in-flight plan's files are
-      // never deleted). The per-run temp dirs are small (two bucketed
-      // copies at gate scale) and OS-reaped with /tmp.
+      // never deleted). The dropped tables' temp dir is reaped along
+      // with them, so a long-running bench loop doesn't accumulate /tmp.
       s.catalog.listTables().collect()
         .map(_.name)
         .filter(n => n.startsWith("bg_ord_") || n.startsWith("bg_cust_"))
         .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
       val dir = java.nio.file.Files.createTempDirectory("bucketed_gate")
+      Option(prevBucketedDir.getAndSet(dir)).foreach(deleteRecursively)
       graft.sources.Bucketing.writeBucketed(
         t(s, d, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice"),
         s"bg_ord_$tag", "o_custkey", 8, Some(s"$dir/ord"))

@@ -82,8 +82,9 @@ class RocksDbStateSpec extends AnyFunSuite {
     }
     // closed form over the ticks whose 600 s block CLOSED under the
     // watermark (ticks run to t0+2000 s; max event time 1700002000,
-    // watermark 1700001970 → blocks starting 1700000400, 1700001000 are
-    // complete; the partial last block stays open)
+    // watermark 1700001970 → the blocks starting 1699999800, 1700000400
+    // and 1700001000 all have end ≤ watermark and emit; the partial
+    // last block, starting 1700001600, stays open)
     val t0 = 1700000000L
     val byBlock = (1L to 200L).map(n => t0 + n * 10)
       .groupBy(e => e / 600 * 600).toSeq.sortBy(_._1)

@@ -431,30 +431,43 @@ object DedupOps {
     * the BSP result precisely as long as no component exceeds it.
     *
     * Output: (doc_id, cluster_id, is_keeper), docs in ≥1 pair only
-    * (isolated docs are their own implicit singleton cluster). */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * (isolated docs are their own implicit singleton cluster).
+    *
+    * `checkpointDir`: per-round lineage truncation target. `None`
+    * (default) uses eager `localCheckpoint` — executor-local blocks,
+    * zero I/O, right for single-box and interactive runs but lost with
+    * a dead executor. On a real cluster pass a reliable dir (HDFS/S3):
+    * rounds then truncate via `checkpoint()`, whose blocks survive
+    * executor loss, at the cost of one write+read of the (tiny,
+    * dup-set-sized) label table per round. The dir is set on the
+    * SparkContext for the duration of the call and restored after. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val edges = Pins.pin(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
-    // eager localCheckpoint per round: iterative plans double their
+    // eager checkpoint per round: iterative plans double their
     // lineage every iteration (each round embeds the previous round's
     // plan in the join, the union, AND the convergence probe) — without
     // truncation the logical plan is exponential in the round count and
-    // Catalyst itself OOMs before any data moves. A reliable checkpoint
-    // dir would be the cluster-production variant; executor-local blocks
-    // are the right cost here.
-    var labels = edges.select($"src".as("doc_id"))
+    // Catalyst itself OOMs before any data moves.
+    val sc = pairs.sparkSession.sparkContext
+    val prevDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    try {
+    var labels = truncate(edges.select($"src".as("doc_id"))
       .distinct()
-      .select($"doc_id", $"doc_id".as("cluster_id"))
-      .localCheckpoint(true)
+      .select($"doc_id", $"doc_id".as("cluster_id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val msgs = edges.join(labels,
           edges("src") === labels("doc_id"))
         .select(edges("dst").as("doc_id"), $"cluster_id")
-      val next = labels.unionByName(msgs)
-        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+      val next = truncate(labels.unionByName(msgs)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id")))
       converged = next.as("n")
         .join(labels.as("o"), $"n.doc_id" === $"o.doc_id")
         .filter($"n.cluster_id" =!= $"o.cluster_id")
@@ -468,6 +481,12 @@ object DedupOps {
         "fixpoint — some clusters may be split")
     labels.select($"doc_id", $"cluster_id",
       ($"doc_id" === $"cluster_id").as("is_keeper"))
+    } finally {
+      // restore: setCheckpointDir is context-global; put back any dir
+      // the session had before (it can't be unset once set, so with no
+      // prior dir ours stays — harmless, it's a valid reliable dir)
+      if (checkpointDir.isDefined) prevDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   /** 32-bit SimHash fingerprint per doc over whitespace tokens (multiset):

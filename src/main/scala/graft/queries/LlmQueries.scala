@@ -39,7 +39,11 @@ object LlmQueries {
   private val AnnK = 5
   private val AnnProbeMax = 10L    // probe set: vec_id < 10
   private val LshPlanes = 4
-  private val EmbDim = 64
+  // fixture embedding dimension; PQ's m/subDim and the LSH plane tables
+  // assume it. TestdataCanarySpec pins size(embedding) == EmbDim so a
+  // driver regeneration with a new dim fails loudly at the canary, not
+  // as a PQ runtime error mid-gate.
+  val EmbDim = 64
   private val IvfCentroids = 16
   private val IvfProbe = 4
   private val IvfIters = 2         // Lloyd's rounds refining the seeds

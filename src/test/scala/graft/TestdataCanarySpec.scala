@@ -110,6 +110,21 @@ class TestdataCanarySpec extends AnyFunSuite {
       }
     }
 
+    test(s"$sf: embedding dimension equals LlmQueries.EmbDim") {
+      // PQ's m=8 sub-spaces and the LSH hyperplane tables are sized for
+      // EmbDim; a regeneration with a new dim must fail here, loudly,
+      // not as a runtime subvector error mid-gate.
+      import org.apache.spark.sql.functions.{size => asize, col, min => amin, max => amax}
+      val dims = Tables.table(spark, dir, "embeddings")
+        .agg(amin(asize(col("embedding"))), amax(asize(col("embedding"))))
+        .head()
+      assert(dims.getInt(0) == graft.queries.LlmQueries.EmbDim &&
+        dims.getInt(1) == graft.queries.LlmQueries.EmbDim,
+        s"embedding dims [${dims.getInt(0)}, ${dims.getInt(1)}] != " +
+          s"pinned ${graft.queries.LlmQueries.EmbDim} — driver regenerated " +
+          "with a new dimension; update EmbDim + PQ/LSH sizing deliberately.")
+    }
+
     test(s"$sf: distinct event_type set equals the fixed catalog") {
       // .tsd gate queries build ETSD headers from this catalog and the
       // pivot query uses it as the explicit value list — a regeneration

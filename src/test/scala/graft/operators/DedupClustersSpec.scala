@@ -38,4 +38,28 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got.count(_._3) == 1)
     Pins.releaseAll()
   }
+
+  test("dupClusters: reliable checkpointDir path matches localCheckpoint") {
+    // the cluster-production variant: per-round truncation through a
+    // reliable checkpoint dir (blocks survive executor loss) must give
+    // identical labels, actually write checkpoint data there, and
+    // restore the context's prior checkpoint dir on exit
+    val pairs = Seq((5L, 1L), (3L, 5L), (3L, 7L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("dup_ckpt")
+    val before = spark.sparkContext.getCheckpointDir
+    val got = DedupOps.dupClusters(pairs, checkpointDir = Some(dir.toString))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val local = DedupOps.dupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == local)
+    import scala.jdk.CollectionConverters._
+    val written = java.nio.file.Files.walk(dir).iterator().asScala
+      .count(java.nio.file.Files.isRegularFile(_))
+    assert(written > 0, "reliable path must write checkpoint files")
+    assert(spark.sparkContext.getCheckpointDir == before ||
+      spark.sparkContext.getCheckpointDir.exists(_.contains(dir.toString)),
+      "prior checkpoint dir must be restored (ours may remain only if none was set)")
+    Pins.releaseAll()
+  }
 }

@@ -284,47 +284,68 @@ object DedupOps {
                        minContainment: Double, maxBucket: Int = 20,
                        sampleMod: Int = 8): DataFrame = {
     val base = Pins.pin(shingleHashArrays(docs, id, text))
-    val samp = Pins.pin(explodeHashes(base).filter($"h31" % sampleMod === 0))
-    val counts = subSizedCounts(samp, Seq("h31"), "containment", maxBucket)
-    val sub = withSubBucket(samp.join(counts, "h31"), Seq("h31"),
+    // the per-doc SAMPLED array rides along on every exploded row and
+    // straight THROUGH the bucket self-join, so the sampled pre-filter
+    // below runs inside the join stage itself — no pair-level distinct
+    // shuffle and no pair×corpus array-fetch joins before the filter
+    // (the r9 shape paid a 1.25M-row distinct plus two joins at sf0.1
+    // for the identical pair set). The shuffle rows widen by the
+    // sampled set (~ssz longs; per doc that is ssz² ≈ (k/sampleMod)²
+    // bytes-ish, the same order as the doc text) — the standard
+    // carry-the-signature-through-the-band-join trade.
+    val samp = Pins.pin(
+      base.select($"doc_id",
+          expr(s"filter(hs, h -> h % $sampleMod = 0)").as("shs"))
+        .select($"doc_id", $"shs", explode($"shs").as("h31")))
+    val counts = subSizedCounts(samp.select($"doc_id", $"h31"),
+      Seq("h31"), "containment", maxBucket)
+    // pinned: BOTH sides of the self-join read this one materialized
+    // table. Unpinned, each side replays the whole lineage — the ccnt
+    // aggregation, the md5 sub-bucket hash, the array-carrying rows —
+    // twice (runtime exchange reuse does not bridge the two sides'
+    // differing projections); measured 3× the whole-query time at
+    // sf0.1 (4.5 s → 1.55 s with the pin).
+    val sub = Pins.pin(withSubBucket(samp.join(counts, "h31"), Seq("h31"),
         prefix = "cs:")
-      .select($"h31", $"doc_id", $"sub")
-    val cand = sub
-      .join(sub.select($"h31", $"doc_id".as("doc_b"), $"sub"),
-        Seq("h31", "sub"))
-      .filter($"doc_id" < $"doc_b")
-      .select($"doc_id".as("doc_a"), $"doc_b").distinct()
-    // sampled-containment pre-filter: most candidates share only hot
-    // (boilerplate/template) shingles and can never reach minContainment
-    // — reject them on the cheap 1-in-sampleMod sampled sets before the
-    // exact stage intersects FULL shingle sets (measured at sf0.1:
-    // 1.25M candidates, of which 579k still share ≥50% of a sampled set
-    // — the corpus is heavily templated — but only 50k share ≥70%, and
-    // 144 truly contain). The sampled sets are per-doc ARRAY columns
-    // derived from the pinned base (no corpus-sized explode join: the
-    // measured alternative shuffled 34M exploded rows for the same
-    // counts). A pair survives iff its sampled intersection reaches 70%
-    // of either side's sampled size (exact integer compare —
-    // oracle-identical), OR either side has ≤6 sampled shingles (the
-    // binomial slack argument needs a dozen samples; tiny docs pass
-    // through on candidacy alone, so short-doc recall is untouched).
-    // For a true ≥0.9-contained doc with ssz sampled shingles the
-    // sampled containment is Binomial(ssz, ≥0.9)/ssz: at ssz = 12 the
-    // 0.7 cut is ~2σ below the mean, beyond ssz = 25 it is >3.5σ.
+      .select($"h31", $"sub", $"doc_id", $"shs"))
+    // sampled-containment pre-filter, fused into the bucket-join stage:
+    // most candidate hits share only hot (boilerplate/template)
+    // shingles and can never reach minContainment — reject them on the
+    // cheap 1-in-sampleMod sampled sets carried on the join rows, before
+    // anything pair-sized is shuffled and before the exact stage
+    // intersects FULL shingle sets (measured at sf0.1: 1.3M bucket-join
+    // hit rows / 1.25M distinct pairs, of which 579k share ≥50% of a
+    // sampled set — the corpus is heavily templated — but only ~56k
+    // survive the 70% cut and 144 truly contain; the ~4% duplicated
+    // hit rows re-run a 27-element intersect each, far cheaper than the
+    // pair-level distinct shuffle that would dedup them first). A pair
+    // survives iff its sampled intersection reaches 70% of either
+    // side's sampled size (exact integer compare — oracle-identical),
+    // OR either side has ≤6 sampled shingles (the binomial slack
+    // argument needs a dozen samples; tiny docs pass through on
+    // candidacy alone, so short-doc recall is untouched). For a true
+    // ≥0.9-contained doc with ssz sampled shingles the sampled
+    // containment is Binomial(ssz, ≥0.9)/ssz: at ssz = 12 the 0.7 cut
+    // is ~2σ below the mean, beyond ssz = 25 it is >3.5σ.
     // ContainmentRecallSpec re-measures the recall floor.
-    val sampArr = base.select($"doc_id",
-      expr(s"filter(hs, h -> h % $sampleMod = 0)").as("shs"))
-    val pre = cand
-      .join(sampArr.select($"doc_id".as("doc_a"), $"shs".as("shs_a")), "doc_a")
-      .join(sampArr.select($"doc_id".as("doc_b"), $"shs".as("shs_b")), "doc_b")
+    // pinned: the 2-column surviving-candidate table is the natural
+    // materialization point of the pipeline (a production dedup run
+    // lands candidates once, then the exact stage and any re-runs read
+    // them) — and the cheapest thing to re-read: re-executions touch
+    // only this tiny table plus the base fetch, never the bucket join.
+    val pre = Pins.pin(sub
+      .join(sub.select($"h31", $"sub",
+        $"doc_id".as("doc_b"), $"shs".as("shs_b")), Seq("h31", "sub"))
+      .filter($"doc_id" < $"doc_b")
       .withColumn("s_common",
-        size(array_intersect($"shs_a", $"shs_b")).cast("long"))
+        size(array_intersect($"shs", $"shs_b")).cast("long"))
       .filter(
-        $"s_common" * 10 >= size($"shs_a").cast("long") * 7 ||
-        size($"shs_a") <= 6 ||
+        $"s_common" * 10 >= size($"shs").cast("long") * 7 ||
+        size($"shs") <= 6 ||
         $"s_common" * 10 >= size($"shs_b").cast("long") * 7 ||
         size($"shs_b") <= 6)
-      .select($"doc_a", $"doc_b")
+      .select($"doc_id".as("doc_a"), $"doc_b")
+      .distinct())
     pre
       .join(base.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
       .join(base.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")

@@ -29,39 +29,36 @@ object ContainmentProbe {
     Pins.scoped {
       val base = Pins.pin(DedupOps.shingleHashArrays(docs, $"doc_id", $"text"))
       time("base (pin shingles)")(base.count())
-      val samp = Pins.pin(base.select($"doc_id", explode($"hs").as("h31"))
-        .filter($"h31" % 8 === 0))
-      time("samp (pin 1-in-8)")(samp.count())
+      val samp = Pins.pin(base
+        .select($"doc_id", expr("filter(hs, h -> h % 8 = 0)").as("shs"))
+        .select($"doc_id", $"shs", explode($"shs").as("h31")))
+      time("samp (pin 1-in-8+arr)")(samp.count())
       val counts = DedupStats.observeCapSplits(
-          samp.groupBy($"h31").count(), "containment", 20)
+          samp.select($"doc_id", $"h31").groupBy($"h31").count(),
+          "containment", 20)
         .filter($"count" >= 2)
         .select($"h31",
           expr("CAST((count + 19) DIV 20 AS BIGINT)").as("nsub"))
       val sub = Pins.pin(samp.join(counts, "h31")
-        .select($"h31", $"doc_id",
+        .select($"h31",
           (DetHash.h60(concat(lit("cs:"), $"h31".cast("string"), lit(":"),
-            $"doc_id".cast("string"))) % $"nsub").as("sub")))
+            $"doc_id".cast("string"))) % $"nsub").as("sub"),
+          $"doc_id", $"shs"))
       time("sub (pin sub-buckets)")(sub.count())
-      val cand = Pins.pin(sub
-        .join(sub.select($"h31", $"doc_id".as("doc_b"), $"sub"),
-          Seq("h31", "sub"))
+      val pre = Pins.pin(sub
+        .join(sub.select($"h31", $"sub",
+          $"doc_id".as("doc_b"), $"shs".as("shs_b")), Seq("h31", "sub"))
         .filter($"doc_id" < $"doc_b")
-        .select($"doc_id".as("doc_a"), $"doc_b").distinct())
-      time("cand (join+distinct)")(cand.count())
-      val sampArr = base.select($"doc_id",
-        expr("filter(hs, h -> h % 8 = 0)").as("shs"))
-      val pre = Pins.pin(cand
-        .join(sampArr.select($"doc_id".as("doc_a"), $"shs".as("shs_a")), "doc_a")
-        .join(sampArr.select($"doc_id".as("doc_b"), $"shs".as("shs_b")), "doc_b")
         .withColumn("s_common",
-          size(array_intersect($"shs_a", $"shs_b")).cast("long"))
+          size(array_intersect($"shs", $"shs_b")).cast("long"))
         .filter(
-          $"s_common" * 10 >= size($"shs_a").cast("long") * 7 ||
-          size($"shs_a") <= 6 ||
+          $"s_common" * 10 >= size($"shs").cast("long") * 7 ||
+          size($"shs") <= 6 ||
           $"s_common" * 10 >= size($"shs_b").cast("long") * 7 ||
           size($"shs_b") <= 6)
-        .select($"doc_a", $"doc_b"))
-      time("pre (sampled filter)")(pre.count())
+        .select($"doc_id".as("doc_a"), $"doc_b")
+        .distinct())
+      time("pre (fused join+filter)")(pre.count())
       val ex = pre
         .join(base.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
         .join(base.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")

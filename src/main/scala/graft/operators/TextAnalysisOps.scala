@@ -745,15 +745,20 @@ object TextAnalysisOps {
     * Better"): hash `spanLen`-char windows and report hashes seen in
     * ≥ `minDocs` distinct docs. Window starts are CONTENT-DEFINED
     * (winnowing-style, à la Schleimer et al.'s MOSS): position i anchors
-    * a window iff the h31 of its 8-char prefix ≡ 0 (mod `anchorMod`), so
-    * the same substring anchors at the same relative offsets in every
-    * document — an unaligned copy is still caught, which fixed-stride
-    * windows structurally miss. Expected windows per doc ≈ len/anchorMod;
-    * a repeated region of length L shares a full window with probability
-    * ~1 − (1−1/anchorMod)^(L−spanLen) (deterministic given content — the
-    * miss case is a region whose prefix hashes all dodge the anchor rule).
-    * Narrow anchor-filter + window explode, one hash-keyed partial-agg
-    * shuffle; distinct-doc counting is two-phase (no per-key set state).
+    * a window iff the rolling 8-codepoint polynomial there ≡ 0 (mod
+    * `anchorMod`) — see [[graft.functions.SpanAnchors]], the codegen'd
+    * one-pass-per-doc expression that evaluates the probe and hashes the
+    * anchored spans (the per-CHARACTER probe is the op's dominant cost;
+    * as a lambda it paid an interpreted md5 per position). Content-
+    * defined starts mean the same substring anchors at the same relative
+    * offsets in every document — an unaligned copy is still caught,
+    * which fixed-stride windows structurally miss. Expected windows per
+    * doc ≈ len/anchorMod; a repeated region of length L shares a full
+    * window with probability ~1 − (1−1/anchorMod)^(L−spanLen)
+    * (deterministic given content — the miss case is a region whose
+    * prefix hashes all dodge the anchor rule). Narrow per-doc expression
+    * + explode, one hash-keyed partial-agg shuffle; distinct-doc
+    * counting is two-phase (no per-key set state).
     * Output: span_h60, n_docs, n_occ, first_doc. */
   def spanDedup(docs: DataFrame, id: Column, text: Column,
                 spanLen: Int = 60, anchorMod: Int = 16,
@@ -762,15 +767,9 @@ object TextAnalysisOps {
     docs.select(id.as("doc_id"), normText(text).as("norm"))
       .filter(length($"norm") >= spanLen)
       .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
-      // the anchor probe is an md5 per char position — the op's genuine,
-      // linearly-scaling cost (an exploded codegen variant measured the
-      // same: the md5 work dominates, not lambda interpretation)
-      .select($"doc_id", $"norm", explode(filter(
-        sequence(lit(1), length($"norm") - (spanLen - 1)),
-        i => DetHash.h31($"norm".substr(i, lit(8))) % anchorMod === 0))
-        .as("i"))
-      .select($"doc_id",
-        DetHash.h60($"norm".substr($"i", lit(spanLen))).as("span_h60"))
+      .select($"doc_id", explode(
+        graft.functions.SpanAnchors.column($"norm", spanLen, anchorMod))
+        .as("span_h60"))
       .groupBy($"span_h60")
       .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
         min($"doc_id").as("first_doc"))

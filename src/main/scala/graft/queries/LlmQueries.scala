@@ -1871,14 +1871,20 @@ object LlmQueries {
       WITH d AS (SELECT doc_id, norm
                  FROM (SELECT doc_id, $Norm AS norm FROM documents)
                  WHERE length(norm) >= $SpanLen),
+      -- codepoint list + rolling-polynomial anchor rule: the SQL mirror
+      -- of graft.functions.SpanAnchors (8-term Horner, base 31 mod 1e9+7)
+      c AS (SELECT doc_id, norm,
+              list_transform(string_split(norm, ''), ch -> ascii(ch)) AS cs
+            FROM d),
       spans AS (
         SELECT doc_id,
                ${DetHash.h60Sql(s"substr(norm, i, $SpanLen)")} AS span_h60
         FROM (SELECT doc_id, norm,
                 unnest(list_filter(
                   generate_series(1, length(norm) - ${SpanLen - 1}),
-                  i -> ${h31("substr(norm, i, 8)")} % $SpanAnchorMod = 0)) AS i
-              FROM d))
+                  i -> ${graft.functions.SpanAnchors.anchorSql("cs", "i",
+                          SpanAnchorMod)})) AS i
+              FROM c))
       SELECT span_h60, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
       FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2

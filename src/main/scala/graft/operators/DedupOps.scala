@@ -161,9 +161,14 @@ object DedupOps {
     * The sub-bucket hash string (`ps:k1:…:kn:doc`) is the cross-engine
     * contract the SQL oracles reproduce verbatim.
     *
-    * The rows are pinned — three consumers (counts + both self-join
-    * sides); the caller releases via Pins.releaseAll()/Pins.scoped at
-    * its query boundary.
+    * Three pins, released by the caller (Pins.releaseAll()/Pins.scoped
+    * at its query boundary): the input rows (three consumers — counts +
+    * both self-join sides), the sub-bucketed rows (unpinned, each
+    * self-join side replays the bucket-count aggregation and md5
+    * sub-bucket hash — the same 3× replay containmentPairs measured),
+    * and the distinct pair table itself — the pipeline's natural
+    * materialization point (tiny: two longs per candidate), so
+    * re-executions read pairs instead of re-running the bucket join.
     * Output: distinct doc_a < doc_b from buckets with ≥ 2 members. */
   def cappedPairs(rows: DataFrame, keys: Seq[String],
                   maxBucket: Int): DataFrame = {
@@ -171,11 +176,12 @@ object DedupOps {
     val b = Pins.pin(rows)
     val counts = subSizedCounts(b, keys,
       s"pairs[${keys.mkString(",")}]", maxBucket)
-    val sub = withSubBucket(b.join(counts, keys), keys)
-      .select((kc :+ $"doc_id" :+ $"sub"): _*)
-    sub.join(sub.withColumnRenamed("doc_id", "doc_b"), keys :+ "sub")
-      .filter($"doc_id" < $"doc_b")
-      .select($"doc_id".as("doc_a"), $"doc_b").distinct()
+    val sub = Pins.pin(withSubBucket(b.join(counts, keys), keys)
+      .select((kc :+ $"doc_id" :+ $"sub"): _*))
+    Pins.pin(
+      sub.join(sub.withColumnRenamed("doc_id", "doc_b"), keys :+ "sub")
+        .filter($"doc_id" < $"doc_b")
+        .select($"doc_id".as("doc_a"), $"doc_b").distinct())
   }
 
   /** ⌈count/maxBucket⌉ as an exact integer column — THE cap formula
@@ -400,19 +406,22 @@ object DedupOps {
     // same rule as a from-scratch run, so incremental and full runs
     // agree pair-for-pair: withSubBucket assigns each doc the identical
     // sub it gets in cappedPairs, and only the new side probes
-    val counts = subSizedCounts(allBands, Seq("band", "bkey"),
-      "incremental", maxBucket)
+    // counts pinned (tiny aggregate, two consumers below); the distinct
+    // candidate table pinned as the materialization point re-executions
+    // read instead of re-running the probe join
+    val counts = Pins.pin(subSizedCounts(allBands, Seq("band", "bkey"),
+      "incremental", maxBucket))
     val subAll = withSubBucket(allBands.join(counts, Seq("band", "bkey")),
       Seq("band", "bkey"))
     val subNew = withSubBucket(newBands.join(counts, Seq("band", "bkey")),
       Seq("band", "bkey"))
-    val cand = subNew
+    val cand = Pins.pin(subNew
       .join(subAll.withColumnRenamed("doc_id", "doc_b"),
         Seq("band", "bkey", "sub"))
       .filter($"doc_id" =!= $"doc_b")
       .select(least($"doc_id", $"doc_b").as("doc_a"),
         greatest($"doc_id", $"doc_b").as("doc_b"))
-      .distinct()
+      .distinct())
     trueJaccard(cand, idx.select($"doc_id", $"hs").unionByName(baseNew))
       .filter($"jaccard" >= minJaccard)
   }
@@ -558,10 +567,13 @@ object DedupOps {
     // ceil(c/cap) sub-buckets
     val counts = subSizedCounts(bands, Seq("band", "bkey"), "simhash",
       maxBucket)
-    val sub = withSubBucket(bands.join(counts, Seq("band", "bkey")),
+    // pinned sub + pinned result — the cappedPairs discipline: unpinned,
+    // each self-join side replays the count aggregation and sub-bucket
+    // hash, and every re-execution replays the band join
+    val sub = Pins.pin(withSubBucket(bands.join(counts, Seq("band", "bkey")),
         Seq("band", "bkey"), prefix = "sh:")
-      .select($"band", $"bkey", $"doc_id", $"simhash", $"sub")
-    sub.join(
+      .select($"band", $"bkey", $"doc_id", $"simhash", $"sub"))
+    Pins.pin(sub.join(
         sub.select($"band", $"bkey", $"sub", $"doc_id".as("doc_b"),
           $"simhash".as("fp_b")),
         Seq("band", "bkey", "sub"))
@@ -569,7 +581,7 @@ object DedupOps {
       .select($"doc_id".as("doc_a"), $"doc_b",
         bit_count($"simhash".bitwiseXOR($"fp_b")).cast("long").as("hamming"))
       .distinct()
-      .filter($"hamming" <= maxHamming)
+      .filter($"hamming" <= maxHamming))
   }
 
   /** Word n-gram Jaccard near-dup: candidates bucketed by shared exact
@@ -638,16 +650,18 @@ object DedupOps {
     // shared gram is an independent 1/nsub co-sub draw, so recall
     // survives while join volume stays ≤ |eval rows|·cap); the eval
     // probe hashes into the SAME sub space sized by the train counts
-    val counts = subSizedCounts(tb, Seq("bkey"), "contamination",
-      maxBucket, minCount = 1)
+    // counts pinned (tiny aggregate, both probe sides consume it); the
+    // distinct candidate table pinned so re-executions skip the probe
+    val counts = Pins.pin(subSizedCounts(tb, Seq("bkey"), "contamination",
+      maxBucket, minCount = 1))
     val tsub = withSubBucket(tb.join(counts, "bkey"), Seq("bkey"),
         idCol = "train_id")
       .select($"bkey", $"train_id", $"sub")
     val esub = withSubBucket(eb.join(counts, "bkey"), Seq("bkey"),
         idCol = "eval_id")
       .select($"bkey", $"eval_id", $"sub")
-    val cand = tsub.join(esub, Seq("bkey", "sub"))
-      .select($"train_id", $"eval_id").distinct()
+    val cand = Pins.pin(tsub.join(esub, Seq("bkey", "sub"))
+      .select($"train_id", $"eval_id").distinct())
     cand
       .join(t.select($"doc_id".as("train_id"), $"g3".as("hs_a")), "train_id")
       .join(e.select($"doc_id".as("eval_id"), $"g3".as("hs_b")), "eval_id")

@@ -112,17 +112,20 @@ object VectorOps {
     // the cross-engine sub-assignment contract the oracle mirrors.
     val counts = DedupOps.subSizedCounts(b, Seq("bucket"), "cosine",
       maxBucket)
-    val capped = DedupOps.withSubBucket(b.join(counts, "bucket"),
+    // pinned sub-bucketed corpus + pinned pair output (the cappedPairs
+    // discipline): both self-join sides read one materialized table,
+    // and re-executions read the tiny pair table
+    val capped = Pins.pin(DedupOps.withSubBucket(b.join(counts, "bucket"),
         Seq("bucket"), idCol = "vec_id")
-      .select($"bucket", $"sub", $"vec_id", $"qv", $"nrm")
+      .select($"bucket", $"sub", $"vec_id", $"qv", $"nrm"))
     val r = capped.select($"bucket", $"sub", $"vec_id".as("vec_b"),
       $"qv".as("vb"), $"nrm".as("nb"))
-    capped.join(r, Seq("bucket", "sub")).filter($"vec_id" < $"vec_b")
+    Pins.pin(capped.join(r, Seq("bucket", "sub")).filter($"vec_id" < $"vec_b")
       .withColumn("dot", LongArrayDot($"qv", $"vb"))
       .withColumn("cos", $"dot".cast("double") /
         sqrt($"nrm".cast("double") * $"nb".cast("double")))
       .filter($"cos" >= minCos)
-      .select($"vec_id".as("vec_a"), $"vec_b", $"cos")
+      .select($"vec_id".as("vec_a"), $"vec_b", $"cos"))
   }
 
   /** Per-label mean embedding (class centroids) in long form — one row per
@@ -379,18 +382,21 @@ object VectorOps {
     // and work stays Σ per-sub |s|² ≤ c·maxList per cluster.
     val counts = DedupOps.subSizedCounts(members, Seq("list_id"),
       "semdedup", maxList)
-    val capped = DedupOps.withSubBucket(members.join(counts, "list_id"),
+    // pinned sub-listed members + pinned dropped set (the cappedPairs
+    // discipline: one materialized table for both self-join sides, one
+    // tiny result table for re-executions)
+    val capped = Pins.pin(DedupOps.withSubBucket(members.join(counts, "list_id"),
         Seq("list_id"), idCol = "vec_id")
-      .select($"list_id", $"sub", $"vec_id", $"qv", $"nrm")
+      .select($"list_id", $"sub", $"vec_id", $"qv", $"nrm"))
     val r = capped.select($"list_id", $"sub", $"vec_id".as("vec_b"),
       $"qv".as("vb"), $"nrm".as("nb"))
-    val dropped = capped.join(r, Seq("list_id", "sub"))
+    val dropped = Pins.pin(capped.join(r, Seq("list_id", "sub"))
       .filter($"vec_id" < $"vec_b")
       .withColumn("dot", LongArrayDot($"qv", $"vb"))
       .withColumn("cos", $"dot".cast("double") /
         sqrt($"nrm".cast("double") * $"nb".cast("double")))
       .filter($"cos" >= minCos)
-      .select($"vec_b".as("vec_id")).distinct()
+      .select($"vec_b".as("vec_id")).distinct())
     // mirrors the oracle's `d.vec_id IS NULL AS is_keeper`
     members.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
       .select($"vec_id", $"list_id", isnull($"hit").as("is_keeper"))
@@ -470,14 +476,16 @@ object VectorOps {
         Seq("bucket"), idCol = "vec_id")
       .select($"bucket", $"sub", $"vec_id", $"qv", $"nrm")
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr_id")
-    probes.join(corpus, Seq("bucket", "sub"))
+    // graph edges pinned: ≤ k rows per vector, the serving artifact a
+    // pipeline materializes; re-executions read it directly
+    Pins.pin(probes.join(corpus, Seq("bucket", "sub"))
       .filter($"vec_id" =!= $"nbr_id")
       .withColumn("dot", LongArrayDot($"qv", $"nv"))
       .withColumn("cos", $"dot".cast("double") /
         sqrt($"nrm".cast("double") * $"nn".cast("double")))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
-      .select($"vec_id", $"nbr_id", $"cos", $"rk")
+      .select($"vec_id", $"nbr_id", $"cos", $"rk"))
   }
 
   /** Product-quantization encode + asymmetric-distance (ADC) top-k — the

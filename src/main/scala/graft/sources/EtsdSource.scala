@@ -42,6 +42,25 @@ object EtsdSource {
       $"valid", $"is_register")
   }
 
+  /** Fleet-wide read: one DataSource-V2 scan per STORE directory, unioned.
+    *
+    * An ETSD deployment scales by STORES, not by widening one store — a
+    * store's channel set is bounded by the 512-byte block capacity
+    * (etsdCmd.c:295-299), so a fleet is one directory per daemon
+    * (etsd.c:33) and a fleet query is the union of per-store scans.
+    * Keeping one scan per store (rather than one multi-path load)
+    * preserves per-store planning: each scan reads its own `_graft_index`
+    * sidecar, prunes its own files under a time-range pushdown, and
+    * carries its own header schema — no cross-store coupling, and the
+    * union is exchange-free (UnionExec concatenates partitions).
+    * `TsdIndexSpec` asserts both value parity with per-store reads and
+    * zero file probes across the fleet when sidecars exist. */
+  def fleet(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "fleet requires at least one store directory")
+    dirs.map(d => spark.read.format("graft.sources.TsdDataSource").load(d))
+      .reduce(_ unionByName _)
+  }
+
   /** Wide pivoted view of the long form — one row per timestamp, one
     * column per channel (SURVEY.md §1.5: the ECM-style consumer shape;
     * the long form stays canonical because it scales to arbitrary channel

@@ -297,6 +297,29 @@ object EddMain {
     EddQueries(commit, edoQ)
   }
 
+  /** The long-running ingest daemon's state-store provider: RocksDB.
+    * The daemon's stateful operators (block windows, watermark state,
+    * streaming dedup, the 255-miss timeout state) accrete keys for the
+    * life of the process; the default in-memory HDFS-backed provider
+    * holds every key on-heap per executor, so a months-long daemon's
+    * state headroom is its heap. RocksDB keeps working state off-heap
+    * and spills to local disk — state size is then bounded by disk, not
+    * heap, and changelog checkpointing keeps recovery incremental.
+    * `RocksDbStateSpec` verifies the operators produce identical
+    * results under this provider; `EddSpec` asserts the wiring. */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Session for the standalone daemon ([[main]]): local[32] with the
+    * RocksDB state store as the documented default. */
+  private[streaming] def daemonSession(): SparkSession =
+    SparkSession.builder()
+      .appName("graft-edd").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        RocksDbProvider)
+      .getOrCreate()
+
   /** CLI: `EddMain <configFile> [runSeconds]` — parse, echo the config
     * `examinETSD`-style, and (with `runSeconds`) run the live pipeline
     * that long. Parse/echo-only by default so misconfigurations are
@@ -306,10 +329,7 @@ object EddMain {
     val cfg = EddConfig.load(args(0))
     print(cfg.echo)
     args.drop(1).headOption.map(_.toLong).foreach { secs =>
-      val spark = SparkSession.builder()
-        .appName("graft-edd").master("local[32]")
-        .config("spark.sql.shuffle.partitions", 32)
-        .getOrCreate()
+      val spark = daemonSession()
       val qs = start(spark, cfg)
       try Thread.sleep(secs * 1000)
       finally { qs.stopAll(); spark.stop() }

@@ -75,9 +75,8 @@ object FileScaleProbe {
         }.sum
       }
       println(s"    files written: $nFiles")
-      def fleet: DataFrame = stores.map { d =>
-        spark.read.format("graft.sources.TsdDataSource").load(d)
-      }.reduce(_ union _)
+      def fleet: DataFrame =
+        graft.sources.EtsdSource.fleet(spark, stores)
       time("read-back full scan") {
         fleet.filter($"valid" && !$"is_register").count()
       }

@@ -35,6 +35,30 @@ class TsdIndexSpec extends AnyFunSuite {
     dir
   }
 
+  test("EtsdSource.fleet: per-store sidecar planning, union value parity") {
+    import spark.implicits._
+    val stores = (0 until 3).map(_ => layout(20, indexed = true))
+    TsdIndex.PlanStats.reset()
+    val fl = EtsdSource.fleet(spark, stores)
+    // value parity: the fleet is exactly the concatenation of per-store reads
+    assert(fl.count() == 3 * 20 * 4L)
+    // planning stayed per-store AND sidecar-served: every store's files
+    // from its own index, zero probes anywhere in the fleet plan
+    assert(TsdIndex.PlanStats.indexedFiles.get() >= 60)
+    assert(TsdIndex.PlanStats.probedFiles.get() == 0,
+      "fleet read must plan every store from its own sidecar")
+    assert(TsdIndex.PlanStats.driverProbedFiles.get() == 0)
+    // a time-range pushdown prunes inside EACH store's scan: the layouts
+    // share the same epoch grid, so the last-2-spans filter keeps ≤ 3
+    // files per store (2 overlapping + 1 conservative boundary)
+    val cutoff = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(t0 + 18 * 4L))
+    val pruned = EtsdSource.fleet(spark, stores).filter($"ts" > cutoff)
+    assert(pruned.count() == 3 * 8L)
+    assert(pruned.rdd.getNumPartitions <= 9,
+      "pushdown must prune non-overlapping files in every store scan")
+  }
+
   test("planning 1000 files from the sidecar: zero file probes") {
     val n = 1000
     val dir = layout(n, indexed = true)

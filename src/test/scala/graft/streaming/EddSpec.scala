@@ -111,4 +111,20 @@ class EddSpec extends AnyFunSuite {
     }
     assert(df.filter($"channel" === "src1_volts" && !$"valid").count() == 3)
   }
+
+  test("EddMain daemon session defaults to the RocksDB state store") {
+    // the long-running ingest daemon must not hold streaming state
+    // on-heap (RocksDbStateSpec verifies operator parity under the
+    // provider; this pins the wiring). getOrCreate applies the conf to
+    // the shared test session, so restore it after the assert.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      val s = EddMain.daemonSession()
+      assert(s.conf.get(key) == EddMain.RocksDbProvider)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -14,7 +14,15 @@ import graft.model.{ChannelConfig, EtsdSchema}
   *   byte 9      xDataSize
   *   bytes 10+2i source byte, 11+2i destination byte per channel
   *   then        NUL-terminated channel names, in order
-  */
+  *
+  * ETSD_EPOCH (etsd.h:79-88): the reference stores block timestamps as
+  * 32-bit seconds and offers a configurable epoch offset macro
+  * (`ETSD_TIME`/`ETSD_TO_EPOCH`, default offset 0) purely to extend the
+  * useful range of that uint32 past 2106. This codec keeps timestamps
+  * in Spark's 64-bit `TimestampType` end-to-end, which subsumes the
+  * mechanism — no offset constant exists here, and on-disk `.tsd`
+  * interop uses raw (offset-0) epoch seconds, matching the reference's
+  * shipped default. */
 object HeaderCodec {
   val Magic = 1146311749L // "ETSD"
 

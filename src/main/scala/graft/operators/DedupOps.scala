@@ -284,25 +284,41 @@ object DedupOps {
     * spreads it across partitions instead of one task. The split volume
     * is reported via the `[capSplit]` census (bounded extra work, vs
     * `[capDrop]`'s recall hole).
+    *
+    * `carryMax` bounds the bytes the bucket join carries per row: a doc
+    * whose SAMPLED set has ≤ carryMax hashes rides its array through
+    * the self-join (pre-filter fused into the join stage — no
+    * pair-level distinct, no pair×corpus fetch joins); a longer doc
+    * carries NULL and its candidate pairs take a pair-level array-fetch
+    * join instead. The predicate is IDENTICAL on both paths (same
+    * sampled sets, same integer compare — the SQL oracle mirrors one
+    * rule), so carryMax is purely an execution-cost knob: without it,
+    * per-doc shuffle bytes grow as ~8·ssz² — quadratic in doc length,
+    * larger than the doc text once it passes ~sampleMod² chars — which
+    * a long-document corpus at the 100 TB design point cannot pay. With
+    * the default cap the carried bytes are ≤ 8·carryMax per row (≈2 KB)
+    * while typical web documents (ssz ≪ carryMax) keep the fused fast
+    * path. `ContainmentCarrySpec` proves path equivalence by forcing
+    * each path on the same corpus.
     * Output: doc_a < doc_b, n_common, cont_a (share of a's shingles in
     * b), cont_b. */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
                        minContainment: Double, maxBucket: Int = 20,
-                       sampleMod: Int = 8): DataFrame = {
+                       sampleMod: Int = 8, carryMax: Int = 256): DataFrame = {
     val base = Pins.pin(shingleHashArrays(docs, id, text))
-    // the per-doc SAMPLED array rides along on every exploded row and
-    // straight THROUGH the bucket self-join, so the sampled pre-filter
-    // below runs inside the join stage itself — no pair-level distinct
-    // shuffle and no pair×corpus array-fetch joins before the filter
-    // (the r9 shape paid a 1.25M-row distinct plus two joins at sf0.1
-    // for the identical pair set). The shuffle rows widen by the
-    // sampled set (~ssz longs; per doc that is ssz² ≈ (k/sampleMod)²
-    // bytes-ish, the same order as the doc text) — the standard
-    // carry-the-signature-through-the-band-join trade.
-    val samp = Pins.pin(
-      base.select($"doc_id",
-          expr(s"filter(hs, h -> h % $sampleMod = 0)").as("shs"))
-        .select($"doc_id", $"shs", explode($"shs").as("h31")))
+    // slim per-doc sampled-array table: the fetch path's source and the
+    // one place the sampled sets are computed (the carry path reads the
+    // same arrays through the projection below, so the two paths can
+    // never disagree on what a doc's sampled set is)
+    val sampArr = Pins.pin(base.select($"doc_id",
+      expr(s"filter(hs, h -> h % $sampleMod = 0)").as("shs")))
+    // exploded bucket rows: the sampled array rides along ONLY when the
+    // doc is under carryMax (bounded shuffle bytes; see scaladoc) — the
+    // sampled size always rides (8 bytes, needed by the predicate)
+    val samp = Pins.pin(sampArr.select($"doc_id",
+      size($"shs").cast("long").as("ssz"),
+      when(size($"shs") <= carryMax, $"shs").as("shs_c"),
+      explode($"shs").as("h31")))
     val counts = subSizedCounts(samp.select($"doc_id", $"h31"),
       Seq("h31"), "containment", maxBucket)
     // pinned: BOTH sides of the self-join read this one materialized
@@ -313,7 +329,7 @@ object DedupOps {
     // sf0.1 (4.5 s → 1.55 s with the pin).
     val sub = Pins.pin(withSubBucket(samp.join(counts, "h31"), Seq("h31"),
         prefix = "cs:")
-      .select($"h31", $"sub", $"doc_id", $"shs"))
+      .select($"h31", $"sub", $"doc_id", $"ssz", $"shs_c"))
     // sampled-containment pre-filter, fused into the bucket-join stage:
     // most candidate hits share only hot (boilerplate/template)
     // shingles and can never reach minContainment — reject them on the
@@ -334,23 +350,46 @@ object DedupOps {
     // containment is Binomial(ssz, ≥0.9)/ssz: at ssz = 12 the 0.7 cut
     // is ~2σ below the mean, beyond ssz = 25 it is >3.5σ.
     // ContainmentRecallSpec re-measures the recall floor.
+    //
+    // hitsEval is the ONE pass over the array-carrying self-join: rows
+    // where both sides carried their sampled array evaluate s_common
+    // inline; rows touching an over-carryMax doc defer (s_common NULL).
+    // Pinned as SCALARS ONLY (pair ids, sizes, s_common) — the arrays
+    // never outlive the join stage, so the cache stays pair-sized.
+    val hitsEval = Pins.pin(sub
+      .join(sub.select($"h31", $"sub", $"doc_id".as("doc_b"),
+        $"ssz".as("ssz_b"), $"shs_c".as("shs_cb")), Seq("h31", "sub"))
+      .filter($"doc_id" < $"doc_b")
+      .select($"doc_id".as("doc_a"), $"doc_b", $"ssz", $"ssz_b",
+        when($"shs_c".isNotNull && $"shs_cb".isNotNull,
+          size(array_intersect($"shs_c", $"shs_cb")).cast("long"))
+          .as("s_common")))
+    def passes(sCommon: Column, sszA: Column, sszB: Column): Column =
+      sCommon * 10 >= sszA * 7 || sszA <= 6 ||
+        sCommon * 10 >= sszB * 7 || sszB <= 6
+    // deferred pairs (≥1 side over carryMax): pair-level distinct, then
+    // the classic array-fetch join against the slim sampled-array table
+    // — the SAME predicate on the SAME sets, just evaluated after a
+    // fetch instead of in the join stage. Empty whenever the corpus has
+    // no over-carryMax docs (the common web-doc case).
+    val deferred = hitsEval.filter($"s_common".isNull)
+      .select($"doc_a", $"doc_b").distinct()
+      .join(sampArr.select($"doc_id".as("doc_a"), $"shs".as("shs_a")), "doc_a")
+      .join(sampArr.select($"doc_id".as("doc_b"), $"shs".as("shs_b")), "doc_b")
+      .filter(passes(
+        size(array_intersect($"shs_a", $"shs_b")).cast("long"),
+        size($"shs_a").cast("long"), size($"shs_b").cast("long")))
+      .select($"doc_a", $"doc_b")
     // pinned: the 2-column surviving-candidate table is the natural
     // materialization point of the pipeline (a production dedup run
     // lands candidates once, then the exact stage and any re-runs read
     // them) — and the cheapest thing to re-read: re-executions touch
     // only this tiny table plus the base fetch, never the bucket join.
-    val pre = Pins.pin(sub
-      .join(sub.select($"h31", $"sub",
-        $"doc_id".as("doc_b"), $"shs".as("shs_b")), Seq("h31", "sub"))
-      .filter($"doc_id" < $"doc_b")
-      .withColumn("s_common",
-        size(array_intersect($"shs", $"shs_b")).cast("long"))
-      .filter(
-        $"s_common" * 10 >= size($"shs").cast("long") * 7 ||
-        size($"shs") <= 6 ||
-        $"s_common" * 10 >= size($"shs_b").cast("long") * 7 ||
-        size($"shs_b") <= 6)
-      .select($"doc_id".as("doc_a"), $"doc_b")
+    val pre = Pins.pin(hitsEval
+      .filter($"s_common".isNotNull &&
+        passes($"s_common", $"ssz", $"ssz_b"))
+      .select($"doc_a", $"doc_b")
+      .unionByName(deferred)
       .distinct())
     pre
       .join(base.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
@@ -469,8 +508,19 @@ object DedupOps {
     * a dead executor. On a real cluster pass a reliable dir (HDFS/S3):
     * rounds then truncate via `checkpoint()`, whose blocks survive
     * executor loss, at the cost of one write+read of the (tiny,
-    * dup-set-sized) label table per round. The dir is set on the
-    * SparkContext for the duration of the call and restored after. */
+    * dup-set-sized) label table per round. Superseded rounds' snapshot
+    * files are reaped INSIDE the loop (round N's eager materialization
+    * makes round N−1's files dead), so the dir holds at most two label
+    * snapshots however many rounds run. The dir must be DURABLE beyond
+    * this call on two counts: the RETURNED DataFrame reads the final
+    * round's checkpoint files lazily (consume it before deleting the
+    * dir), and `setCheckpointDir` is context-global with no unset — if
+    * the context had no prior dir, this one stays its checkpoint dir,
+    * and a later unrelated `checkpoint()` would write into it. Pass a
+    * path with the session's lifetime (a per-job subdir of the
+    * cluster's standing checkpoint root), never a delete-on-exit temp
+    * dir. The context's prior dir, when one exists, is restored after
+    * the call. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 50,
                   checkpointDir: Option[String] = None): DataFrame = {
     val edges = Pins.pin(pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
@@ -486,6 +536,18 @@ object DedupOps {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
+    // reliable-checkpoint reaping: an eagerly-checkpointed Dataset's
+    // plan is a LogicalRDD over the checkpointed RDD — once the NEXT
+    // round is materialized, the previous round's files are dead and
+    // are deleted in-loop (else a maxIter run leaves maxIter label
+    // snapshots in the dir). localCheckpoint blocks are freed by the
+    // existing unpersist.
+    def reapCheckpoint(df: DataFrame): Unit =
+      if (checkpointDir.isDefined)
+        df.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        }.foreach(
+          org.apache.spark.graftbridge.CheckpointBridge.cleanCheckpoint(sc, _))
     try {
     var labels = truncate(edges.select($"src".as("doc_id"))
       .distinct()
@@ -503,6 +565,7 @@ object DedupOps {
         .filter($"n.cluster_id" =!= $"o.cluster_id")
         .isEmpty
       labels.unpersist(blocking = false)
+      reapCheckpoint(labels) // next is materialized; labels' files are dead
       labels = next
       iter += 1
     }
@@ -622,10 +685,18 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
                    minJaccard: Double, maxBucket: Int = 20): DataFrame = {
     val base = Pins.pin(gramArrays(docs, id, text))
+    // slim g3-only pin layered on the fat base: the exact stage's two
+    // candidate-fetch joins scan a (doc_id, g3) cache instead of
+    // dragging the unused b5 arrays through both scans — array columns
+    // are the expensive part of an InMemoryRelation scan, and the fat
+    // base is still materialized only once (the slim pin reads it).
+    // Measured at sf0.1: trueJaccard 0.46 s → 0.29 s staged, and the
+    // fix that retired the r10 bench regression together with the
+    // rebuild-stable observe names (DedupStats.stableName).
+    val g3 = Pins.pin(base.select($"doc_id", $"g3".as("hs")))
     val buckets = base.select($"doc_id", explode($"b5").as("bkey"))
     val cand = cappedPairs(buckets, Seq("bkey"), maxBucket)
-    trueJaccard(cand, base.select($"doc_id", $"g3".as("hs")))
-      .filter($"jaccard" >= minJaccard)
+    trueJaccard(cand, g3).filter($"jaccard" >= minJaccard)
   }
 
   /** Eval-set contamination detection — the decontamination pass of a

@@ -29,9 +29,12 @@ object RelationalQueries {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
-      all.sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Files.walk holds directory handles until closed — leak-free via
+      // Using, since this runs once per bench-loop invocation.
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 

@@ -25,6 +25,20 @@ class SpreadSpec extends AnyFunSuite {
     assert(nExchanges(wide.spreadBy($"doc_id").toDF) == 0)
   }
 
+  test("spreadByKey passes shuffled and streaming inputs through unchanged") {
+    // upstream shuffle: probing .rdd would finalize the adaptive plan
+    // (running the shuffle stages in a throwaway execution) — the gate
+    // must return the dataset untouched instead, since a shuffle output
+    // is already spread across spark.sql.shuffle.partitions
+    val shuffled = spark.range(0, 100, 1, 1).select($"id".as("doc_id"))
+      .groupBy($"doc_id").count()
+    assert(spreadByKey(shuffled, $"doc_id") eq shuffled)
+    // streaming: Dataset.rdd throws on streams — must pass through
+    val stream = spark.readStream.format("rate").load()
+      .select($"value".as("doc_id"))
+    assert(spreadByKey(stream, $"doc_id") eq stream)
+  }
+
   test("shingleHashArrays plan has no Exchange on a pre-split input") {
     def docs(parts: Int) = spark.range(0, 64, 1, parts)
       .select($"id".as("doc_id"),

@@ -57,6 +57,13 @@ class DedupClustersSpec extends AnyFunSuite {
     val written = java.nio.file.Files.walk(dir).iterator().asScala
       .count(java.nio.file.Files.isRegularFile(_))
     assert(written > 0, "reliable path must write checkpoint files")
+    // in-loop reaping: superseded rounds' snapshots are deleted as soon
+    // as the next round materializes — only the FINAL label table's
+    // rdd-* snapshot may remain, however many BSP rounds ran
+    val snapshots = java.nio.file.Files.walk(dir).iterator().asScala
+      .count(p => p.getFileName.toString.startsWith("rdd-"))
+    assert(snapshots == 1,
+      s"expected exactly the final round's checkpoint snapshot, got $snapshots")
     assert(spark.sparkContext.getCheckpointDir == before ||
       spark.sparkContext.getCheckpointDir.exists(_.contains(dir.toString)),
       "prior checkpoint dir must be restored (ours may remain only if none was set)")

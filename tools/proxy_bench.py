@@ -23,12 +23,23 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(oracle_path))
-    times, failed = {}, []
+    # 3 runs per query, MEDIAN as the headline number (plus min/max in
+    # the spread map): several oracles — llm_ann_filtered's nested-loop
+    # shape above all, measured swinging 54-304 s across rounds — have
+    # proxy-side variance that a single-shot timing inherits straight
+    # into the round-over-round ratio comparisons. The median makes the
+    # denominator stable; min/max keep the spread diagnosable.
+    import statistics
+    times, spread, failed = {}, {}, []
     for name, sql in sorted(oracles.items()):
-        t0 = time.monotonic()
+        ts = []
         try:
-            con.execute(sql).fetchall()
-            times[name] = round(time.monotonic() - t0, 6)
+            for _ in range(3):
+                t0 = time.monotonic()
+                con.execute(sql).fetchall()
+                ts.append(time.monotonic() - t0)
+            times[name] = round(statistics.median(ts), 6)
+            spread[name] = {"min": round(min(ts), 6), "max": round(max(ts), 6)}
         except Exception as e:
             times[name] = -1.0
             failed.append(name)
@@ -37,7 +48,7 @@ def main():
     total = sum(v for v in times.values() if v > 0)
     result = {"metric": "proxy_total", "value": round(total, 3), "unit": "sec",
               "sf": sfdir, "n_queries": len(times), "n_failed": len(failed),
-              "failed": failed, "queries": times}
+              "failed": failed, "queries": times, "spread": spread}
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(json.dumps({k: result[k] for k in

@@ -512,10 +512,11 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     // cross-media frame dedup: sampled frames whose exact bytes appear
-    // in >= 2 distinct media (keyframe-overlap near-dup signal)
+    // in >= 2 distinct media (keyframe-overlap near-dup signal);
+    // declarative slicing — dedup needs only frame hashes, so the typed
+    // MediaFrame materialization would be paid for nothing
     "llm_frame_dedup" -> ((s, d) =>
-      MultimodalOps.frameDedup(
-          MultimodalOps.sampleFrames(MultimodalOps.mediaFromDocs(docs(s, d))))
+      MultimodalOps.frameDedup(MultimodalOps.mediaFromDocs(docs(s, d)))
         .orderBy("frame_h")),
 
     // context-window chunking: fixed-length char windows with overlap

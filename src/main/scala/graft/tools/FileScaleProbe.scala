@@ -122,6 +122,53 @@ object FileScaleProbe {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+
+    // --- fleet scale: ≥100 stores through the PUBLIC fleet API.
+    // This is the 100×-scale story told through EtsdSource.fleet rather
+    // than a hand-built union: one DSv2 scan per store, each planning
+    // against its own _graft_index sidecar, so a narrow time-range
+    // query over the whole fleet prunes per-store with ZERO file-probe
+    // I/O (asserted via TsdIndex.PlanStats) and the union stays
+    // exchange-free.
+    {
+      val nStores = 128
+      val nDays = 32
+      val nSlots = nDays * 24L
+      println(s"== fleet: $nStores stores x $nCh channels x $nDays days " +
+        s"= ${nStores * nCh * nSlots} readings via EtsdSource.fleet")
+      val root = java.nio.file.Files.createTempDirectory("fsp_fleet").toString
+      val stores = (0 until nStores).map(i => f"$root/store$i%03d")
+      val long = grid(nSlots)
+      var nFiles = 0
+      time(s"exportIndexed x$nStores") {
+        nFiles = stores.map(d =>
+          EtsdSink.exportIndexed(long, storeSchema, d, blocksPerFile = 2)
+            .length).sum
+      }
+      println(s"    files written fleet-wide: $nFiles")
+      def fleetDf: DataFrame = graft.sources.EtsdSource.fleet(spark, stores)
+      time("fleet full-scan agg") {
+        fleetDf.filter($"valid" && !$"is_register")
+          .groupBy($"channel").agg(sum($"value")).count()
+      }
+      TsdIndex.PlanStats.reset()
+      val dayLo = startEpoch + 20L * 86400L
+      val dayRows = time("fleet 1-day pruned query") {
+        fleetDf.filter($"valid" && !$"is_register" &&
+            $"ts" >= timestamp_seconds(lit(dayLo)) &&
+            $"ts" < timestamp_seconds(lit(dayLo + 86400L)))
+          .count()
+      }
+      val expect = nStores.toLong * nCh * 24
+      println(s"    rows: $dayRows (expect $expect), planned from index: " +
+        s"${TsdIndex.PlanStats.indexedFiles.get()} files, probed: " +
+        s"${TsdIndex.PlanStats.probedFiles.get()}")
+      assert(dayRows == expect, s"fleet day query returned $dayRows")
+      assert(TsdIndex.PlanStats.probedFiles.get() == 0,
+        "fleet planning must be sidecar-only (zero per-file probes)")
+      assert(TsdIndex.PlanStats.driverProbedFiles.get() == 0)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
     spark.stop()
   }
 }

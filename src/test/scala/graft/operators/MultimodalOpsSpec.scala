@@ -58,11 +58,40 @@ class MultimodalOpsSpec extends AnyFunSuite {
         shared ++ Array.fill(16)(2.toByte) ++ shared, 0, 0, 0),
       MediaRow(12L, "image", Array.fill(16)(9.toByte), 0, 0, 0)).toDS()
     val got = graft.Pins.scoped {
-      MultimodalOps.frameDedup(MultimodalOps.sampleFrames(dup))
+      MultimodalOps.frameDedup(dup)
         .as[(String, Long, Long, Long)].collect().toSeq
     }
     assert(got.size == 1, got)
     val (_, nMedia, nOcc, firstMedia) = got.head
     assert(nMedia == 2L && nOcc == 3L && firstMedia == 10L, got)
+  }
+
+  test("declarative frameDedup slicing matches the typed sampleFrames path") {
+    import spark.implicits._
+    // geometry edge cases on purpose: short tails (40, 33 bytes), an
+    // exactly-one-frame payload (16), an empty payload (zero frames),
+    // and a NULL payload (zero frames) — the declarative explode +
+    // substring slicing must agree with sampleFrames' flatMap hash-for-
+    // hash, else the two pipelines would silently drift
+    val corpus = Seq(
+      MediaRow(1L, "image", Array.tabulate(40)(i => (i * 7).toByte), 0, 0, 0),
+      MediaRow(2L, "audio", Array.tabulate(16)(i => i.toByte), 0, 0, 0),
+      MediaRow(3L, "video", Array.tabulate(33)(i => (255 - i).toByte), 0, 0, 0),
+      MediaRow(4L, "image", Array.empty[Byte], 0, 0, 0),
+      MediaRow(5L, "image", null, 0, 0, 0),
+      MediaRow(6L, "video", Array.tabulate(40)(i => (i * 7).toByte), 0, 0, 0)
+    ).toDS()
+    val declarative = graft.Pins.scoped {
+      MultimodalOps.frameDedup(corpus, minMedia = 1)
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    val typed = graft.Pins.scoped {
+      MultimodalOps.frameDedup(MultimodalOps.sampleFrames(corpus),
+          minMedia = 1L)
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    assert(declarative == typed)
+    assert(declarative.exists(_._2 == 2L),
+      "fixture must exercise a cross-media shared frame")
   }
 }

@@ -306,19 +306,20 @@ object DedupOps {
                        minContainment: Double, maxBucket: Int = 20,
                        sampleMod: Int = 8, carryMax: Int = 256): DataFrame = {
     val base = Pins.pin(shingleHashArrays(docs, id, text))
-    // slim per-doc sampled-array table: the fetch path's source and the
-    // one place the sampled sets are computed (the carry path reads the
-    // same arrays through the projection below, so the two paths can
-    // never disagree on what a doc's sampled set is)
-    val sampArr = Pins.pin(base.select($"doc_id",
-      expr(s"filter(hs, h -> h % $sampleMod = 0)").as("shs")))
+    // ONE definition of a doc's sampled set, applied wherever it is
+    // needed (the exploded carry rows below and the deferred fetch
+    // joins): a deterministic expression over the pinned base, so the
+    // two execution paths can never disagree on what the set is — and
+    // no second corpus-sized cache is materialized for it
+    val sampled = expr(s"filter(hs, h -> h % $sampleMod = 0)")
     // exploded bucket rows: the sampled array rides along ONLY when the
     // doc is under carryMax (bounded shuffle bytes; see scaladoc) — the
     // sampled size always rides (8 bytes, needed by the predicate)
-    val samp = Pins.pin(sampArr.select($"doc_id",
-      size($"shs").cast("long").as("ssz"),
-      when(size($"shs") <= carryMax, $"shs").as("shs_c"),
-      explode($"shs").as("h31")))
+    val samp = Pins.pin(base.select($"doc_id", sampled.as("shs"))
+      .select($"doc_id",
+        size($"shs").cast("long").as("ssz"),
+        when(size($"shs") <= carryMax, $"shs").as("shs_c"),
+        explode($"shs").as("h31")))
     val counts = subSizedCounts(samp.select($"doc_id", $"h31"),
       Seq("h31"), "containment", maxBucket)
     // pinned: BOTH sides of the self-join read this one materialized
@@ -351,11 +352,17 @@ object DedupOps {
     // is ~2σ below the mean, beyond ssz = 25 it is >3.5σ.
     // ContainmentRecallSpec re-measures the recall floor.
     //
+    def passes(sCommon: Column, sszA: Column, sszB: Column): Column =
+      sCommon * 10 >= sszA * 7 || sszA <= 6 ||
+        sCommon * 10 >= sszB * 7 || sszB <= 6
     // hitsEval is the ONE pass over the array-carrying self-join: rows
     // where both sides carried their sampled array evaluate s_common
-    // inline; rows touching an over-carryMax doc defer (s_common NULL).
-    // Pinned as SCALARS ONLY (pair ids, sizes, s_common) — the arrays
-    // never outlive the join stage, so the cache stays pair-sized.
+    // AND the 70% cut inline (the ~95% of hit rows the cut rejects die
+    // inside the join stage, exactly the r10 fusion); rows touching an
+    // over-carryMax doc cannot be cut here and survive tagged
+    // `deferred`. Pinned AFTER the cut as pair ids + the tag only, so
+    // the cache holds survivors + deferred hits (~56k at sf0.1), never
+    // the 1.3M raw hit rows and never an array.
     val hitsEval = Pins.pin(sub
       .join(sub.select($"h31", $"sub", $"doc_id".as("doc_b"),
         $"ssz".as("ssz_b"), $"shs_c".as("shs_cb")), Seq("h31", "sub"))
@@ -363,19 +370,19 @@ object DedupOps {
       .select($"doc_id".as("doc_a"), $"doc_b", $"ssz", $"ssz_b",
         when($"shs_c".isNotNull && $"shs_cb".isNotNull,
           size(array_intersect($"shs_c", $"shs_cb")).cast("long"))
-          .as("s_common")))
-    def passes(sCommon: Column, sszA: Column, sszB: Column): Column =
-      sCommon * 10 >= sszA * 7 || sszA <= 6 ||
-        sCommon * 10 >= sszB * 7 || sszB <= 6
+          .as("s_common"))
+      .filter($"s_common".isNull ||
+        passes($"s_common", $"ssz", $"ssz_b"))
+      .select($"doc_a", $"doc_b", $"s_common".isNull.as("deferred")))
     // deferred pairs (≥1 side over carryMax): pair-level distinct, then
-    // the classic array-fetch join against the slim sampled-array table
-    // — the SAME predicate on the SAME sets, just evaluated after a
-    // fetch instead of in the join stage. Empty whenever the corpus has
-    // no over-carryMax docs (the common web-doc case).
-    val deferred = hitsEval.filter($"s_common".isNull)
+    // the classic array-fetch join against the pinned base — the SAME
+    // predicate on the SAME sampled-set expression, just evaluated
+    // after a fetch instead of in the join stage. Empty whenever the
+    // corpus has no over-carryMax docs (the common web-doc case).
+    val deferred = hitsEval.filter($"deferred")
       .select($"doc_a", $"doc_b").distinct()
-      .join(sampArr.select($"doc_id".as("doc_a"), $"shs".as("shs_a")), "doc_a")
-      .join(sampArr.select($"doc_id".as("doc_b"), $"shs".as("shs_b")), "doc_b")
+      .join(base.select($"doc_id".as("doc_a"), sampled.as("shs_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), sampled.as("shs_b")), "doc_b")
       .filter(passes(
         size(array_intersect($"shs_a", $"shs_b")).cast("long"),
         size($"shs_a").cast("long"), size($"shs_b").cast("long")))
@@ -385,9 +392,7 @@ object DedupOps {
     // lands candidates once, then the exact stage and any re-runs read
     // them) — and the cheapest thing to re-read: re-executions touch
     // only this tiny table plus the base fetch, never the bucket join.
-    val pre = Pins.pin(hitsEval
-      .filter($"s_common".isNotNull &&
-        passes($"s_common", $"ssz", $"ssz_b"))
+    val pre = Pins.pin(hitsEval.filter(!$"deferred")
       .select($"doc_a", $"doc_b")
       .unionByName(deferred)
       .distinct())

@@ -21,38 +21,43 @@ import graft.queries.Tables
   * confirm) the "Spark's fixed stage floor amortizes at scale"
   * explanation with a measurement.
   *
-  * Usage: `runMain graft.tools.ParityProbe [k] [outDir]` (default 10,
-  * /tmp/parity). */
+  * Usage: `runMain graft.tools.ParityProbe [k] [outDir] [query ...]`
+  * (default 10, /tmp/parity, all queries). An existing `<outDir>/<k>x`
+  * corpus is reused as-is — delete it to force a rebuild. */
 object ParityProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val out = args.drop(1).headOption.getOrElse("/tmp/parity")
+    val only = args.drop(2).toSet
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().appName("parityprobe").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables.table(spark, sf, "documents")
-    val n = docs.count()
-    val expanded = (0 until k).map { r =>
-      docs.select(
-        ($"doc_id" + lit(r * 10000000L)).as("doc_id"),
-        // tag every word with the replica: distinct vocab per replica,
-        // same per-replica gram/tf structure, linear total work
-        array_join(transform(split($"text", " "),
-          w => concat(lit(s"r$r"), w)), " ").as("text"),
-        $"lang", $"source", $"n_chars")
-    }.reduce(_ unionByName _)
     val dir = s"$out/${k}x"
-    expanded.coalesce(8).write.mode("overwrite")
-      .parquet(s"$dir/documents.parquet")
-    println(s"[parity] wrote ${n * k} docs to $dir/documents.parquet")
+    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+      val docs = Tables.table(spark, sf, "documents")
+      val n = docs.count()
+      val expanded = (0 until k).map { r =>
+        docs.select(
+          ($"doc_id" + lit(r * 10000000L)).as("doc_id"),
+          // tag every word with the replica: distinct vocab per replica,
+          // same per-replica gram/tf structure, linear total work
+          array_join(transform(split($"text", " "),
+            w => concat(lit(s"r$r"), w)), " ").as("text"),
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionByName _)
+      expanded.coalesce(8).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      println(s"[parity] wrote ${n * k} docs to $dir/documents.parquet")
+    } else println(s"[parity] reusing existing corpus at $dir")
 
     val pdocs = spark.read.parquet(s"$dir/documents.parquet")
     pdocs.count() // warm file listing/footers
 
     def bench(label: String)(build: => DataFrame): Unit = {
+      if (only.nonEmpty && !only(label)) return
       val best = Pins.scoped {
         val df = build
         val rows = df.count()
@@ -73,6 +78,13 @@ object ParityProbe {
     bench("llm_tfidf") {
       TextAnalysisOps.tfIdfTopTerms(pdocs, $"doc_id", $"text")
         .orderBy("doc_id", "rk")
+    }
+    bench("llm_textrank") {
+      // registry parameters (PmiTopK=30, PmiMinCount=3); note the
+      // replica tagging multiplies the VOCAB by k while per-replica
+      // bigram structure is preserved — the right axis for textrank,
+      // whose cost is vocab-bound
+      TextAnalysisOps.textRank(pdocs, $"doc_id", $"text", 30, 3L)
     }
     spark.stop()
   }

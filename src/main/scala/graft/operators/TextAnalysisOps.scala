@@ -336,7 +336,14 @@ object TextAnalysisOps {
       .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select($"doc_id", explode(split($"norm", " ")).as("term"))
       .filter(length($"term") > 0)
-    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // pinned: tf feeds BOTH the document-frequency aggregate and the
+    // weighting join — unpinned, the corpus-sized explode+groupBy
+    // lineage executes twice (the double-lineage shape the containment
+    // fuse retired in r10). The tf table is also the natural
+    // materialization point of the pipeline: corpus-sized but far
+    // smaller than the exploded term stream it collapses.
+    val tf = Pins.pin(terms.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"weight_ppm".desc, $"term")
@@ -360,11 +367,15 @@ object TextAnalysisOps {
     * Output: rk, tok, n, cum_pm. */
   def vocabulary(docs: DataFrame, id: Column, text: Column,
                  topN: Int = 100): DataFrame = {
-    val counts = docs.select(id.as("doc_id"), normText(text).as("norm"))
+    // pinned: counts feeds both the corpus-total aggregate and the
+    // top-N rank — unpinned, the corpus explode+count runs twice for
+    // one vocab-sized (small) cache
+    val counts = Pins.pin(docs
+      .select(id.as("doc_id"), normText(text).as("norm"))
       .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select(explode(split($"norm", " ")).as("tok"))
       .filter(length($"tok") > 0)
-      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .groupBy($"tok").agg(count(lit(1)).as("n")))
     val total = counts.agg(sum($"n").as("total"))
     // explicit ROWS frame (default RANGE would pool same-(n, tok) peers;
     // the key is unique but the oracle spells ROWS, so match it exactly)

@@ -477,9 +477,13 @@ object TextAnalysisOps {
                topK: Int = 30, minCount: Long = 3L,
                iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
-    val c = bigramCounts(docs, id, text).filter($"n_ab" >= minCount)
-    val edges = c.select($"a".as("u"), $"b".as("v"))
-      .union(c.select($"b".as("u"), $"a".as("v"))).distinct()
+    // pinned like collocations' c: the corpus-scale bigram pass feeds
+    // both arms of the symmetrizing union — unpinned it executed twice
+    // (and edges' distinct twice more via the deg branch below)
+    val c = Pins.pin(
+      bigramCounts(docs, id, text).filter($"n_ab" >= minCount))
+    val edges = Pins.pin(c.select($"a".as("u"), $"b".as("v"))
+      .union(c.select($"b".as("u"), $"a".as("v"))).distinct())
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
     // degree pre-joined once: each power iteration then touches ONE
     // pinned edge frame instead of re-joining degrees every round

@@ -756,19 +756,29 @@ object DedupOps {
     * corpus-common material even when no single pair clears a near-dup
     * threshold. One gram explode (raw strings — see [[wordGramArrays]]
     * on why no hashing), one gram-keyed distinct-doc count collapsing
-    * map-side, one join back. Docs under `n` words have no grams and
-    * are excluded. Output: doc_id, n_grams, n_unique, novelty. */
+    * map-side, then uniqueness by COMPLEMENT: only the SHARED grams
+    * (nd ≥ 2 — the cross-doc boilerplate/dup material, the small side
+    * of any diverse corpus, where most long n-grams are singletons)
+    * join back against the exploded rows, and n_unique = n_grams −
+    * n_shared. Joining every gram row with its count would carry the
+    * whole exploded stream through the join; the complement join
+    * carries only the shared subset — at the 100 TB design point that
+    * is the difference between a corpus-sized and a dup-material-sized
+    * shuffle. Docs under `n` words have no grams and are excluded.
+    * Output: doc_id, n_grams, n_unique, novelty. */
   def ngramNovelty(docs: DataFrame, id: Column, text: Column,
                    n: Int = 8): DataFrame = {
     val g = Pins.pin(wordGramArrays(docs, id, text, n)
       .select($"doc_id", explode($"gs").as("g")))
-    val counts = g.groupBy($"g").agg(count(lit(1)).as("nd"))
-    g.join(counts, "g")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        count(when($"nd" === 1, lit(1))).as("n_unique"))
-      .select($"doc_id", $"n_grams", $"n_unique",
-        ($"n_unique".cast("double") / $"n_grams").as("novelty"))
+    val shared = g.groupBy($"g").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"g")
+    val nShared = g.join(shared, "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    g.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(nShared, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        ($"n_grams" - coalesce($"n_shared", lit(0L))).as("n_unique"))
+      .withColumn("novelty", $"n_unique".cast("double") / $"n_grams")
   }
 
   /** Per-doc DISTINCT word-`n`-gram set (raw strings), array form — the

@@ -4,39 +4,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{DedupOps, TextAnalysisOps}
 import graft.queries.Tables
 
 /** Large-scale Spark-vs-DuckDB parity corpus + Spark-side timing
   * (diagnostics, not the bench): materializes a k× expansion of the
-  * sf0.1 documents table where each replica's words are TAGGED with the
-  * replica index — so every replica is a DISTINCT sub-corpus (identical
-  * internal dedup structure, zero cross-replica n-gram collisions) and
-  * the workload grows linearly with k, unlike raw cloning where every
-  * doc becomes a true dup of its k−1 clones and the pair output is
-  * quadratic by construction. Then times the two stage-floor-suspect
-  * queries (llm_ngram_jaccard, llm_tfidf) QueryTimer-style against the
-  * expanded corpus. The DuckDB side runs the same oracle SQL over the
-  * same parquet (tools/parity_duck.py); the per-query ratios retire (or
-  * confirm) the "Spark's fixed stage floor amortizes at scale"
-  * explanation with a measurement.
+  * sf0.1 tables and times REGISTRY queries (`SparkEntry.queries`)
+  * against the expanded dir — parameter-identical to the bench and the
+  * oracle, so the per-query ratios retire (or confirm) the "Spark's
+  * fixed stage floor amortizes at scale" explanation with a
+  * measurement. The DuckDB side runs the same oracle SQL over the same
+  * parquet (tools/parity_duck.py).
+  *
+  * Expansion axes (each replica gets offset ids — linear workload
+  * growth, not quadratic true-dup blowup):
+  *  - documents: every replica's words are TAGGED with the replica
+  *    index, so each replica is a DISTINCT sub-corpus (identical
+  *    internal dedup structure, zero cross-replica n-gram collisions).
+  *  - events: replicas keep their timestamps and channels (the fixture
+  *    has 5 channels) — per-(channel, window) traffic grows k×, the
+  *    hot-partition growth case the two-phase rank/segment-prefix
+  *    operators exist for.
   *
   * Usage: `runMain graft.tools.ParityProbe [k] [outDir] [query ...]`
-  * (default 10, /tmp/parity, all queries). An existing `<outDir>/<k>x`
-  * corpus is reused as-is — delete it to force a rebuild. */
+  * (default 10, /tmp/parity, the 6 stage-floor-suspect queries). An
+  * existing `<outDir>/<k>x` corpus is reused as-is — delete it to
+  * force a rebuild. */
 object ParityProbe {
+  val DefaultQueries: Seq[String] = Seq(
+    "llm_ngram_jaccard", "llm_tfidf", "llm_textrank",
+    "ts_anchored_cum", "ts_winsorize", "ts_outliers_mad")
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val out = args.drop(1).headOption.getOrElse("/tmp/parity")
-    val only = args.drop(2).toSet
+    val names = if (args.length > 2) args.drop(2).toSeq else DefaultQueries
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().appName("parityprobe").master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = s"$out/${k}x"
-    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+    def missing(t: String) =
+      !new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists()
+
+    if (missing("documents")) {
       val docs = Tables.table(spark, sf, "documents")
       val n = docs.count()
       val expanded = (0 until k).map { r =>
@@ -51,40 +66,38 @@ object ParityProbe {
       expanded.coalesce(8).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
       println(s"[parity] wrote ${n * k} docs to $dir/documents.parquet")
-    } else println(s"[parity] reusing existing corpus at $dir")
+    } else println(s"[parity] reusing documents at $dir")
 
-    val pdocs = spark.read.parquet(s"$dir/documents.parquet")
-    pdocs.count() // warm file listing/footers
+    if (missing("events")) {
+      val ev = Tables.events(spark, sf)
+      val n = ev.count()
+      val expanded = (0 until k).map { r =>
+        // same ts/channel/value/user: k× traffic in every
+        // (channel, time-window) cell; only event_id is offset
+        ev.withColumn("event_id", $"event_id" + lit(r * 10000000L))
+      }.reduce(_ unionByName _)
+      expanded.coalesce(8).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      println(s"[parity] wrote ${n * k} events to $dir/events.parquet")
+    } else println(s"[parity] reusing events at $dir")
 
-    def bench(label: String)(build: => DataFrame): Unit = {
-      if (only.nonEmpty && !only(label)) return
-      val best = Pins.scoped {
-        val df = build
-        val rows = df.count()
-        val t = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); df.count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        println(f"[parity] $label%-20s ${t}%.3f s (rows=$rows)")
-        t
+    // warm file listing/footers once, like the bench's table cache
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    spark.read.parquet(s"$dir/events.parquet").count()
+
+    names.foreach { name =>
+      graft.SparkEntry.queries.get(name) match {
+        case None => println(f"[parity] $name%-20s UNKNOWN")
+        case Some(fn) =>
+          Pins.scoped {
+            val rows = fn(spark, dir).count() // untimed warmup
+            val t = (1 to 3).map { _ =>
+              val t0 = System.nanoTime(); fn(spark, dir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            println(f"[parity] $name%-20s ${t}%.3f s (rows=$rows)")
+          }
       }
-      val _ = best
-    }
-
-    bench("llm_ngram_jaccard") {
-      DedupOps.ngramJaccard(pdocs, $"doc_id", $"text", 0.5)
-        .orderBy("doc_a", "doc_b")
-    }
-    bench("llm_tfidf") {
-      TextAnalysisOps.tfIdfTopTerms(pdocs, $"doc_id", $"text")
-        .orderBy("doc_id", "rk")
-    }
-    bench("llm_textrank") {
-      // registry parameters (PmiTopK=30, PmiMinCount=3); note the
-      // replica tagging multiplies the VOCAB by k while per-replica
-      // bigram structure is preserved — the right axis for textrank,
-      // whose cost is vocab-bound
-      TextAnalysisOps.textRank(pdocs, $"doc_id", $"text", 30, 3L)
     }
     spark.stop()
   }

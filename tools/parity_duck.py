@@ -1,24 +1,39 @@
 #!/usr/bin/env python3
 """DuckDB side of the large-scale parity run (see ParityProbe.scala):
-run named oracle SQLs against an expanded documents parquet and time
-each (3 runs; median/min/max), so the Spark-vs-proxy ratio for the
+run named oracle SQLs against an expanded table dir and time each
+(3 runs; median/min/max), so the Spark-vs-proxy ratio for the
 stage-floor-suspect queries is a measurement at scale, not an argument.
 
-Usage: python3 tools/parity_duck.py <dir-with-documents.parquet> \
+Registers a view for every <table>.parquet in the dir (Spark-written
+directory or single file), so documents- and events-based oracles both
+run unchanged.
+
+Usage: python3 tools/parity_duck.py <expanded-dir> \
            [oracle_sql.json] [query ...]
 """
 import sys, os, json, statistics, time
 import duckdb
 
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
 
 def main():
     d = sys.argv[1]
     oracle_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
-    names = sys.argv[3:] or ["llm_ngram_jaccard", "llm_tfidf"]
+    names = sys.argv[3:] or ["llm_ngram_jaccard", "llm_tfidf", "llm_textrank",
+                             "ts_anchored_cum", "ts_winsorize",
+                             "ts_outliers_mad"]
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
-    con.execute("CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    for t in TABLES:
+        p = f"{d}/{t}.parquet"
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{p}')")
     oracles = json.load(open(oracle_path))
     for name in names:
         sql = oracles[name]

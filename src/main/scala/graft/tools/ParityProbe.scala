@@ -50,8 +50,13 @@ object ParityProbe {
     val dir = s"$out/${k}x"
     def missing(t: String) =
       !new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists()
+    // build only the tables the requested queries read (documents for
+    // llm_*, events for ts_*) — a 160× events run must not pay a 160×
+    // documents write it never scans
+    val needDocs = names.exists(_.startsWith("llm_"))
+    val needEvents = names.exists(_.startsWith("ts_"))
 
-    if (missing("documents")) {
+    if (needDocs && missing("documents")) {
       val docs = Tables.table(spark, sf, "documents")
       val n = docs.count()
       val expanded = (0 until k).map { r =>
@@ -66,9 +71,9 @@ object ParityProbe {
       expanded.coalesce(8).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
       println(s"[parity] wrote ${n * k} docs to $dir/documents.parquet")
-    } else println(s"[parity] reusing documents at $dir")
+    } else if (needDocs) println(s"[parity] reusing documents at $dir")
 
-    if (missing("events")) {
+    if (needEvents && missing("events")) {
       val ev = Tables.events(spark, sf)
       val n = ev.count()
       val expanded = (0 until k).map { r =>
@@ -79,11 +84,11 @@ object ParityProbe {
       expanded.coalesce(8).write.mode("overwrite")
         .parquet(s"$dir/events.parquet")
       println(s"[parity] wrote ${n * k} events to $dir/events.parquet")
-    } else println(s"[parity] reusing events at $dir")
+    } else if (needEvents) println(s"[parity] reusing events at $dir")
 
     // warm file listing/footers once, like the bench's table cache
-    spark.read.parquet(s"$dir/documents.parquet").count()
-    spark.read.parquet(s"$dir/events.parquet").count()
+    if (needDocs) spark.read.parquet(s"$dir/documents.parquet").count()
+    if (needEvents) spark.read.parquet(s"$dir/events.parquet").count()
 
     names.foreach { name =>
       graft.SparkEntry.queries.get(name) match {

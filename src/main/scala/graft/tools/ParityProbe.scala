@@ -55,6 +55,7 @@ object ParityProbe {
     // documents write it never scans
     val needDocs = names.exists(_.startsWith("llm_"))
     val needEvents = names.exists(_.startsWith("ts_"))
+    val needRel = names.exists(_.startsWith("rel_"))
 
     if (needDocs && missing("documents")) {
       val docs = Tables.table(spark, sf, "documents")
@@ -85,6 +86,29 @@ object ParityProbe {
         .parquet(s"$dir/events.parquet")
       println(s"[parity] wrote ${n * k} events to $dir/events.parquet")
     } else if (needEvents) println(s"[parity] reusing events at $dir")
+
+    if (needRel && missing("lineitem")) {
+      // fact tables expand with CONSISTENT orderkey offsets (lineitem
+      // rows keep following their replica's orders rows); o_custkey is
+      // NOT offset, so per-customer/segment traffic grows k× — the
+      // hot-key axis for the rank/join rel queries. Dims copy through.
+      val step = 100000000L
+      def expandBy(t: String, idCol: String): DataFrame = {
+        val base = Tables.table(spark, sf, t)
+        (0 until k).map { r =>
+          base.withColumn(idCol, col(idCol) + lit(r * step))
+        }.reduce(_ unionByName _)
+      }
+      expandBy("lineitem", "l_orderkey").coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      expandBy("orders", "o_orderkey").coalesce(8)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+        Tables.table(spark, sf, t).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      println(s"[parity] wrote ${k}x lineitem/orders (+dims) to $dir")
+    } else if (needRel) println(s"[parity] reusing rel tables at $dir")
 
     // warm file listing/footers once, like the bench's table cache
     if (needDocs) spark.read.parquet(s"$dir/documents.parquet").count()

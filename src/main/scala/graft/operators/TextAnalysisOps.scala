@@ -484,14 +484,16 @@ object TextAnalysisOps {
       bigramCounts(docs, id, text).filter($"n_ab" >= minCount))
     val edges = Pins.pin(c.select($"a".as("u"), $"b".as("v"))
       .union(c.select($"b".as("u"), $"a".as("v"))).distinct())
-    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    // the degree table IS the node set: the symmetrized union puts
+    // every node in the u column, and groupBy(u) keys are distinct by
+    // construction — no separate nodes distinct/pin/count needed
+    val deg = Pins.pin(edges.groupBy($"u").agg(count(lit(1)).as("deg")))
     // degree pre-joined once: each power iteration then touches ONE
     // pinned edge frame instead of re-joining degrees every round
     val edeg = Pins.pin(edges.join(deg, "u"))
-    val nodes = Pins.pin(edeg.select($"u".as("w")).distinct())
-    val n = nodes.count() // one scalar, vocab-sized agg
+    val n = deg.count() // one scalar off the pinned vocab-sized table
     if (n == 0)
-      return nodes.select($"w", lit(0L).as("rk"), lit(0L).as("score"))
+      return deg.select($"u".as("w"), lit(0L).as("rk"), lit(0L).as("score"))
         .select($"rk", $"w", $"score")
     // the rank map is one (word, long) row per vocab entry — broadcast
     // it while the vocab fits, so each iteration costs a single shuffle
@@ -499,7 +501,7 @@ object TextAnalysisOps {
     // join (same values — the hint changes the plan, not the arithmetic)
     val bcast = n <= 2000000L
     val tele = Scale * 15L / 100L / n
-    var r = nodes.select($"w", lit(Scale / n).as("r"))
+    var r = deg.select($"u".as("w"), lit(Scale / n).as("r"))
     for (_ <- 1 to iters) {
       // the symmetrized union puts every node in BOTH the u and v sets,
       // so the contribution aggregate already covers the whole vocab —

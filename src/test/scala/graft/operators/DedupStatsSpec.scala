@@ -40,6 +40,29 @@ class DedupStatsSpec extends AnyFunSuite {
       "split hot bucket must not produce the full all-pairs set")
   }
 
+  test("observe names are rebuild-stable: two builds of one query agree") {
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "bkey")
+    Pins.scoped {
+      val p1 = DedupOps.cappedPairs(rows, Seq("bkey"), 10)
+      val p2 = DedupOps.cappedPairs(rows, Seq("bkey"), 10)
+      // The CollectMetrics name is part of the canonical plan, so this
+      // is exactly the CacheManager cache-hit criterion: under the
+      // original per-build sequence-numbered names this assertion fails,
+      // and every REBUILD of a dedup query re-materialized its pinned
+      // intermediates from scratch (measured ~4x per re-count on
+      // llm_ngram_jaccard at sf0.1 — the r10 bench regression).
+      assert(p1.queryExecution.analyzed.sameResult(p2.queryExecution.analyzed),
+        "rebuilt identical dedup plans must canonically agree (cache hits)")
+      // distinct inputs under the same tag must NOT collide (the name
+      // embeds the counts child's semantic hash, not just the tag)
+      val other = Seq((9L, "z"), (10L, "z")).toDF("doc_id", "bkey")
+      val p3 = DedupOps.cappedPairs(other, Seq("bkey"), 10)
+      assert(!p1.queryExecution.analyzed.sameResult(p3.queryExecution.analyzed),
+        "different inputs must produce canonically different plans")
+    }
+  }
+
   test("an in-cap run reports zero splits") {
     val rows = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "bkey")
     DedupStats.reset()

@@ -488,21 +488,35 @@ object DedupOps {
     * removes each cluster down to one survivor even when A~B and B~C but
     * A!~C (the transitive closure the pairwise threshold misses).
     *
-    * BSP min-label propagation: labels start as self; each round joins
-    * the edge list (both directions) to the current labels and takes the
-    * per-node min — one equi-join + partial-agg shuffle per round,
-    * converging in O(component diameter) rounds. Near-dup components are
-    * shallow (a handful of hops), and only docs that appear in a pair
-    * participate — the corpus itself is never touched, so the iteration
-    * cost is bounded by the duplicate set, not the 100 TB input. Rounds
-    * stop at the first fixpoint; if `maxIter` is hit first the labels are
-    * still a sound upper approximation (some clusters split), and the
-    * bound is logged to stderr rather than silently returned. The
-    * default bound is generous because it only ever pays for rounds a
-    * deep component actually needs (convergence exits early) — a
-    * diameter-50 chain of pairwise near-dups is already pathological,
-    * and an exact-closure oracle (llm_curate, llm_dup_clusters) matches
-    * the BSP result precisely as long as no component exceeds it.
+    * BSP min-label propagation with an interleaved pointer jump: labels
+    * start as self; each round takes the per-node min over the node's
+    * own label, its neighbors' labels (edge join), and — from round 3
+    * on — `label(label(u))` (a self-join of the label table: what the
+    * node's current label itself points at), so label
+    * distance-to-minimum DOUBLES per round instead of shrinking by one
+    * hop (on a path, covered distance is 2ʳ⁻¹ after r rounds).
+    * Convergence is O(log diameter) rounds, not O(diameter): a
+    * diameter-1000 pathological chain costs ~11 shuffle rounds, not
+    * 1000 — the difference between a bounded and an unbounded stage
+    * count at 100 TB. The first two rounds skip the jump because plain
+    * propagation already covers diameter ≤ 2 — the typical near-dup
+    * cluster — so the common case pays zero extra joins and the
+    * pathological case stays logarithmic. All joins read the previous
+    * round's (truncated, cached) labels, so each round's new lineage
+    * executes once (≤2 equi-joins + 1 partial agg on dup-set-sized
+    * tables). Only docs that
+    * appear in a pair participate — the corpus itself is never touched,
+    * so the iteration cost is bounded by the duplicate set, not the
+    * 100 TB input. Rounds stop at the first fixpoint (labels are
+    * per-component minima there: propagation and jump are both
+    * identities on a fixpoint, so the probe is unchanged); if `maxIter`
+    * is hit first the labels are still a sound upper approximation
+    * (some clusters split — every label move only ever lowers a node's
+    * label to another label in its own component), and the bound is
+    * logged to stderr rather than silently returned. Under the log
+    * recurrence the default bound covers components of diameter ~2⁴⁸;
+    * an exact-closure oracle (llm_curate, llm_dup_clusters) matches the
+    * BSP result precisely.
     *
     * Output: (doc_id, cluster_id, is_keeper), docs in ≥1 pair only
     * (isolated docs are their own implicit singleton cluster).
@@ -563,7 +577,25 @@ object DedupOps {
       val msgs = edges.join(labels,
           edges("src") === labels("doc_id"))
         .select(edges("dst").as("doc_id"), $"cluster_id")
-      val next = truncate(labels.unionByName(msgs)
+      // pointer-jump messages through the previous round's cached
+      // table: label(label(u)) joins the union below, so each node also
+      // hears what its LABEL currently points at. Every label value is
+      // some participating node's id (initial labels are self and min
+      // preserves that), so the inner self-join loses no node — the
+      // node's own row in `labels` still rides the union. This is what
+      // turns O(diameter) rounds into O(log diameter) — see the
+      // scaladoc recurrence. ADAPTIVE: the first two rounds propagate
+      // plainly (plain rounds already cover diameter ≤ 2 — the typical
+      // near-dup cluster — so the common case never pays the extra
+      // self-join); from round 3 the jump kicks in and coverage doubles
+      // per round, same 2^(r-1) recurrence.
+      val base = labels.unionByName(msgs)
+      val fanned = if (iter < 2) base
+        else base.unionByName(labels.join(
+            labels.select($"doc_id".as("j_id"), $"cluster_id".as("j_cl")),
+            $"cluster_id" === $"j_id")
+          .select($"doc_id", $"j_cl".as("cluster_id")))
+      val next = truncate(fanned
         .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id")))
       converged = next.as("n")
         .join(labels.as("o"), $"n.doc_id" === $"o.doc_id")

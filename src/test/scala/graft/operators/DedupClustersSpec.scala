@@ -29,12 +29,18 @@ class DedupClustersSpec extends AnyFunSuite {
     Pins.releaseAll()
   }
 
-  test("dupClusters: a long path still converges within maxIter") {
-    // path 0-1-2-...-8: diameter 8, needs 8 propagation rounds
-    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = DedupOps.dupClusters(pairs, maxIter = 10)
+  test("dupClusters: deep path converges in O(log diameter) rounds") {
+    // path 0-1-2-...-32: diameter 32. Plain min-label propagation needs
+    // 32 rounds (one hop each); the interleaved pointer jump covers
+    // 2^r - 1 hops after r rounds, so maxIter = 8 (6 contraction rounds
+    // + 1 fixpoint-detection round + slack) only converges with the
+    // jump in place — this bound is the discriminating assertion.
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupClusters(pairs, maxIter = 8)
       .as[(Long, Long, Boolean)].collect()
-    assert(got.forall(_._2 == 0L))
+    assert(got.length == 33)
+    assert(got.forall(_._2 == 0L),
+      "all 33 path nodes must reach the component minimum within 8 rounds")
     assert(got.count(_._3) == 1)
     Pins.releaseAll()
   }

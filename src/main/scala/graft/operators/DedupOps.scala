@@ -1,11 +1,27 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft._
 import graft.functions.DetHash
+
+/** One LSH band-row observation of a streaming document (the exploded
+  * per-band view [[DedupOps.streamingNearDedup]] keys its state by). */
+case class StreamBandRow(doc_id: Long, ts: java.sql.Timestamp,
+                         band: Int, bkey: Long)
+
+/** Per-band verdict emitted by [[DedupOps.streamingNearDedup]]: `holder`
+  * is the first document seen with this (band, bkey); `is_hit` marks a
+  * later arrival colliding with it (a near-dup candidate signal). */
+case class StreamBandHit(doc_id: Long, band: Int, bkey: Long,
+                         holder: Long, is_hit: Boolean)
+
+/** [[DedupOps.streamingNearDedup]] keyed state: the first holder of one
+  * (band, bkey) cell. */
+case class BandHolderState(doc_id: Long)
 
 /** Deduplication operators for LLM training-data pipelines: exact
   * (normalize+hash groupBy), MinHash+LSH near-dup (shingle → minhash →
@@ -61,6 +77,81 @@ object DedupOps {
       .withWatermark("ts", maxLateness)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming MinHash-LSH near-duplicate detection — the streaming form
+    * of [[minHashDedup]]'s candidate stage, for an arriving document
+    * stream (columns `doc_id`, `ts`, `text`): each doc's LSH band keys
+    * (NumBands of them) are computed in one narrow projection (the same
+    * shingle →
+    * minhash → band pipeline as the batch path, shared expressions),
+    * and a stateful pass keyed by (band, bkey) remembers the FIRST
+    * holder of each cell — a later document landing in an occupied cell
+    * emits a hit against that holder (a near-dup candidate signal, the
+    * same collision event the batch bucket join materializes). Roll the
+    * per-band stream up by doc (`n_hit_bands ≥ 1` ⇒ candidate; more
+    * agreeing bands ⇒ higher Jaccard, the standard LSH monotonicity) —
+    * the llm_stream_neardup gate query does exactly that.
+    *
+    * State and lateness contract (the [[streamingExactDedup]] trade,
+    * per-band): state is ONE row per distinct (band, bkey) seen within
+    * the lateness horizon — O(active window), not O(stream) — evicted
+    * by event-time timeout once the watermark passes `maxLatenessSec`
+    * beyond the cell's last sighting. A near-dup arriving inside the
+    * horizon of its original is flagged; one arriving later may pass as
+    * novel (the price of bounded state; the batch [[minHashDedup]] over
+    * the landed corpus is the exact backstop). Within a micro-batch,
+    * rows of one cell are processed in (ts, doc_id) order, so an
+    * in-event-time-order feed resolves the holder deterministically as
+    * the minimum (ts, doc_id) — which is what the SQL oracle asserts.
+    * No exact-Jaccard confirm happens in-stream: that would require
+    * holding every doc's shingle set in state (O(corpus) bytes, exactly
+    * what a streaming pass must not do).
+    * Output: one [[StreamBandHit]] per band row. */
+  def streamingNearDedup(docs: DataFrame,
+                         maxLatenessSec: Long): Dataset[StreamBandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val latenessMs = maxLatenessSec * 1000L
+    val mh = docs
+      .select($"doc_id", $"ts", normText($"text").as("norm"))
+      .withColumn("hs", shingleHashSet(5))
+      .select($"doc_id" +: $"ts" +:
+        (0 until DetHash.NumHashes).map(minHashExpr): _*)
+    val bands = mh.select($"doc_id", $"ts", explode(bandArray).as("bb"))
+      .select($"doc_id", $"ts", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+      .withWatermark("ts", s"$maxLatenessSec seconds")
+      .as[StreamBandRow]
+    bands.groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), it: Iterator[StreamBandRow],
+         state: GroupState[BandHolderState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var holder = state.getOption.map(_.doc_id)
+            val out = rows.map { r =>
+              holder match {
+                case Some(h) =>
+                  StreamBandHit(r.doc_id, r.band, r.bkey, h, is_hit = true)
+                case None =>
+                  holder = Some(r.doc_id)
+                  StreamBandHit(r.doc_id, r.band, r.bkey, r.doc_id,
+                    is_hit = false)
+              }
+            }
+            holder.foreach(h => state.update(BandHolderState(h)))
+            // evict latenessMs after this cell's LAST sighting; the
+            // timer must sit above the current watermark or Spark
+            // rejects it (a cell whose rows are all older than the
+            // global watermark horizon is evicted at the next tick)
+            val maxTsMs = rows.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTsMs + latenessMs,
+              state.getCurrentWatermarkMs() + 1000L))
+            out.iterator
+          }
+        })
+  }
+
   /** Per-doc DISTINCT 5-char-shingle 31-bit hash set, as an array column —
     * one narrow pass, no exchange. Output: doc_id, hs array<long>.
     *
@@ -71,14 +162,19 @@ object DedupOps {
     * conditional ([[graft.spreadByKey]]): a pre-split 100 TB input skips
     * the exchange. */
   def shingleHashArrays(docs: DataFrame, id: Column, text: Column,
-                        shingleLen: Int = 5): DataFrame = {
+                        shingleLen: Int = 5): DataFrame =
+    spreadByKey(
+        docs.select(id.as("doc_id"), normText(text).as("norm")), $"doc_id")
+      .select($"doc_id", shingleHashSet(shingleLen).as("hs"))
+
+  /** The per-doc distinct shingle-hash set as a column expression over a
+    * `norm` column — shared by the batch array pass and the streaming
+    * near-dup projection so the two paths can never hash differently. */
+  private def shingleHashSet(shingleLen: Int): Column = {
     val shingles = transform(
       sequence(lit(1), greatest(length($"norm") - (shingleLen - 1), lit(1))),
       i => $"norm".substr(i, lit(shingleLen)))
-    spreadByKey(
-        docs.select(id.as("doc_id"), normText(text).as("norm")), $"doc_id")
-      .select($"doc_id",
-        array_distinct(transform(shingles, s => DetHash.h31(s))).as("hs"))
+    array_distinct(transform(shingles, s => DetHash.h31(s)))
   }
 
   /** Exploded (doc_id, h31) view of [[shingleHashArrays]] — the join-shaped

@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft._
 import graft.functions.DetHash
@@ -38,6 +40,11 @@ object LlmQueries {
   private val MaxHamming = 2L
   private val AnnK = 5
   private val AnnProbeMax = 10L    // probe set: vec_id < 10
+  // streaming near-dup fixture: the first StreamNdMaxDoc docs arrive as
+  // an in-event-time-order stream, ts = StreamNdT0 + doc_id seconds
+  private val StreamNdMaxDoc = 300L
+  private val StreamNdT0 = 1700000000L
+  private val StreamNdLatenessSec = 7200L // whole fixture inside the horizon
   private val LshPlanes = 4
   // fixture embedding dimension; PQ's m/subDim and the LSH plane tables
   // assume it. TestdataCanarySpec pins size(embedding) == EmbDim so a
@@ -170,6 +177,14 @@ object LlmQueries {
     "llm_minhash_dedup" -> ((s, d) =>
       DedupOps.minHashDedup(docs(s, d), $"doc_id", $"text", MinJaccard)
         .orderBy("doc_a", "doc_b")),
+
+    // streaming MinHash-LSH near-dup: the first 300 docs arrive as a
+    // real Structured Streaming feed (in event-time order); stateful
+    // band-cell first-holder state flags later docs colliding with an
+    // earlier holder's cell. Per-doc verdict: hit-band count, dup flag,
+    // and the minimum colliding holder — oracle = the closed form
+    // "holder of a cell is its min doc_id" over the same band pipeline
+    "llm_stream_neardup" -> ((s, d) => streamNearDedupVerdicts(s, d)),
 
     // the persisted dedup-index table (per-doc shingle set + band keys,
     // what incremental nightly runs read instead of re-hashing the
@@ -864,7 +879,60 @@ object LlmQueries {
                (max(struct_pack(c := ccos, id := cent_id))).id AS list_id
         FROM ccs GROUP BY 1)"""
 
+  /** llm_stream_neardup fixture: stream the first [[StreamNdMaxDoc]]
+    * documents (bounded driver-side feed — this is the TEST HARNESS for
+    * the streaming operator, standing in for a real source; production
+    * feeds arrive from Kafka/files and never touch the driver) through
+    * [[DedupOps.streamingNearDedup]] in event-time order, then roll the
+    * landed per-band hit stream up to per-doc verdicts. Deterministic:
+    * within a micro-batch the operator resolves cell holders in
+    * (ts, doc_id) order and the chunks are fed in doc_id order, so a
+    * cell's holder is exactly its minimum doc_id — the oracle's closed
+    * form. */
+  private def streamNearDedupVerdicts(s: SparkSession,
+                                      d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = docs(s, d).filter($"doc_id" <= StreamNdMaxDoc)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().select($"_1".as("doc_id"),
+      timestamp_seconds(lit(StreamNdT0) + $"_1").as("ts"), $"_2".as("text"))
+    val sink =
+      s"nd_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = DedupOps.streamingNearDedup(stream, StreamNdLatenessSec)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(60).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bands"),
+        count(when($"is_hit", lit(1))).as("n_hit_bands"),
+        max($"is_hit").as("is_dup"),
+        min(when($"is_hit", $"holder")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   def oracles: Map[String, String] = Map(
+    "llm_stream_neardup" -> s"""
+      WITH ${shingleCte(s"SELECT doc_id, $Norm AS norm FROM documents " +
+        s"WHERE doc_id <= $StreamNdMaxDoc")}, $SigCte, $BandCte,
+      holders AS (SELECT band, bkey, min(doc_id) AS holder
+                  FROM bands GROUP BY 1, 2),
+      hits AS (SELECT b.doc_id, h.holder, b.doc_id > h.holder AS is_hit
+               FROM bands b JOIN holders h USING (band, bkey))
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bands,
+             CAST(count(*) FILTER (WHERE is_hit) AS BIGINT) AS n_hit_bands,
+             bool_or(is_hit) AS is_dup,
+             min(CASE WHEN is_hit THEN holder END) AS dup_of
+      FROM hits GROUP BY doc_id ORDER BY doc_id""",
+
     "llm_text_stats" -> s"""
       WITH d AS (SELECT lang, source, n_chars, CAST($WsTok AS BIGINT) AS tk
                  FROM (SELECT lang, source, n_chars, $Norm AS norm FROM documents))

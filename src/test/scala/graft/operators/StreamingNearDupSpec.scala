@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft._
+import graft.TestSpark
+import graft.functions.DetHash
+
+/** Streaming MinHash-LSH near-dup detection: a clone arriving within the
+  * lateness horizon must collide with its original's band cells; an
+  * unrelated doc must not; and a clone arriving AFTER the horizon passes
+  * as novel (the bounded-state trade the scaladoc documents — the batch
+  * pass is the exact backstop). */
+class StreamingNearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Orig =
+    "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val NearClone =
+    "the quick brown fox jumps over the lazy cat and runs far away home"
+  private val Unrelated =
+    "completely different words about spark catalyst plans and shuffles"
+
+  private def run(batches: Seq[Seq[(Long, Long, String)]],
+                  latenessSec: Long): Map[Long, (Long, Long, Set[Long])] = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().select($"_1".as("doc_id"),
+      timestamp_seconds($"_2").as("ts"), $"_3".as("text"))
+    val sink = s"nd_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = DedupOps.streamingNearDedup(docs, latenessSec)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sink)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bands"),
+        count(when($"is_hit", lit(1))).as("n_hits"),
+        collect_set(when($"is_hit", $"holder")).as("holders"))
+      .as[(Long, Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4.toSet))).toMap
+  }
+
+  test("in-horizon near-clone collides with its original; unrelated does not") {
+    val got = run(Seq(
+      Seq((1L, 100L, Orig), (3L, 110L, Unrelated)),
+      Seq((2L, 120L, NearClone))), latenessSec = 3600L)
+    val (nb1, nh1, _) = got(1L)
+    assert(nb1 == DetHash.NumBands.toLong && nh1 == 0L, s"original must hold all its cells: $got")
+    val (nb3, nh3, _) = got(3L)
+    assert(nb3 == DetHash.NumBands.toLong && nh3 == 0L, s"unrelated doc must not collide: $got")
+    val (nb2, nh2, holders2) = got(2L)
+    assert(nb2 == DetHash.NumBands.toLong)
+    assert(nh2 >= 1L, s"near-clone must hit >= 1 of the original's bands: $got")
+    assert(holders2 == Set(1L), s"every hit must name the original: $got")
+  }
+
+  test("a clone past the lateness horizon passes as novel (state evicted)") {
+    val got = run(Seq(
+      Seq((1L, 100L, Orig)),
+      // far-future unrelated doc advances the watermark way past
+      // 100 + lateness...
+      Seq((9L, 100000L, Unrelated)),
+      // ...and this batch fires the original's cell timeouts (timeouts
+      // run for keys WITHOUT data in the batch, so the clone comes later)
+      Seq((8L, 100010L, "some filler sentence to tick one more batch")),
+      Seq((2L, 100020L, NearClone))), latenessSec = 60L)
+    val (_, nh2, _) = got(2L)
+    assert(nh2 == 0L,
+      s"post-horizon clone must pass as novel after state eviction: $got")
+  }
+}

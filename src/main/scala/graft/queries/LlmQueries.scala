@@ -908,6 +908,14 @@ object LlmQueries {
       rows.grouped(60).foreach { chunk =>
         mem.addData(chunk.toSeq: _*); q.processAllAvailable()
       }
+      // the streaming contract, asserted like streamDistinct's: state is
+      // one row per distinct (band, bkey) cell — ≤ NumBands per doc —
+      // never per-row or per-shingle
+      val maxState = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+        .maxOption.getOrElse(0L)
+      require(maxState <= DetHash.NumBands * (StreamNdMaxDoc + 1),
+        s"near-dup state holds $maxState rows for ${rows.length} docs")
     } finally q.stop()
     s.table(sink)
       .groupBy($"doc_id")

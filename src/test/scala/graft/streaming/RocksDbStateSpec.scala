@@ -93,6 +93,39 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(got == closed, s"got $got want $closed")
   }
 
+  test("streaming near-dup band state on RocksDB matches the default store") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val orig =
+      "the quick brown fox jumps over the lazy dog and runs far away home"
+    val clone =
+      "the quick brown fox jumps over the lazy cat and runs far away home"
+    val other =
+      "completely different words about spark catalyst plans and shuffles"
+    def run(): Seq[(Long, Int, Long, Boolean)] = {
+      val mem = MemoryStream[(Long, Long, String)]
+      val docs = mem.toDF().select($"_1".as("doc_id"),
+        timestamp_seconds($"_2").as("ts"), $"_3".as("text"))
+      val sink = s"rocks_nd_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = graft.operators.DedupOps.streamingNearDedup(docs, 3600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, 100L, orig), (3L, 110L, other))
+        q.processAllAvailable()
+        mem.addData((2L, 120L, clone))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink)
+        .select($"doc_id", $"band", $"holder", $"is_hit")
+        .as[(Long, Int, Long, Boolean)].collect().toSeq.sorted
+    }
+    val rocks = withRocksDb { run() }
+    val default = run()
+    assert(rocks == default, "RocksDB-backed near-dup diverged from default")
+    assert(rocks.exists { case (d, _, h, hit) => d == 2L && h == 1L && hit },
+      s"clone must hit the original's cells on RocksDB too: $rocks")
+  }
+
   test("streaming exact dedup keyed state on RocksDB drops the same dups") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val got = withRocksDb {

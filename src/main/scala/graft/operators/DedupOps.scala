@@ -794,7 +794,27 @@ object DedupOps {
     * mirrored exactly in the oracles.
     * Output: doc_id, b5 (distinct 5-gram keys), g3 (distinct 3-gram
     * hashes). Shared by [[ngramJaccard]] and [[contamination]]. */
-  def gramArrays(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def gramArrays(docs: DataFrame, id: Column, text: Column): DataFrame =
+    gramArraysFrom(
+      docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
+        .filter(size($"ws") >= 5)
+        .spreadBy($"doc_id"), // conditional hash-wide parallelism
+      Seq("doc_id"))
+
+  /** The b5/g3 gram projections over a frame carrying a `ws` word-array
+    * column plus the `carry` columns (the streaming form carries `ts`).
+    * ONE shared implementation so the batch and streaming gram
+    * pipelines can never hash differently.
+    *
+    * Plan shape is LOAD-BEARING: two stacked SELECTs, each alias
+    * referenced by the next projection, exactly the proven batch shape.
+    * A withColumn/drop chain here measured catastrophically slower:
+    * CollapseProject inlined the `split` and `g3p` aliases into the
+    * downstream transform LAMBDAS, re-evaluating the split per array
+    * element (O(words²)–O(words³) per doc, interpreted — a planted
+    * 10-minute hang on the 500-doc streaming fixture). */
+  private def gramArraysFrom(base: DataFrame,
+                             carry: Seq[String]): DataFrame = {
     // concat_ws over slice, ONE ws reference per element (the
     // element_at-per-word form measured far slower; see wordGramArrays)
     val gram3 = (i: Column) => concat_ws(" ", slice($"ws", i, lit(3)))
@@ -803,16 +823,15 @@ object DedupOps {
       ((((g(0) * DetHash.CombineC + g(1)) % DetHash.M31) * DetHash.CombineC)
         + g(2)) % DetHash.M31
     }
-    docs.select(id.as("doc_id"), split(normText(text), " ").as("ws"))
-      .filter(size($"ws") >= 5)
-      .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
-      .select($"doc_id",
+    val kc = carry.map(col)
+    base
+      .select(kc :+
         transform(sequence(lit(1), size($"ws") - 2),
-          i => DetHash.h31(gram3(i))).as("g3p"))
-      .select($"doc_id",
+          i => DetHash.h31(gram3(i))).as("g3p"): _*)
+      .select(kc :+
         array_distinct(transform(sequence(lit(1), size($"g3p") - 2), b5key))
-          .as("b5"),
-        array_distinct($"g3p").as("g3"))
+          .as("b5") :+
+        array_distinct($"g3p").as("g3"): _*)
   }
 
   def ngramJaccard(docs: DataFrame, id: Column, text: Column,
@@ -876,6 +895,89 @@ object DedupOps {
         ($"n_common".cast("double") / ($"sz_ab" - $"n_common")).as("jaccard"))
       .filter($"jaccard" >= minJaccard)
   }
+
+  /** The persistable eval-set index [[streamingContamination]] probes:
+    * one row per (5-gram bucket key, eval doc) carrying the doc's
+    * distinct 3-gram hash set. A production pipeline materializes this
+    * ONCE per eval-set release (it is eval-sized, tiny next to any
+    * training corpus) and every ingest stream joins against it.
+    * Output: bkey, eval_id, g3_e. */
+  def contaminationIndex(evalDocs: DataFrame, id: Column,
+                         text: Column): DataFrame =
+    // explode_outer, deliberately: with a plain explode, the consumer
+    // join's inferred isnotnull(bkey) and the Generate's size(b5) > 0
+    // constraint are pushed below the gram projections WITH FULL ALIAS
+    // SUBSTITUTION — the resulting Filter re-derives the whole
+    // b5 pipeline (g3p re-inlined per element_at: O(words³)) for every
+    // row, interpreted; measured 80 s for a 2,381-row index that takes
+    // ~1 s without the pushed filter. The outer generate makes both
+    // inferences invalid so they never fire, and is value-identical
+    // here: b5 is never empty (the ≥5-word gate guarantees ≥1 key) and
+    // a consumer's inner join on bkey would drop a null row anyway.
+    // (Batch pipelines never see this: Pins.pin's InMemoryRelation
+    // blocks pushdown — an unpinnable stream or a one-shot index build
+    // needs the in-plan guard.)
+    gramArrays(evalDocs, id, text)
+      .select($"doc_id".as("eval_id"), explode_outer($"b5").as("bkey"),
+        $"g3".as("g3_e"))
+
+  /** Streaming eval-set contamination screening — the decontamination
+    * pass applied AT INGEST instead of after landing: each arriving
+    * train document's 5-gram bucket keys probe a STATIC broadcast
+    * [[contaminationIndex]] (the canonical stream-static enrich join —
+    * stateless, no candidate state at all), exact n-gram Jaccard is
+    * computed in the same projection (both g3 sets are present on the
+    * joined row: the stream carries its own, the index row carries the
+    * eval side's), and flagged pairs ≥ `minJaccard` are emitted once —
+    * a pair sharing many bucket keys produces identical rows that
+    * `dropDuplicatesWithinWatermark` collapses, so the ONLY streaming
+    * state is one row per flagged (train, eval) pair inside the
+    * lateness horizon (contamination is rare by construction; this is
+    * the smallest state of any operator here).
+    *
+    * The stream-side g3 array rides the exploded bucket rows, but only
+    * rows MATCHING an eval bucket key survive the inner join, so the
+    * duplication is bounded by the contamination fan-out, not the doc's
+    * key count (the containment carryMax concern does not arise).
+    * Candidates are NOT capped: the cap exists to bound self-join skew
+    * on corpus-sized bucket tables, while here the bucket table is the
+    * fixed eval index — per-row fan-out is bounded by the eval set
+    * itself, and the batch [[contamination]] run (whose capped SPLIT
+    * changes no results, only task shapes) stays the landed backstop.
+    * Output: train_id, ts, eval_id, n_common, jaccard. */
+  def streamingContamination(train: DataFrame, evalIndex: DataFrame,
+                             minJaccard: Double,
+                             maxLatenessSec: Long): DataFrame =
+    gramArraysFrom(
+        train.select($"doc_id", $"ts",
+            split(normText($"text"), " ").as("ws"))
+          .filter(size($"ws") >= 5)
+          // the stream-side twin of the batch path's spreadByKey: hash
+          // parallelism for the heavy gram hashing, AND a load-bearing
+          // collapse barrier — without the exchange, the per-batch
+          // planner inlines the split/normText alias into the gram
+          // transform lambdas (re-evaluated per array element: measured
+          // as a planted O(words²)-per-doc hang, 10+ min on the 500-doc
+          // fixture vs ~1 s with the exchange). spreadByKey itself
+          // passes streams through untouched, so the spread is explicit
+          // here.
+          .repartition($"doc_id"),
+        Seq("doc_id", "ts"))
+      // explode_outer: same pushed-constraint guard as
+      // [[contaminationIndex]] (a stream cannot be pinned, so the
+      // in-plan guard is the only protection); value-identical — b5 is
+      // never empty and the inner join drops a null bkey row
+      .select($"doc_id".as("train_id"), $"ts",
+        explode_outer($"b5").as("bkey"), $"g3".as("g3_t"))
+      .join(broadcast(evalIndex), "bkey")
+      .select($"train_id", $"ts", $"eval_id",
+        size(array_intersect($"g3_t", $"g3_e")).cast("long").as("n_common"),
+        (size($"g3_t") + size($"g3_e")).as("sz_ab"))
+      .select($"train_id", $"ts", $"eval_id", $"n_common",
+        ($"n_common".cast("double") / ($"sz_ab" - $"n_common")).as("jaccard"))
+      .filter($"jaccard" >= minJaccard)
+      .withWatermark("ts", s"$maxLatenessSec seconds")
+      .dropDuplicatesWithinWatermark("train_id", "eval_id")
 
   /** Per-doc n-gram novelty — the duplication-risk score: the fraction
     * of a doc's DISTINCT word n-grams that appear in no other document.

@@ -45,6 +45,9 @@ object LlmQueries {
   private val StreamNdMaxDoc = 300L
   private val StreamNdT0 = 1700000000L
   private val StreamNdLatenessSec = 7200L // whole fixture inside the horizon
+  // streaming contamination fixture: train docs with doc_id ≤ this
+  // stream against the full static eval index
+  private val StreamCtMaxDoc = 500L
   private val LshPlanes = 4
   // fixture embedding dimension; PQ's m/subDim and the LSH plane tables
   // assume it. TestdataCanarySpec pins size(embedding) == EmbDim so a
@@ -320,6 +323,12 @@ object LlmQueries {
           $"doc_id", $"text", minJaccard = 0.5)
         .orderBy("train_id", "eval_id")
     }),
+
+    // streaming contamination screening: train docs arrive as a real
+    // stream and probe the STATIC broadcast eval index (stream-static
+    // enrich join, stateless; the only state is one row per flagged
+    // pair). Oracle = the uncapped closed form of the same b5/g3 rule.
+    "llm_stream_contamination" -> ((s, d) => streamContaminationFlags(s, d)),
 
     // SimHash near-dup pairs (byte-banded bucket join, Hamming ≤ 2)
     "llm_simhash_pairs" -> ((s, d) =>
@@ -926,7 +935,96 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** llm_stream_contamination fixture: the train split's first
+    * [[StreamCtMaxDoc]] docs stream in event-time order (bounded
+    * driver-side TEST-HARNESS feed, like [[streamNearDedupVerdicts]])
+    * against the full static eval index. Deterministic regardless of
+    * batching: the stream-static join is stateless and every duplicate
+    * emission of a flagged pair carries identical values, collapsed by
+    * the pair-keyed dedup. */
+  private def streamContaminationFlags(s: SparkSession,
+                                       d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sp = TextAnalysisOps.withSplit(docs(s, d), $"doc_id")
+    // pinned AND materialized before the stream starts: a stream-static
+    // join re-executes the static side EVERY micro-batch — the cache is
+    // the in-memory stand-in for the parquet table a production
+    // deployment materializes the index to (contaminationIndex scaladoc)
+    val evalIdx = Pins.pin(DedupOps.contaminationIndex(
+      sp.filter($"split" === "test"), $"doc_id", $"text"))
+    evalIdx.count()
+    val rows = sp.filter($"split" =!= "test" && $"doc_id" <= StreamCtMaxDoc)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().select($"_1".as("doc_id"),
+      timestamp_seconds(lit(StreamNdT0) + $"_1").as("ts"), $"_2".as("text"))
+    val sink =
+      s"ct_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = DedupOps.streamingContamination(stream, evalIdx,
+        minJaccard = 0.5, maxLatenessSec = StreamNdLatenessSec)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(100).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .select($"train_id", $"eval_id", $"n_common", $"jaccard")
+      .orderBy("train_id", "eval_id")
+  }
+
   def oracles: Map[String, String] = Map(
+    "llm_stream_contamination" -> {
+      def gram(n: Int) =
+        (1 until n).foldLeft("ws[i]")((acc, k) => s"$acc || ' ' || ws[i+$k]")
+      val c = DetHash.CombineC
+      val m = DetHash.M31
+      s"""
+      WITH d AS (
+        SELECT doc_id, $Norm AS norm,
+               ${TextAnalysisOps.splitBucketSql("doc_id")} AS bucket
+        FROM documents),
+      words AS (
+        SELECT doc_id, bucket, string_split(norm, ' ') AS ws FROM d
+        WHERE len(string_split(norm, ' ')) >= 5),
+      g3p AS (
+        SELECT doc_id, bucket, list_transform(generate_series(1, len(ws)-2),
+                 i -> ${h31(gram(3))}) AS g
+        FROM words),
+      b5 AS (
+        SELECT DISTINCT doc_id, bucket,
+               ((((g[i] * $c + g[i+1]) % $m) * $c) + g[i+2]) % $m AS bkey
+        FROM (SELECT doc_id, bucket, g,
+                     unnest(generate_series(1, len(g)-2)) AS i
+              FROM g3p)),
+      tb AS (SELECT doc_id AS train_id, bkey FROM b5
+             WHERE bucket < 90 AND doc_id <= $StreamCtMaxDoc),
+      eb AS (SELECT doc_id AS eval_id,  bkey FROM b5 WHERE bucket >= 90),
+      -- no cap machinery: the streaming form probes the static eval
+      -- index uncapped (eval-bounded fan-out), and the batch cap SPLITS
+      -- (never drops), so the candidate set is identical either way
+      cand AS (
+        SELECT DISTINCT train_id, eval_id FROM tb JOIN eb USING (bkey)),
+      sh3 AS (SELECT DISTINCT doc_id, unnest(g) AS h31 FROM g3p),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh3 GROUP BY 1),
+      inter AS (
+        SELECT c.train_id, c.eval_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN sh3 a ON a.doc_id = c.train_id
+        JOIN sh3 b ON b.doc_id = c.eval_id AND b.h31 = a.h31
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT train_id, eval_id, n_common,
+               CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = train_id
+        JOIN sizes sb ON sb.doc_id = eval_id)
+      SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY train_id, eval_id"""
+    },
+
     "llm_stream_neardup" -> s"""
       WITH ${shingleCte(s"SELECT doc_id, $Norm AS norm FROM documents " +
         s"WHERE doc_id <= $StreamNdMaxDoc")}, $SigCte, $BandCte,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft._
 
@@ -18,6 +19,19 @@ final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
 
 /** One sampled frame: a byte-range slice of the payload. */
 final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+/** One hashed sampled frame of a streaming media item. */
+final case class FrameCellRow(media_id: Long, frame_idx: Int,
+                              ts: java.sql.Timestamp, frame_h: String)
+
+/** Streaming frame-dedup verdict for one sampled frame: `holder` is the
+  * first media item whose stream carried this frame content (self when
+  * this row set the cell). */
+final case class FrameHit(media_id: Long, frame_idx: Int, frame_h: String,
+                          holder: Long, is_hit: Boolean)
+
+/** First-holder state for one frame-hash cell. */
+final case class FrameHolderState(media_id: Long)
 
 /** Multimodal-column operators (training-data pipeline surface): decode /
   * feature-extract / frame-sample over opaque binary payloads.
@@ -140,17 +154,30 @@ object MultimodalOps {
     * Output: frame_h (md5 of frame hex), n_media, n_occ, first_media. */
   def frameDedup(media: Dataset[MediaRow], minMedia: Long = 2,
                  frameBytes: Int = FrameBytes, stride: Int = 2): DataFrame = {
-    val f = Pins.pin(media.toDF()
-      .filter(octet_length($"payload") > 0)
-      .select($"media_id", $"payload",
+    val f = Pins.pin(
+      slicedFrameHashes(media.toDF(), Seq("media_id"), frameBytes, stride)
+        .select($"media_id", $"frame_h"))
+    frameDedupTail(f, minMedia)
+  }
+
+  /** The declarative frame slicing+hash pass (explode over a frame-index
+    * sequence + binary substring + md5(hex), one whole-stage-codegen
+    * projection) over a frame carrying `payload` plus the `carry`
+    * columns (the streaming form carries `ts`). ONE implementation so
+    * the batch and streaming frame pipelines can never slice or hash
+    * differently. Output: carry..., frame_idx, frame_h. */
+  private def slicedFrameHashes(rows: DataFrame, carry: Seq[String],
+                                frameBytes: Int, stride: Int): DataFrame = {
+    val kc = carry.map(col)
+    rows.filter(octet_length($"payload") > 0)
+      .select(kc :+ $"payload" :+
         explode(sequence(lit(0),
           expr(s"CAST((octet_length(payload) + ${frameBytes - 1}) " +
             s"DIV $frameBytes AS INT) - 1"),
-          lit(stride))).as("f"))
-      .select($"media_id",
+          lit(stride))).as("f"): _*)
+      .select(kc :+ $"f".as("frame_idx") :+
         md5(hex(substring($"payload", $"f" * frameBytes + 1,
-          lit(frameBytes)))).as("frame_h")))
-    frameDedupTail(f, minMedia)
+          lit(frameBytes)))).as("frame_h"): _*)
   }
 
   /** [[frameDedup]] over pre-extracted frames — for pipelines that
@@ -169,5 +196,67 @@ object MultimodalOps {
     f.groupBy($"frame_h").agg(count(lit(1)).as("n_occ"))
       .join(media, "frame_h")
       .select($"frame_h", $"n_media", $"n_occ", $"first_media")
+  }
+
+  /** Streaming form of [[frameDedup]] for an arriving media stream
+    * (columns `media_id`, `ts`, `payload`) — re-cut/copied-content
+    * detection AT INGEST: each item's sampled frames are sliced and
+    * hashed by the SAME declarative pass as the batch path
+    * ([[slicedFrameHashes]] — one definition, identical frame geometry
+    * and hex/md5 representation), and a stateful pass keyed by the
+    * frame hash remembers each cell's FIRST holder — a later frame
+    * landing in an occupied cell emits a hit against that holder (the
+    * collision event the batch hash-groupBy materializes). The
+    * [[DedupOps.streamingNearDedup]] state contract, per frame cell:
+    * ONE state row per distinct frame hash within the lateness horizon
+    * (O(active window), evicted by event-time timeout past the cell's
+    * last sighting), never the frame bytes — only the 32-char hash key
+    * and an 8-byte holder. A copy arriving after the horizon passes as
+    * novel; the batch [[frameDedup]] over the landed corpus is the
+    * exact backstop. Within a micro-batch, a cell's rows resolve in
+    * (ts, media_id) order, so an event-time-ordered feed yields
+    * holder = min media_id — the closed form the gate oracle asserts.
+    * Output: one [[FrameHit]] per sampled frame. */
+  def streamingFrameDedup(media: DataFrame, maxLatenessSec: Long,
+                          frameBytes: Int = FrameBytes,
+                          stride: Int = 2): Dataset[FrameHit] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val latenessMs = maxLatenessSec * 1000L
+    val frames = slicedFrameHashes(media, Seq("media_id", "ts"),
+        frameBytes, stride)
+      .select($"media_id", $"frame_idx", $"ts", $"frame_h")
+      .withWatermark("ts", s"$maxLatenessSec seconds")
+      .as[FrameCellRow]
+    frames.groupByKey(_.frame_h)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it: Iterator[FrameCellRow],
+         state: GroupState[FrameHolderState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq.sortBy(r => (r.ts.getTime, r.media_id))
+            var holder = state.getOption.map(_.media_id)
+            val out = rows.map { r =>
+              holder match {
+                case Some(h) =>
+                  FrameHit(r.media_id, r.frame_idx, r.frame_h, h,
+                    is_hit = true)
+                case None =>
+                  holder = Some(r.media_id)
+                  FrameHit(r.media_id, r.frame_idx, r.frame_h, r.media_id,
+                    is_hit = false)
+              }
+            }
+            holder.foreach(h => state.update(FrameHolderState(h)))
+            // evict latenessMs after this cell's LAST sighting; the
+            // timer must sit above the current watermark or Spark
+            // rejects it (see streamingNearDedup)
+            val maxTsMs = rows.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTsMs + latenessMs,
+              state.getCurrentWatermarkMs() + 1000L))
+            out.iterator
+          }
+        })
   }
 }

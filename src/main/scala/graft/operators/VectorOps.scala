@@ -413,19 +413,32 @@ object VectorOps {
     * Recall on the hard random fixture: 0.14 radius-0 → ~0.4 radius-1 →
     * ~0.8 radius-2 (pinned in AnnRecallSpec).
     * Output: probe_id, vec_id, cos, rk. */
-  def lshKnn(vectors: DataFrame, probeIds: Column => Column, k: Int,
-             planes: Int, dim: Int, probeRadius: Int = 1): DataFrame = {
+  /** The multi-probe bucket set for one query vector: its own
+    * hyperplane bucket plus every bucket within `probeRadius` flipped
+    * sign bits. ONE definition shared by the batch ([[lshKnn]]) and
+    * streaming ([[streamingAnnServe]]) serving paths — the probe set is
+    * part of the result contract (both gate against the same oracle),
+    * so the two paths must never diverge on it. The flip values are
+    * distinct, so a corpus vector (in exactly one bucket) pairs with a
+    * probe at most once — no pair-dedup stage on either path. */
+  private def multiProbeBuckets(bucket: Column, planes: Int,
+                                probeRadius: Int): Column = {
     require(probeRadius >= 0 && probeRadius <= 2, "probeRadius 0-2")
-    val bucketed = vectors.withColumn("bucket", lshBucket(planes, dim))
-    val flips: Seq[Column] = Seq($"bucket") ++
+    val flips: Seq[Column] = Seq(bucket) ++
       (if (probeRadius >= 1)
-        (0 until planes).map(pl => $"bucket".bitwiseXOR(lit(1L << pl)))
+        (0 until planes).map(pl => bucket.bitwiseXOR(lit(1L << pl)))
       else Nil) ++
       (if (probeRadius >= 2)
         for { a <- 0 until planes; b <- a + 1 until planes }
-          yield $"bucket".bitwiseXOR(lit((1L << a) | (1L << b)))
+          yield bucket.bitwiseXOR(lit((1L << a) | (1L << b)))
       else Nil)
-    val probeBuckets = array(flips: _*)
+    array(flips: _*)
+  }
+
+  def lshKnn(vectors: DataFrame, probeIds: Column => Column, k: Int,
+             planes: Int, dim: Int, probeRadius: Int = 1): DataFrame = {
+    val bucketed = vectors.withColumn("bucket", lshBucket(planes, dim))
+    val probeBuckets = multiProbeBuckets($"bucket", planes, probeRadius)
     val p = bucketed.filter(probeIds($"vec_id"))
       .select(explode(probeBuckets).as("bucket"),
         $"vec_id".as("probe_id"), $"qv".as("pv"), $"nrm".as("pn"))
@@ -643,5 +656,54 @@ object VectorOps {
     val codebook = Pins.pin(pqCodebook(vectors, m, nCodes))
     pqKnnRerank(vectors, codebook, pqEncode(vectors, codebook, m),
       probeIds, k, r, m, nCodes)
+  }
+
+  /** Streaming ANN serving — [[lshKnn]] for an arriving query stream:
+    * each query embedding (columns `probe_id`, `ts`, `qv` — already
+    * milli-quantized) computes its hyperplane bucket and the SAME
+    * radius-`probeRadius` multi-probe set as the batch path
+    * ([[multiProbeBuckets]] — one definition, so the two paths cannot
+    * diverge on the candidate contract), probes the STATIC bucketed
+    * corpus `index` (columns `vec_id`, `qv`, `nrm`, `bucket` — the
+    * persisted serving table a production deployment materializes once
+    * per corpus build; the stream-static equality join re-executes the
+    * static side per micro-batch, so materialize/pin it) and ranks
+    * candidates by exact integer-quantized cosine.
+    *
+    * Top-k without window functions (unsupported over streams): a
+    * watermarked tumbling-window aggregation per (window, probe_id)
+    * collects candidate structs sorted by `(-cos, vec_id)` — the batch
+    * path's exact `row_number` ordering — and slices the first k on
+    * window close. Per-probe streaming state is its candidate fan-out
+    * (Σ sizes of ≤ 1+planes+C(planes,2) probed buckets) within the
+    * lateness horizon, partially aggregated per batch; `planes` is the
+    * bucket-size dial at corpus scale, exactly as in batch. Results for
+    * a window emit once the watermark passes its end (append mode) —
+    * the serving latency is `windowSec + latenessSec`, the standard
+    * completeness/latency trade.
+    * Output: probe_id, vec_id, cos, rk (1-based, ≤ k rows per probe) —
+    * the [[lshKnn]] contract, gate-checked against the same oracle. */
+  def streamingAnnServe(queries: DataFrame, index: DataFrame, k: Int,
+                        planes: Int, dim: Int, probeRadius: Int,
+                        windowSec: Long, latenessSec: Long): DataFrame = {
+    val cand = queries
+      .withWatermark("ts", s"$latenessSec seconds")
+      .select($"probe_id", $"ts", $"qv".as("pv"),
+        LongArrayDot($"qv", $"qv").as("pn"),
+        lshBucket(planes, dim).as("bucket"))
+      .select($"probe_id", $"ts", $"pv", $"pn",
+        explode(multiProbeBuckets($"bucket", planes, probeRadius))
+          .as("bucket"))
+      .join(index, "bucket")
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("dot", LongArrayDot($"pv", $"qv"))
+      .withColumn("cos", cosCol)
+    cand
+      .groupBy(window($"ts", s"$windowSec seconds"), $"probe_id")
+      .agg(slice(array_sort(collect_list(
+          struct((-$"cos").as("nc"), $"vec_id", $"cos"))), 1, k).as("top"))
+      .select($"probe_id", posexplode($"top"))
+      .select($"probe_id", $"col.vec_id",  $"col.cos",
+        ($"pos" + 1).cast("int").as("rk"))
   }
 }

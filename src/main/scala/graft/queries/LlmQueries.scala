@@ -48,6 +48,12 @@ object LlmQueries {
   // streaming contamination fixture: train docs with doc_id ≤ this
   // stream against the full static eval index
   private val StreamCtMaxDoc = 500L
+  // streaming ANN serving window: all fixture probes (ts = T0 + id)
+  // land in one tumbling window; results emit on window close
+  private val StreamAnnWindowSec = 3600L
+  // streaming frame-dedup fixture: media items with media_id ≤ this
+  // stream in event-time order
+  private val StreamFdMaxMedia = 400L
   private val LshPlanes = 4
   // fixture embedding dimension; PQ's m/subDim and the LSH plane tables
   // assume it. TestdataCanarySpec pins size(embedding) == EmbDim so a
@@ -368,6 +374,12 @@ object LlmQueries {
         .orderBy("probe_id", "rk")
     }),
 
+    // streaming ANN serving: the probe embeddings arrive as a real
+    // stream, probe the static bucketed corpus index, and emit top-k on
+    // window close — gates against the SAME oracle as llm_ann_lsh (the
+    // streaming path answers the identical serving contract)
+    "llm_stream_ann" -> ((s, d) => streamAnnResults(s, d)),
+
     // IVF-style approximate top-k (inverted lists from a Lloyd's-trained
     // deterministic coarse quantizer; probes search their nProbe nearest
     // lists)
@@ -543,6 +555,12 @@ object LlmQueries {
       MultimodalOps.frameDedup(MultimodalOps.mediaFromDocs(docs(s, d)))
         .orderBy("frame_h")),
 
+    // streaming frame dedup: media items arrive as a real stream;
+    // frame-hash first-holder state flags re-cut/copied frame content
+    // at ingest. Per-media verdict vs the closed form "holder of a
+    // frame cell is its min media_id"
+    "llm_stream_frame_dedup" -> ((s, d) => streamFrameDupVerdicts(s, d)),
+
     // context-window chunking: fixed-length char windows with overlap
     // (RAG/embedding prep) — one spread exchange (chunkWindows
     // repartitions by doc_id for file-layout-independent parallelism)
@@ -707,6 +725,53 @@ object LlmQueries {
 
   private val CosSql =
     "CAST(dot AS DOUBLE) / sqrt(CAST(pn AS DOUBLE) * CAST(nrm AS DOUBLE))"
+
+  /** The LSH multi-probe top-k closed form — ONE oracle for both the
+    * batch (`llm_ann_lsh`) and streaming (`llm_stream_ann`) serving
+    * paths: the streaming form answers the identical contract (same
+    * probe set, radius-2 multi-probe buckets, integer-quantized cosine,
+    * (cos DESC, vec_id) rank), so hash-equality against one SQL is the
+    * batch/stream parity proof. */
+  private val AnnLshSql = {
+    val signs = DetHash.lshSigns(LshPlanes, EmbDim)
+    val signRows = (0 until LshPlanes)
+      .map(p => s"($p, [${signs(p).mkString(",")}])").mkString(", ")
+    val buckVal = s"CASE pl WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 END"
+    s"""
+    WITH $QuantCte,
+    signs AS (SELECT pl, unnest(ss) AS s, unnest(generate_series(1, $EmbDim)) AS i
+              FROM (VALUES $signRows) t(pl, ss)),
+    bdot AS (SELECT u.vec_id, signs.pl, CAST(sum(u.v * signs.s) AS BIGINT) AS d
+             FROM u JOIN signs ON signs.i = u.i GROUP BY 1, 2),
+    bucket AS (SELECT vec_id,
+             CAST(sum(CASE WHEN d >= 0 THEN $buckVal ELSE 0 END) AS BIGINT) AS bucket
+             FROM bdot GROUP BY 1),
+    pbuckets AS ( -- multi-probe radius 2: own bucket + every Hamming-1
+                  -- and Hamming-2 neighbour (two flipped sign bits)
+      SELECT vec_id AS probe_id, unnest([bucket,
+        ${(0 until LshPlanes).map(pl => s"xor(bucket, ${1L << pl})").mkString(", ")},
+        ${(for { a <- 0 until LshPlanes; b <- a + 1 until LshPlanes }
+            yield s"xor(bucket, ${(1L << a) | (1L << b)})").mkString(", ")}]) AS bucket
+      FROM bucket WHERE vec_id < $AnnProbeMax),
+    dots AS (
+      SELECT pl.probe_id, pb.vec_id AS vec_id,
+             CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+             any_value(pa.nrm) AS pn, any_value(pb.nrm) AS nrm
+      FROM pbuckets pl
+      JOIN bucket bb ON bb.bucket = pl.bucket
+      JOIN qn pa ON pa.vec_id = pl.probe_id
+      JOIN qn pb ON pb.vec_id = bb.vec_id AND pb.vec_id <> pl.probe_id
+      JOIN u ua ON ua.vec_id = pl.probe_id
+      JOIN u ub ON ub.vec_id = pb.vec_id AND ub.i = ua.i
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT probe_id, vec_id, $CosSql AS cos,
+             CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY $CosSql DESC, vec_id) AS INTEGER) AS rk
+      FROM dots)
+    SELECT probe_id, vec_id, cos, rk FROM scored
+    WHERE rk <= $AnnK ORDER BY probe_id, rk"""
+  }
 
   /** PQ oracle CTE chain (codebook seed → encode → LUT → ADC ranking),
     * shared by llm_ann_pq (raw ADC top-k) and llm_ann_pq_rr (top-R
@@ -974,6 +1039,88 @@ object LlmQueries {
     s.table(sink)
       .select($"train_id", $"eval_id", $"n_common", $"jaccard")
       .orderBy("train_id", "eval_id")
+  }
+
+  /** llm_stream_ann fixture: the batch probe set (`vec_id <
+    * AnnProbeMax`) arrives as a stream of quantized query vectors
+    * (ts = StreamNdT0 + probe_id, all inside one serving window)
+    * against the pinned bucketed corpus index; a far-future sentinel
+    * advances the watermark past the window end so the top-k emits
+    * (append mode — the sentinel's own window stays open and never
+    * lands). Deterministic regardless of batching: the top-k is a
+    * commutative windowed aggregation over a stateless stream-static
+    * join. */
+  private def streamAnnResults(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // pinned + materialized before the stream starts: the stand-in for
+    // the persisted serving index (quantized + bucketed corpus) a
+    // production deployment writes once per corpus build
+    val idx = Pins.pin(
+      VectorOps.quantize(embs(s, d), $"vec_id", $"embedding")
+        .withColumn("bucket", VectorOps.lshBucket(LshPlanes, EmbDim)))
+    idx.count()
+    val probes = idx.filter($"vec_id" < AnnProbeMax)
+      .select($"vec_id", $"qv").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Long, Seq[Long])] // (id, tsOff, qv)
+    val stream = mem.toDF().select($"_1".as("probe_id"),
+      timestamp_seconds(lit(StreamNdT0) + $"_2").as("ts"), $"_3".as("qv"))
+    val sink =
+      s"ann_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = VectorOps.streamingAnnServe(stream, idx, AnnK, LshPlanes,
+        EmbDim, probeRadius = 2, windowSec = StreamAnnWindowSec,
+        latenessSec = 1L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(probes.map { case (id, qv) => (id, id, qv) }: _*)
+      q.processAllAvailable()
+      mem.addData((-1L, 10L * StreamAnnWindowSec, probes.head._2))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).filter($"probe_id" >= 0)
+      .select($"probe_id", $"vec_id", $"cos", $"rk")
+      .orderBy("probe_id", "rk")
+  }
+
+  /** llm_stream_frame_dedup fixture: the first [[StreamFdMaxMedia]]
+    * media items (payload = text bytes, the documented multimodal
+    * stand-in) stream in event-time order through
+    * [[MultimodalOps.streamingFrameDedup]]; the landed per-frame hit
+    * stream rolls up to per-media verdicts. Deterministic: cells
+    * resolve holders in (ts, media_id) order and the feed is in
+    * media_id order, so a cell's holder is exactly its minimum
+    * media_id — the oracle's closed form. External dups only
+    * (`holder < media_id`): a repeated frame whose first sighting is
+    * this same item is self-novelty, not a copy signal, and the closed
+    * form agrees (`min media_id == media_id`). */
+  private def streamFrameDupVerdicts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = docs(s, d).filter($"doc_id" <= StreamFdMaxMedia)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().select($"_1".as("media_id"),
+      timestamp_seconds(lit(StreamNdT0) + $"_1").as("ts"),
+      encode($"_2", "UTF-8").as("payload"))
+    val sink =
+      s"fd_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = MultimodalOps.streamingFrameDedup(stream, StreamNdLatenessSec)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(80).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        count(when($"holder" < $"media_id", lit(1))).as("n_dup_frames"),
+        min(when($"holder" < $"media_id", $"holder")).as("dup_of"))
+      .orderBy("media_id")
   }
 
   def oracles: Map[String, String] = Map(
@@ -1709,46 +1856,13 @@ object LlmQueries {
       SELECT probe_id, vec_id, cos, rk FROM scored
       WHERE rk <= $AnnK ORDER BY probe_id, rk""",
 
-    "llm_ann_lsh" -> {
-      val signs = DetHash.lshSigns(LshPlanes, EmbDim)
-      val signRows = (0 until LshPlanes)
-        .map(p => s"($p, [${signs(p).mkString(",")}])").mkString(", ")
-      val buckVal = s"CASE pl WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 END"
-      s"""
-      WITH $QuantCte,
-      signs AS (SELECT pl, unnest(ss) AS s, unnest(generate_series(1, $EmbDim)) AS i
-                FROM (VALUES $signRows) t(pl, ss)),
-      bdot AS (SELECT u.vec_id, signs.pl, CAST(sum(u.v * signs.s) AS BIGINT) AS d
-               FROM u JOIN signs ON signs.i = u.i GROUP BY 1, 2),
-      bucket AS (SELECT vec_id,
-               CAST(sum(CASE WHEN d >= 0 THEN $buckVal ELSE 0 END) AS BIGINT) AS bucket
-               FROM bdot GROUP BY 1),
-      pbuckets AS ( -- multi-probe radius 2: own bucket + every Hamming-1
-                    -- and Hamming-2 neighbour (two flipped sign bits)
-        SELECT vec_id AS probe_id, unnest([bucket,
-          ${(0 until LshPlanes).map(pl => s"xor(bucket, ${1L << pl})").mkString(", ")},
-          ${(for { a <- 0 until LshPlanes; b <- a + 1 until LshPlanes }
-              yield s"xor(bucket, ${(1L << a) | (1L << b)})").mkString(", ")}]) AS bucket
-        FROM bucket WHERE vec_id < $AnnProbeMax),
-      dots AS (
-        SELECT pl.probe_id, pb.vec_id AS vec_id,
-               CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
-               any_value(pa.nrm) AS pn, any_value(pb.nrm) AS nrm
-        FROM pbuckets pl
-        JOIN bucket bb ON bb.bucket = pl.bucket
-        JOIN qn pa ON pa.vec_id = pl.probe_id
-        JOIN qn pb ON pb.vec_id = bb.vec_id AND pb.vec_id <> pl.probe_id
-        JOIN u ua ON ua.vec_id = pl.probe_id
-        JOIN u ub ON ub.vec_id = pb.vec_id AND ub.i = ua.i
-        GROUP BY 1, 2),
-      scored AS (
-        SELECT probe_id, vec_id, $CosSql AS cos,
-               CAST(row_number() OVER (PARTITION BY probe_id
-                 ORDER BY $CosSql DESC, vec_id) AS INTEGER) AS rk
-        FROM dots)
-      SELECT probe_id, vec_id, cos, rk FROM scored
-      WHERE rk <= $AnnK ORDER BY probe_id, rk"""
-    },
+    "llm_ann_lsh" -> AnnLshSql,
+
+    // the streaming serving path answers the SAME contract as the batch
+    // LSH top-k (identical probe set, multi-probe radius, candidate
+    // buckets, cosine, and rank order), so it gates against the SAME
+    // oracle — the strongest possible batch/stream parity check
+    "llm_stream_ann" -> AnnLshSql,
 
     "llm_knn_graph" -> {
       val signs = DetHash.lshSigns(EmbedPlanes, EmbDim)
@@ -1905,6 +2019,36 @@ object LlmQueries {
              FROM fr GROUP BY 1)
       SELECT md.frame_h, md.n_media, oc.n_occ, md.first_media
       FROM md JOIN oc USING (frame_h) ORDER BY 1"""
+    },
+
+    // streaming frame dedup closed form: the in-event-time-order feed
+    // resolves each frame cell's holder to its minimum media_id; a
+    // frame is an external dup iff that holder precedes its own media
+    "llm_stream_frame_dedup" -> {
+      val fb = MultimodalOps.FrameBytes
+      s"""
+      WITH media AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents
+        WHERE doc_id <= $StreamFdMaxMedia),
+      idx AS (
+        SELECT media_id, ph,
+               unnest(generate_series(0,
+                 (length(ph) // 2 + ${fb - 1}) // $fb - 1, 2)) AS frame_idx
+        FROM media),
+      fr AS (
+        SELECT media_id,
+               md5(substring(ph, frame_idx * ${2 * fb} + 1, ${2 * fb})) AS frame_h
+        FROM idx),
+      hold AS (SELECT frame_h, min(media_id) AS holder FROM fr GROUP BY 1),
+      per AS (
+        SELECT f.media_id,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(count(CASE WHEN h.holder < f.media_id THEN 1 END)
+                 AS BIGINT) AS n_dup_frames,
+               min(CASE WHEN h.holder < f.media_id THEN h.holder END) AS dup_of
+        FROM fr f JOIN hold h USING (frame_h) GROUP BY 1)
+      SELECT media_id, n_frames, n_dup_frames, dup_of FROM per
+      ORDER BY media_id"""
     },
 
     "llm_embed_dedup" -> {

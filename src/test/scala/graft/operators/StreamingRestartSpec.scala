@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming state must survive a query RESTART from its checkpoint —
+  * the fault-tolerance contract a 1000-executor deployment relies on
+  * (driver loss, code redeploy, planned restart): a near-dup arriving
+  * AFTER the restart must still collide with a holder registered
+  * BEFORE it, because the band-cell first-holder state is restored
+  * from the checkpoint, not rebuilt from the (gone) earlier batches.
+  * MemoryStream is replayable within a session, so stop + re-start on
+  * the same checkpoint exercises the real recovery path. */
+class StreamingRestartSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Orig =
+    "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val NearClone =
+    "the quick brown fox jumps over the lazy cat and runs far away home"
+
+  test("near-dup state survives stop + restart from checkpoint") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // file sink + checkpoint: the fault-tolerant pair (the memory sink
+    // deliberately refuses checkpoint recovery)
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_restart_out").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().select($"_1".as("doc_id"),
+      timestamp_seconds($"_2").as("ts"), $"_3".as("text"))
+    val out = DedupOps.streamingNearDedup(docs, maxLatenessSec = 3600L)
+
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    // epoch 1: the original registers its band cells, then the query
+    // stops — a planned restart / driver loss
+    val q1 = start()
+    try {
+      mem.addData((1L, 100L, Orig))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // epoch 2: a NEW query on the same checkpoint; the clone arrives
+    // only now. Its collision can only come from RESTORED state.
+    val q2 = start()
+    try {
+      mem.addData((2L, 120L, NearClone))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val landed = spark.read.parquet(outDir)
+    val hits = landed.filter($"doc_id" === 2L && $"is_hit")
+      .select($"holder").as[Long].collect().toSeq
+    assert(hits.nonEmpty && hits.toSet == Set(1L),
+      s"the post-restart clone must hit the pre-restart holder: $hits")
+    // and the pre-restart epoch's own rows landed exactly once
+    assert(landed.filter($"doc_id" === 1L).count() ==
+      graft.functions.DetHash.NumBands.toLong)
+  }
+}

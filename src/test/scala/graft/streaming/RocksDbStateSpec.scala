@@ -126,6 +126,111 @@ class RocksDbStateSpec extends AnyFunSuite {
       s"clone must hit the original's cells on RocksDB too: $rocks")
   }
 
+  test("streaming frame-dedup first-holder state on RocksDB matches the default store") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fb = graft.operators.MultimodalOps.FrameBytes
+    def payload(seed: Int): Array[Byte] =
+      Array.tabulate(3 * fb)(i => ((seed * 31 + i * 7) & 0xFF).toByte)
+    val orig = payload(1)
+    val copy = { val p = payload(2); System.arraycopy(orig, 0, p, 0, fb); p }
+    def run(): Seq[(Long, Int, Long, Boolean)] = {
+      val mem = MemoryStream[(Long, Long, Array[Byte])]
+      val media = mem.toDF().select($"_1".as("media_id"),
+        timestamp_seconds($"_2").as("ts"), $"_3".as("payload"))
+      val sink = s"rocks_fd_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = graft.operators.MultimodalOps.streamingFrameDedup(media, 3600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, 100L, orig), (3L, 110L, payload(3)))
+        q.processAllAvailable()
+        mem.addData((2L, 120L, copy))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink)
+        .select($"media_id", $"frame_idx", $"holder", $"is_hit")
+        .as[(Long, Int, Long, Boolean)].collect().toSeq.sorted
+    }
+    val rocks = withRocksDb { run() }
+    val default = run()
+    assert(rocks == default, "RocksDB-backed frame dedup diverged from default")
+    assert(rocks.contains((2L, 0, 1L, true)),
+      s"the copied frame must hit its holder on RocksDB too: $rocks")
+  }
+
+  test("streaming contamination pair-dedup state on RocksDB flags once") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDoc =
+      "the five boxing wizards jump quickly over seven lazy brown dogs tonight"
+    val leaked =
+      "the five boxing wizards jump quickly over seven lazy brown cats tonight"
+    def run(): Seq[(Long, Long)] = {
+      val evalIdx = graft.operators.DedupOps.contaminationIndex(
+        Seq((100L, evalDoc)).toDF("doc_id", "text"), $"doc_id", $"text")
+      val mem = MemoryStream[(Long, Long, String)]
+      val docs = mem.toDF().select($"_1".as("doc_id"),
+        timestamp_seconds($"_2").as("ts"), $"_3".as("text"))
+      val sink = s"rocks_ct_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = graft.operators.DedupOps.streamingContamination(docs, evalIdx,
+          minJaccard = 0.5, maxLatenessSec = 3600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, 100L, leaked)); q.processAllAvailable()
+        mem.addData((1L, 120L, leaked)); q.processAllAvailable() // re-delivery
+      } finally q.stop()
+      spark.table(sink).select($"train_id", $"eval_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+    }
+    val rocks = withRocksDb { run() }
+    val default = run()
+    assert(rocks == default, "RocksDB-backed contamination diverged from default")
+    assert(rocks == Seq((1L, 100L)),
+      s"the leaked pair must flag exactly once on RocksDB: $rocks")
+  }
+
+  test("streaming ANN windowed top-k state on RocksDB matches the default store") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = 8; val planes = 3
+    val corpus = (0 until 32).map { i =>
+      (i.toLong, (0 until dim).map(j => math.sin(1.0 + i * 0.7 + j * 1.3)))
+    }
+    def run(): Seq[(Long, Long, Int)] = {
+      val q0 = graft.operators.VectorOps.quantize(
+        corpus.toDF("vec_id", "embedding"), $"vec_id", $"embedding")
+      val idx = Pins.pin(q0.withColumn("bucket",
+        graft.operators.VectorOps.lshBucket(planes, dim)))
+      idx.count()
+      val probes = idx.filter($"vec_id" < 3L)
+        .select($"vec_id", $"qv").as[(Long, Seq[Long])].collect().sortBy(_._1)
+      val mem = MemoryStream[(Long, Long, Seq[Long])]
+      val stream = mem.toDF().select($"_1".as("probe_id"),
+        timestamp_seconds(lit(1700000000L) + $"_2".cast("long")).as("ts"),
+        $"_3".as("qv"))
+      val sink = s"rocks_ann_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = graft.operators.VectorOps.streamingAnnServe(stream, idx,
+          k = 3, planes = planes, dim = dim, probeRadius = 2,
+          windowSec = 3600L, latenessSec = 1L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData(probes.map { case (id, qv) => (id, id, qv) }.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData((-1L, 36000L, probes.head._2))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table(sink).filter($"probe_id" >= 0)
+        .select($"probe_id", $"vec_id", $"rk")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      Pins.releaseAll()
+      out
+    }
+    val rocks = withRocksDb { run() }
+    val default = run()
+    assert(rocks == default, "RocksDB-backed ANN serving diverged from default")
+    assert(rocks.nonEmpty, "fixture must emit top-k rows")
+  }
+
   test("streaming exact dedup keyed state on RocksDB drops the same dups") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val got = withRocksDb {

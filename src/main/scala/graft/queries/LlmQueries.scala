@@ -1815,19 +1815,33 @@ object LlmQueries {
       SELECT * FROM jac WHERE jaccard >= $NgramMinJaccard ORDER BY doc_a, doc_b"""
     },
 
+    // candidate pairs form FIRST (materialized, label-constrained,
+    // probe-bounded — ~probes×|label group| rows), and only then the
+    // per-dimension dot join runs against them. The previous
+    // single-block form left `u ua JOIN u ub ON ub.i = ua.i` free for
+    // the optimizer to build BEFORE the probe/label restrictions — a
+    // |u|²/dims ≈ 1.6B-row intermediate whenever the join order
+    // flipped, which is exactly the 30→300 s swing PROXY runs kept
+    // recording for this entry. Value-identical: same inner joins,
+    // same predicates, same grouping.
     "llm_ann_filtered" -> s"""
       WITH $QuantCte,
       lab AS (SELECT vec_id, CAST(label AS BIGINT) AS grp FROM embeddings),
+      cand AS MATERIALIZED (
+        SELECT pa.vec_id AS probe_id, la.grp AS grp, lb.vec_id AS vec_id,
+               pa.nrm AS pn, pb.nrm AS nrm
+        FROM qn pa
+        JOIN lab la ON la.vec_id = pa.vec_id
+        JOIN lab lb ON lb.grp = la.grp AND lb.vec_id <> pa.vec_id
+        JOIN qn pb ON pb.vec_id = lb.vec_id
+        WHERE pa.vec_id < $AnnProbeMax),
       dots AS (
-        SELECT pa.vec_id AS probe_id, la.grp AS grp, pb.vec_id AS vec_id,
+        SELECT c.probe_id, c.grp, c.vec_id,
                CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
-               any_value(pa.nrm) AS pn, any_value(pb.nrm) AS nrm
-        FROM qn pa JOIN lab la ON la.vec_id = pa.vec_id
-        JOIN u ua ON ua.vec_id = pa.vec_id
-        JOIN u ub ON ub.i = ua.i
-        JOIN qn pb ON pb.vec_id = ub.vec_id AND pb.vec_id <> pa.vec_id
-        JOIN lab lb ON lb.vec_id = pb.vec_id AND lb.grp = la.grp
-        WHERE pa.vec_id < $AnnProbeMax
+               any_value(c.pn) AS pn, any_value(c.nrm) AS nrm
+        FROM cand c
+        JOIN u ua ON ua.vec_id = c.probe_id
+        JOIN u ub ON ub.vec_id = c.vec_id AND ub.i = ua.i
         GROUP BY 1, 2, 3),
       scored AS (
         SELECT probe_id, grp, vec_id, $CosSql AS cos,

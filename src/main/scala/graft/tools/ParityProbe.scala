@@ -53,9 +53,14 @@ object ParityProbe {
     // build only the tables the requested queries read (documents for
     // llm_*, events for ts_*) — a 160× events run must not pay a 160×
     // documents write it never scans
-    val needDocs = names.exists(_.startsWith("llm_"))
+    val EmbFamily = Set("llm_ann_topk", "llm_ann_filtered", "llm_ann_lsh",
+      "llm_ann_ivf", "llm_ann_pq", "llm_ann_pq_rr", "llm_knn_graph",
+      "llm_embed_dedup", "llm_semdedup", "llm_cluster_sizes",
+      "llm_label_centroids")
+    val needDocs = names.exists(n => n.startsWith("llm_") && !EmbFamily(n))
     val needEvents = names.exists(_.startsWith("ts_"))
     val needRel = names.exists(_.startsWith("rel_"))
+    val needEmb = names.exists(EmbFamily)
 
     if (needDocs && missing("documents")) {
       val docs = Tables.table(spark, sf, "documents")
@@ -87,6 +92,28 @@ object ParityProbe {
       println(s"[parity] wrote ${n * k} events to $dir/events.parquet")
     } else if (needEvents) println(s"[parity] reusing events at $dir")
 
+    if (needEmb && missing("embeddings")) {
+      val emb = Tables.table(spark, sf, "embeddings")
+      val n = emb.count()
+      val expanded = (0 until k).map { r =>
+        // per-replica DETERMINISTIC perturbation: replicas of one base
+        // vector stay distinct (no artificial exact-tie blowup in the
+        // top-k), labels copy through so per-label groups grow k× (the
+        // filtered-serving hot axis), and the probe set stays the
+        // original 10 (vec_id < AnnProbeMax only matches replica 0) —
+        // exactly the serving shape: fixed probes, k× corpus. Both
+        // engines read the same written floats, so no oracle mirroring
+        // is needed.
+        emb.select(($"vec_id" + lit(r * 10000000L)).as("vec_id"),
+          transform($"embedding",
+            x => (x + lit(r * 0.0137f)).cast("float")).as("embedding"),
+          $"label")
+      }.reduce(_ unionByName _)
+      expanded.coalesce(8).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      println(s"[parity] wrote ${n * k} vectors to $dir/embeddings.parquet")
+    } else if (needEmb) println(s"[parity] reusing embeddings at $dir")
+
     if (needRel && missing("lineitem")) {
       // fact tables expand with CONSISTENT orderkey offsets (lineitem
       // rows keep following their replica's orders rows); o_custkey is
@@ -113,6 +140,7 @@ object ParityProbe {
     // warm file listing/footers once, like the bench's table cache
     if (needDocs) spark.read.parquet(s"$dir/documents.parquet").count()
     if (needEvents) spark.read.parquet(s"$dir/events.parquet").count()
+    if (needEmb) spark.read.parquet(s"$dir/embeddings.parquet").count()
 
     names.foreach { name =>
       graft.SparkEntry.queries.get(name) match {

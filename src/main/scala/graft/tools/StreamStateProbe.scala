@@ -79,6 +79,45 @@ object StreamStateProbe {
         f"rows/doc-in-horizon=$perDoc%6.1f")
       spark.sql(s"DROP TABLE IF EXISTS $sink")
     }
+
+    // same sweep for the frame-cell state: 6 frames/item (3 sampled
+    // cells at stride 2), payloads deterministic and distinct, so
+    // state ≈ live cells — the identical O(active horizon) bound
+    val fb = graft.operators.MultimodalOps.FrameBytes
+    println(s"[state] frame-dedup: 3 sampled cells/item, horizon=${horizonSec}s")
+    ns.foreach { n =>
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val stream: DataFrame = mem.toDF().select($"_1".as("media_id"),
+        timestamp_seconds(lit(1700000000L) + $"_1").as("ts"),
+        $"_2".as("payload"))
+      val sink = s"ssf_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = graft.operators.MultimodalOps
+        .streamingFrameDedup(stream, horizonSec)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      var peak = 0L
+      try {
+        (0L until n).grouped(500).foreach { chunk =>
+          mem.addData(chunk.map { i =>
+            // every frame globally unique: its 8 lead bytes are the
+            // little-endian global frame id (a low-byte multiply here
+            // first produced payloads that repeated every 8 items —
+            // peak state 8, a degenerate fixture, not a bound)
+            (i, Array.tabulate(6 * fb) { j =>
+              val o = j % fb
+              if (o < 8) (((i * 6 + j / fb) >>> (8 * o)) & 0xFF).toByte
+              else 0x55.toByte
+            })
+          }.toSeq: _*)
+          q.processAllAvailable()
+          peak = math.max(peak, peakState(q)._1)
+        }
+      } finally q.stop()
+      val perDoc = peak.toDouble / math.min(n, horizonSec)
+      println(f"[state] n=$n%6d span=${n}s peakStateRows=$peak%8d " +
+        f"cells/item-in-horizon=$perDoc%6.1f")
+      spark.sql(s"DROP TABLE IF EXISTS $sink")
+    }
     spark.stop()
   }
 }

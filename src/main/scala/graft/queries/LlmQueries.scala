@@ -1076,7 +1076,12 @@ object LlmQueries {
     try {
       mem.addData(probes.map { case (id, qv) => (id, id, qv) }: _*)
       q.processAllAvailable()
-      mem.addData((-1L, 10L * StreamAnnWindowSec, probes.head._2))
+      // the watermark advancer needs A vector; on an empty corpus (no
+      // probes) a zero vector keeps the fixture total — its own window
+      // never emits either way
+      val sentinelQv = probes.headOption.map(_._2)
+        .getOrElse(Seq.fill(EmbDim)(0L))
+      mem.addData((-1L, 10L * StreamAnnWindowSec, sentinelQv))
       q.processAllAvailable()
     } finally q.stop()
     s.table(sink).filter($"probe_id" >= 0)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -110,8 +110,12 @@ object DedupOps {
                          maxLatenessSec: Long): Dataset[StreamBandHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val latenessMs = maxLatenessSec * 1000L
     val mh = docs
+      // ignore-don't-crash on poison records, like every batch path: a
+      // NULL text would band to NULL bkeys and fail the non-nullable
+      // typed conversion below, killing the whole ingest query; a NULL
+      // event time would NPE inside the state function
+      .filter($"ts".isNotNull && $"text".isNotNull)
       .select($"doc_id", $"ts", normText($"text").as("norm"))
       .withColumn("hs", shingleHashSet(5))
       .select($"doc_id" +: $"ts" +:
@@ -120,34 +124,46 @@ object DedupOps {
       .select($"doc_id", $"ts", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
       .withWatermark("ts", s"$maxLatenessSec seconds")
       .as[StreamBandRow]
-    bands.groupByKey(r => (r.band, r.bkey))
+    firstHolderHits[StreamBandRow, (Int, Long), StreamBandHit](
+      bands, r => (r.band, r.bkey), _.ts.getTime, _.doc_id,
+      (r, h, hit) => StreamBandHit(r.doc_id, r.band, r.bkey, h, hit),
+      maxLatenessSec * 1000L)
+  }
+
+  /** THE first-holder state machine every streaming dedup form shares
+    * ([[streamingNearDedup]] band cells,
+    * [[MultimodalOps.streamingFrameDedup]] frame cells): per key, the
+    * first row (in (ts, id) order within a batch) registers as holder;
+    * every later row emits against that holder. State is ONE holder id
+    * per live key, evicted `latenessMs` after the key's LAST sighting —
+    * the timer must sit above the current watermark or Spark rejects it
+    * (a key whose rows are all older than the global horizon is evicted
+    * at the next tick). One implementation so the eviction/ordering
+    * subtleties can never drift between the forms. */
+  private[operators] def firstHolderHits[R, K: Encoder, O: Encoder](
+      rows: Dataset[R], key: R => K, tsMs: R => Long, id: R => Long,
+      out: (R, Long, Boolean) => O, latenessMs: Long): Dataset[O] = {
+    implicit val stateEnc: Encoder[BandHolderState] =
+      org.apache.spark.sql.Encoders.product[BandHolderState]
+    rows.groupByKey(key)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout)(
-        (key: (Int, Long), it: Iterator[StreamBandRow],
-         state: GroupState[BandHolderState]) => {
+        (_: K, it: Iterator[R], state: GroupState[BandHolderState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val rows = it.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val rs = it.toSeq.sortBy(r => (tsMs(r), id(r)))
             var holder = state.getOption.map(_.doc_id)
-            val out = rows.map { r =>
+            val o = rs.map { r =>
               holder match {
-                case Some(h) =>
-                  StreamBandHit(r.doc_id, r.band, r.bkey, h, is_hit = true)
-                case None =>
-                  holder = Some(r.doc_id)
-                  StreamBandHit(r.doc_id, r.band, r.bkey, r.doc_id,
-                    is_hit = false)
+                case Some(h) => out(r, h, true)
+                case None => holder = Some(id(r)); out(r, id(r), false)
               }
             }
             holder.foreach(h => state.update(BandHolderState(h)))
-            // evict latenessMs after this cell's LAST sighting; the
-            // timer must sit above the current watermark or Spark
-            // rejects it (a cell whose rows are all older than the
-            // global watermark horizon is evicted at the next tick)
-            val maxTsMs = rows.map(_.ts.getTime).max
+            val maxTsMs = rs.map(tsMs).max
             state.setTimeoutTimestamp(math.max(maxTsMs + latenessMs,
               state.getCurrentWatermarkMs() + 1000L))
-            out.iterator
+            o.iterator
           }
         })
   }
@@ -949,7 +965,11 @@ object DedupOps {
                              minJaccard: Double,
                              maxLatenessSec: Long): DataFrame =
     gramArraysFrom(
-        train.select($"doc_id", $"ts",
+        train
+          // NULL event time would break the watermarked pair dedup; a
+          // NULL text already falls out via the ≥5-word gate below
+          .filter($"ts".isNotNull)
+          .select($"doc_id", $"ts",
             split(normText($"text"), " ").as("ws"))
           .filter(size($"ws") >= 5)
           // the stream-side twin of the batch path's spreadByKey: hash

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft._
 
@@ -29,9 +28,6 @@ final case class FrameCellRow(media_id: Long, frame_idx: Int,
   * this row set the cell). */
 final case class FrameHit(media_id: Long, frame_idx: Int, frame_h: String,
                           holder: Long, is_hit: Boolean)
-
-/** First-holder state for one frame-hash cell. */
-final case class FrameHolderState(media_id: Long)
 
 /** Multimodal-column operators (training-data pipeline surface): decode /
   * feature-extract / frame-sample over opaque binary payloads.
@@ -222,41 +218,17 @@ object MultimodalOps {
                           stride: Int = 2): Dataset[FrameHit] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val latenessMs = maxLatenessSec * 1000L
-    val frames = slicedFrameHashes(media, Seq("media_id", "ts"),
+    val frames = slicedFrameHashes(
+        // NULL event time would NPE in the state function; NULL/empty
+        // payloads are already dropped by the slicing pass
+        media.filter($"ts".isNotNull), Seq("media_id", "ts"),
         frameBytes, stride)
       .select($"media_id", $"frame_idx", $"ts", $"frame_h")
       .withWatermark("ts", s"$maxLatenessSec seconds")
       .as[FrameCellRow]
-    frames.groupByKey(_.frame_h)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout)(
-        (key: String, it: Iterator[FrameCellRow],
-         state: GroupState[FrameHolderState]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val rows = it.toSeq.sortBy(r => (r.ts.getTime, r.media_id))
-            var holder = state.getOption.map(_.media_id)
-            val out = rows.map { r =>
-              holder match {
-                case Some(h) =>
-                  FrameHit(r.media_id, r.frame_idx, r.frame_h, h,
-                    is_hit = true)
-                case None =>
-                  holder = Some(r.media_id)
-                  FrameHit(r.media_id, r.frame_idx, r.frame_h, r.media_id,
-                    is_hit = false)
-              }
-            }
-            holder.foreach(h => state.update(FrameHolderState(h)))
-            // evict latenessMs after this cell's LAST sighting; the
-            // timer must sit above the current watermark or Spark
-            // rejects it (see streamingNearDedup)
-            val maxTsMs = rows.map(_.ts.getTime).max
-            state.setTimeoutTimestamp(math.max(maxTsMs + latenessMs,
-              state.getCurrentWatermarkMs() + 1000L))
-            out.iterator
-          }
-        })
+    DedupOps.firstHolderHits[FrameCellRow, String, FrameHit](
+      frames, _.frame_h, _.ts.getTime, _.media_id,
+      (r, h, hit) => FrameHit(r.media_id, r.frame_idx, r.frame_h, h, hit),
+      maxLatenessSec * 1000L)
   }
 }

@@ -681,12 +681,19 @@ object VectorOps {
     * a window emit once the watermark passes its end (append mode) —
     * the serving latency is `windowSec + latenessSec`, the standard
     * completeness/latency trade.
-    * Output: probe_id, vec_id, cos, rk (1-based, ≤ k rows per probe) —
-    * the [[lshKnn]] contract, gate-checked against the same oracle. */
+    * Output: win_start, probe_id, vec_id, cos, rk (1-based, ≤ k rows
+    * per (window, probe)) — the [[lshKnn]] contract per serving window,
+    * gate-checked against the same oracle. `win_start` disambiguates a
+    * probe id served in more than one window (a retried or repeated
+    * query): each emission is self-describing instead of producing
+    * indistinguishable duplicate rk sets. */
   def streamingAnnServe(queries: DataFrame, index: DataFrame, k: Int,
                         planes: Int, dim: Int, probeRadius: Int,
                         windowSec: Long, latenessSec: Long): DataFrame = {
     val cand = queries
+      // ignore-don't-crash on poison records (NULL event time or NULL
+      // query vector), like every batch path
+      .filter($"ts".isNotNull && $"qv".isNotNull)
       .withWatermark("ts", s"$latenessSec seconds")
       .select($"probe_id", $"ts", $"qv".as("pv"),
         LongArrayDot($"qv", $"qv").as("pn"),
@@ -698,12 +705,20 @@ object VectorOps {
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
+    // sort key: NaN cosines FIRST (nf = 0), then cos descending, then
+    // vec_id — exactly row_number over (cos DESC, vec_id) in the batch
+    // path, where Spark (and the DuckDB oracle) order NaN as GREATEST.
+    // A bare `-cos` key silently inverted this: -NaN is still NaN and
+    // sorts LAST ascending, so a zero-norm corpus vector (cos = 0/0)
+    // would rank first in batch but be cut from the stream's top-k.
     cand
       .groupBy(window($"ts", s"$windowSec seconds"), $"probe_id")
       .agg(slice(array_sort(collect_list(
-          struct((-$"cos").as("nc"), $"vec_id", $"cos"))), 1, k).as("top"))
-      .select($"probe_id", posexplode($"top"))
-      .select($"probe_id", $"col.vec_id",  $"col.cos",
+          struct(when(isnan($"cos"), lit(0)).otherwise(lit(1)).as("nf"),
+            (-$"cos").as("nc"), $"vec_id", $"cos"))), 1, k).as("top"))
+      .select($"window.start".as("win_start"), $"probe_id",
+        posexplode($"top"))
+      .select($"win_start", $"probe_id", $"col.vec_id",  $"col.cos",
         ($"pos" + 1).cast("int").as("rk"))
   }
 }

@@ -963,22 +963,42 @@ object LlmQueries {
     * (ts, doc_id) order and the chunks are fed in doc_id order, so a
     * cell's holder is exactly its minimum doc_id — the oracle's closed
     * form. */
+  /** Shared TEST-HARNESS scaffolding the four streaming gate fixtures
+    * run on: a [[MemoryStream]] feeding the operator under test into a
+    * uniquely-named in-memory sink, read back after the feed completes.
+    * One implementation so the UUID-sink / Append-mode / try-finally
+    * plumbing (and any future fix to it) lives in one place. */
+  private def runStreamFixture[T: org.apache.spark.sql.Encoder](
+      s: SparkSession, prefix: String)(
+      toStream: DataFrame => DataFrame)(
+      build: DataFrame => DataFrame)(
+      feed: (MemoryStream[T],
+             org.apache.spark.sql.streaming.StreamingQuery) => Unit)
+      : DataFrame = {
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[T]
+    val sink =
+      s"${prefix}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = build(toStream(mem.toDF()))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try feed(mem, q) finally q.stop()
+    s.table(sink)
+  }
+
   private def streamNearDedupVerdicts(s: SparkSession,
                                       d: String): DataFrame = {
     import s.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = docs(s, d).filter($"doc_id" <= StreamNdMaxDoc)
       .select($"doc_id", $"text").as[(Long, String)]
       .collect().sortBy(_._1)
-    val mem = MemoryStream[(Long, String)]
-    val stream = mem.toDF().select($"_1".as("doc_id"),
-      timestamp_seconds(lit(StreamNdT0) + $"_1").as("ts"), $"_2".as("text"))
-    val sink =
-      s"nd_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = DedupOps.streamingNearDedup(stream, StreamNdLatenessSec)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
+    runStreamFixture[(Long, String)](s, "nd") { df =>
+      df.select($"_1".as("doc_id"),
+        timestamp_seconds(lit(StreamNdT0) + $"_1").as("ts"),
+        $"_2".as("text"))
+    } { stream =>
+      DedupOps.streamingNearDedup(stream, StreamNdLatenessSec).toDF()
+    } { (mem, q) =>
       rows.grouped(60).foreach { chunk =>
         mem.addData(chunk.toSeq: _*); q.processAllAvailable()
       }
@@ -990,8 +1010,7 @@ object LlmQueries {
         .maxOption.getOrElse(0L)
       require(maxState <= DetHash.NumBands * (StreamNdMaxDoc + 1),
         s"near-dup state holds $maxState rows for ${rows.length} docs")
-    } finally q.stop()
-    s.table(sink)
+    }
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bands"),
         count(when($"is_hit", lit(1))).as("n_hit_bands"),
@@ -1010,7 +1029,6 @@ object LlmQueries {
   private def streamContaminationFlags(s: SparkSession,
                                        d: String): DataFrame = {
     import s.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val sp = TextAnalysisOps.withSplit(docs(s, d), $"doc_id")
     // pinned AND materialized before the stream starts: a stream-static
     // join re-executes the static side EVERY micro-batch — the cache is
@@ -1022,21 +1040,18 @@ object LlmQueries {
     val rows = sp.filter($"split" =!= "test" && $"doc_id" <= StreamCtMaxDoc)
       .select($"doc_id", $"text").as[(Long, String)]
       .collect().sortBy(_._1)
-    val mem = MemoryStream[(Long, String)]
-    val stream = mem.toDF().select($"_1".as("doc_id"),
-      timestamp_seconds(lit(StreamNdT0) + $"_1").as("ts"), $"_2".as("text"))
-    val sink =
-      s"ct_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = DedupOps.streamingContamination(stream, evalIdx,
+    runStreamFixture[(Long, String)](s, "ct") { df =>
+      df.select($"_1".as("doc_id"),
+        timestamp_seconds(lit(StreamNdT0) + $"_1").as("ts"),
+        $"_2".as("text"))
+    } { stream =>
+      DedupOps.streamingContamination(stream, evalIdx,
         minJaccard = 0.5, maxLatenessSec = StreamNdLatenessSec)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
+    } { (mem, q) =>
       rows.grouped(100).foreach { chunk =>
         mem.addData(chunk.toSeq: _*); q.processAllAvailable()
       }
-    } finally q.stop()
-    s.table(sink)
+    }
       .select($"train_id", $"eval_id", $"n_common", $"jaccard")
       .orderBy("train_id", "eval_id")
   }
@@ -1052,7 +1067,6 @@ object LlmQueries {
     * join. */
   private def streamAnnResults(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     // pinned + materialized before the stream starts: the stand-in for
     // the persisted serving index (quantized + bucketed corpus) a
     // production deployment writes once per corpus build
@@ -1063,18 +1077,16 @@ object LlmQueries {
     val probes = idx.filter($"vec_id" < AnnProbeMax)
       .select($"vec_id", $"qv").as[(Long, Seq[Long])]
       .collect().sortBy(_._1)
-    val mem = MemoryStream[(Long, Long, Seq[Long])] // (id, tsOff, qv)
-    val stream = mem.toDF().select($"_1".as("probe_id"),
-      timestamp_seconds(lit(StreamNdT0) + $"_2").as("ts"), $"_3".as("qv"))
-    val sink =
-      s"ann_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = VectorOps.streamingAnnServe(stream, idx, AnnK, LshPlanes,
+    runStreamFixture[(Long, Long, Seq[Long])](s, "ann") { df =>
+      df.select($"_1".as("probe_id"),
+        timestamp_seconds(lit(StreamNdT0) + $"_2").as("ts"),
+        $"_3".as("qv"))
+    } { stream =>
+      VectorOps.streamingAnnServe(stream, idx, AnnK, LshPlanes,
         EmbDim, probeRadius = 2, windowSec = StreamAnnWindowSec,
         latenessSec = 1L)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
-      mem.addData(probes.map { case (id, qv) => (id, id, qv) }: _*)
+    } { (mem, q) =>
+      mem.addData(probes.map { case (id, qv) => (id, id, qv) }.toSeq: _*)
       q.processAllAvailable()
       // the watermark advancer needs A vector; on an empty corpus (no
       // probes) a zero vector keeps the fixture total — its own window
@@ -1083,8 +1095,8 @@ object LlmQueries {
         .getOrElse(Seq.fill(EmbDim)(0L))
       mem.addData((-1L, 10L * StreamAnnWindowSec, sentinelQv))
       q.processAllAvailable()
-    } finally q.stop()
-    s.table(sink).filter($"probe_id" >= 0)
+    }
+      .filter($"probe_id" >= 0)
       .select($"probe_id", $"vec_id", $"cos", $"rk")
       .orderBy("probe_id", "rk")
   }
@@ -1102,25 +1114,20 @@ object LlmQueries {
     * form agrees (`min media_id == media_id`). */
   private def streamFrameDupVerdicts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = docs(s, d).filter($"doc_id" <= StreamFdMaxMedia)
       .select($"doc_id", $"text").as[(Long, String)]
       .collect().sortBy(_._1)
-    val mem = MemoryStream[(Long, String)]
-    val stream = mem.toDF().select($"_1".as("media_id"),
-      timestamp_seconds(lit(StreamNdT0) + $"_1").as("ts"),
-      encode($"_2", "UTF-8").as("payload"))
-    val sink =
-      s"fd_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = MultimodalOps.streamingFrameDedup(stream, StreamNdLatenessSec)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append).start()
-    try {
+    runStreamFixture[(Long, String)](s, "fd") { df =>
+      df.select($"_1".as("media_id"),
+        timestamp_seconds(lit(StreamNdT0) + $"_1").as("ts"),
+        encode($"_2", "UTF-8").as("payload"))
+    } { stream =>
+      MultimodalOps.streamingFrameDedup(stream, StreamNdLatenessSec).toDF()
+    } { (mem, q) =>
       rows.grouped(80).foreach { chunk =>
         mem.addData(chunk.toSeq: _*); q.processAllAvailable()
       }
-    } finally q.stop()
-    s.table(sink)
+    }
       .groupBy($"media_id")
       .agg(count(lit(1)).as("n_frames"),
         count(when($"holder" < $"media_id", lit(1))).as("n_dup_frames"),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{HalfBits, HalfValue, LongArrayDot, Md5Long60}
+import graft.functions.{BinaryResize, HalfBits, HalfValue, LongArrayDot, Md5Long60}
 
 /** Session extensions for the library's native functions — attach with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(LongArrayDot.registryEntry)
     ext.injectFunction(HalfBits.registryEntry)
     ext.injectFunction(HalfValue.registryEntry)
+    ext.injectFunction(BinaryResize.registryEntry)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

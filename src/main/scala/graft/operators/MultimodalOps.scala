@@ -44,6 +44,7 @@ object MultimodalOps {
 
   val FeatureDim = 8
   val FrameBytes = 16
+  val ThumbWidth = 16
 
   /** STUB — stands in for the real image/audio decoder. Deterministic pure
     * function of the payload bytes (a rolling polynomial per feature lane)
@@ -124,6 +125,26 @@ object MultimodalOps {
       hex(substring($"payload", 1, 8)).as("head_hex"),
       (floor((octet_length($"payload") + FrameBytes - 1) / FrameBytes))
         .cast("long").as("n_frames"))
+
+  /** Box-filter resize of every payload to a fixed `width`-sample
+    * thumbnail — the resize stage of the multimodal pipeline, fused
+    * into ONE whole-stage-codegen pass per payload by
+    * [[graft.functions.BinaryResize]] (Spark cannot byte-index
+    * `binary` declaratively; the alternative is an explode to one row
+    * per byte, a payload-length×row blowup the 100 TB plan cannot
+    * pay — the DuckDB oracle keeps that shape as the slow reference).
+    * Output: media_id, j (0-based sample index), px (0-255 box mean).
+    * NULL payloads have no thumbnail; empty payloads resize to zero
+    * rows (the [[sampleFrames]] zero-frames convention). */
+  def resizeThumbs(media: Dataset[MediaRow],
+                   width: Int = ThumbWidth): DataFrame = {
+    import media.sparkSession.implicits._
+    media.toDF()
+      .select($"media_id",
+        graft.functions.BinaryResize($"payload", width).as("thumb"))
+      .select($"media_id", posexplode($"thumb"))
+      .select($"media_id", $"pos".as("j"), $"col".as("px"))
+  }
 
   /** Cross-media frame dedup — the keyframe-overlap near-dup signal for
     * binary columns (shared intros/outros, watermarked stills, re-cut

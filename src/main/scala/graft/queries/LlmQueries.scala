@@ -541,6 +541,14 @@ object LlmQueries {
           hex($"frame").as("frame_hex"))
         .orderBy("media_id", "frame_idx")),
 
+    // multimodal resize: fixed-width box-filter thumbnail of each
+    // payload, ONE fused codegen pass per payload (BinaryResize) —
+    // the oracle's per-byte explode is the correctness reference
+    // shape, not the plan
+    "llm_resize" -> ((s, d) =>
+      MultimodalOps.resizeThumbs(MultimodalOps.mediaFromDocs(docs(s, d)))
+        .orderBy("media_id", "j")),
+
     // per-doc 8-gram novelty: fraction of a doc's distinct word grams
     // found in no other document (duplication-risk / freshness score)
     "llm_novelty" -> ((s, d) =>
@@ -2001,6 +2009,37 @@ object LlmQueries {
       SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
              CAST(length(frame_hex) // 2 AS BIGINT) AS n_bytes, frame_hex
       FROM fr ORDER BY media_id, frame_idx"""
+    },
+
+    // Mirrors BinaryResize's integer box filter from one definition:
+    // bucket j = bytes [j*n/w, max((j+1)*n/w, j*n/w+1)), round-half-up
+    // mean. Bytes come out of the hex projection two chars at a time
+    // (DuckDB cannot index BLOB bytes either) — the reference shape,
+    // one row per byte, which is exactly what the Spark plan avoids.
+    "llm_resize" -> {
+      val w = MultimodalOps.ThumbWidth
+      s"""
+      WITH media AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents),
+      m AS (SELECT media_id, ph, length(ph) // 2 AS n
+            FROM media WHERE length(ph) > 0),
+      jj AS (SELECT media_id, ph, n,
+                    unnest(generate_series(0, ${w - 1})) AS j FROM m),
+      r AS (SELECT media_id, ph, j, (j * n) // $w AS lo,
+                   greatest(((j + 1) * n) // $w, (j * n) // $w + 1) AS hi
+            FROM jj),
+      b AS (SELECT media_id, j, hi - lo AS cnt,
+                   unnest(generate_series(lo, hi - 1)) AS i, ph
+            FROM r),
+      v AS (SELECT media_id, j, cnt,
+                   (strpos('0123456789ABCDEF', substring(ph, i * 2 + 1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substring(ph, i * 2 + 2, 1)) - 1 AS bv
+            FROM b),
+      sm AS (SELECT media_id, j, cnt, SUM(bv) AS s
+             FROM v GROUP BY 1, 2, 3)
+      SELECT media_id, CAST(j AS INT) AS j,
+             CAST((2 * s + cnt) // (2 * cnt) AS INT) AS px
+      FROM sm ORDER BY media_id, j"""
     },
 
     "llm_novelty" -> {

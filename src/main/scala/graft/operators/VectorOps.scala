@@ -38,8 +38,23 @@ object VectorOps {
         $"vec_id")
       .withColumn("nrm", LongArrayDot($"qv", $"qv"))
 
-  private def cosCol: Column =
-    $"dot".cast("double") / sqrt($"pn".cast("double") * $"nrm".cast("double"))
+  /** Total cosine: `num / sqrt(n1·n2)`, with zero-norm similarity
+    * DEFINED as 0.0 — a zero-quantized embedding has no direction, so
+    * it matches nothing (the standard IR convention). Under the
+    * session-default ANSI mode the bare division would instead throw
+    * DIVIDE_BY_ZERO and kill the whole query on the FIRST zero-norm
+    * row — at the 100 TB design point one dirty embedding must not
+    * take down a serving job (the vector-family form of the streaming
+    * paths' ignore-don't-crash poison policy). The `when` guard
+    * short-circuits in codegen, so ANSI never evaluates the 0/0.
+    * `StreamingAnnSpec` pins batch/stream agreement on a zero-norm
+    * corpus vector. */
+  private[operators] def cosOf(num: Column, n1: Column, n2: Column): Column = {
+    val den = n1.cast("double") * n2.cast("double")
+    when(den > 0, num.cast("double") / sqrt(den)).otherwise(lit(0.0))
+  }
+
+  private def cosCol: Column = cosOf($"dot", $"pn", $"nrm")
 
   /** Brute-force top-k cosine neighbors for a (small) probe set. The probe
     * side is broadcast; the corpus is scanned once. Excludes self-matches.
@@ -122,8 +137,7 @@ object VectorOps {
       $"qv".as("vb"), $"nrm".as("nb"))
     Pins.pin(capped.join(r, Seq("bucket", "sub")).filter($"vec_id" < $"vec_b")
       .withColumn("dot", LongArrayDot($"qv", $"vb"))
-      .withColumn("cos", $"dot".cast("double") /
-        sqrt($"nrm".cast("double") * $"nb".cast("double")))
+      .withColumn("cos", cosOf($"dot", $"nrm", $"nb"))
       .filter($"cos" >= minCos)
       .select($"vec_id".as("vec_a"), $"vec_b", $"cos"))
   }
@@ -204,8 +218,7 @@ object VectorOps {
       val c = broadcast(cur.withColumn("cn", LongArrayDot($"cv", $"cv")))
       val assigned = train.crossJoin(c)
         .withColumn("cdot", LongArrayDot($"qv", $"cv"))
-        .withColumn("ccos", $"cdot".cast("double") /
-          sqrt($"nrm".cast("double") * $"cn".cast("double")))
+        .withColumn("ccos", cosOf($"cdot", $"nrm", $"cn"))
         .groupBy($"vec_id")
         .agg(max(struct($"ccos", $"cent_id")).as("best"))
         .select($"vec_id", $"best.cent_id".as("list_id"))
@@ -313,8 +326,7 @@ object VectorOps {
                                 cents: DataFrame): DataFrame =
     vectors.crossJoin(cents)
       .withColumn("cdot", LongArrayDot($"qv", $"cv"))
-      .withColumn("ccos", $"cdot".cast("double") /
-        sqrt($"nrm".cast("double") * $"cn".cast("double")))
+      .withColumn("ccos", cosOf($"cdot", $"nrm", $"cn"))
       .groupBy($"vec_id")
       .agg(max(struct($"ccos", $"cent_id")).as("best"))
       .select($"vec_id", $"best.cent_id".as("list_id"))
@@ -393,8 +405,7 @@ object VectorOps {
     val dropped = Pins.pin(capped.join(r, Seq("list_id", "sub"))
       .filter($"vec_id" < $"vec_b")
       .withColumn("dot", LongArrayDot($"qv", $"vb"))
-      .withColumn("cos", $"dot".cast("double") /
-        sqrt($"nrm".cast("double") * $"nb".cast("double")))
+      .withColumn("cos", cosOf($"dot", $"nrm", $"nb"))
       .filter($"cos" >= minCos)
       .select($"vec_b".as("vec_id")).distinct())
     // mirrors the oracle's `d.vec_id IS NULL AS is_keeper`
@@ -494,8 +505,7 @@ object VectorOps {
     Pins.pin(probes.join(corpus, Seq("bucket", "sub"))
       .filter($"vec_id" =!= $"nbr_id")
       .withColumn("dot", LongArrayDot($"qv", $"nv"))
-      .withColumn("cos", $"dot".cast("double") /
-        sqrt($"nrm".cast("double") * $"nn".cast("double")))
+      .withColumn("cos", cosOf($"dot", $"nrm", $"nn"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"vec_id", $"nbr_id", $"cos", $"rk"))
@@ -705,17 +715,16 @@ object VectorOps {
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
-    // sort key: NaN cosines FIRST (nf = 0), then cos descending, then
-    // vec_id — exactly row_number over (cos DESC, vec_id) in the batch
-    // path, where Spark (and the DuckDB oracle) order NaN as GREATEST.
-    // A bare `-cos` key silently inverted this: -NaN is still NaN and
-    // sorts LAST ascending, so a zero-norm corpus vector (cos = 0/0)
-    // would rank first in batch but be cut from the stream's top-k.
+    // sort key: cos descending then vec_id — exactly row_number over
+    // (cos DESC, vec_id) in the batch path. Safe ONLY because cosOf is
+    // total (zero-norm → 0.0, never NaN): a bare -cos key over a NaN-
+    // producing cosine would silently invert NaN placement (-NaN sorts
+    // LAST ascending while cos DESC sorts NaN GREATEST) and drop rows
+    // the batch path keeps.
     cand
       .groupBy(window($"ts", s"$windowSec seconds"), $"probe_id")
       .agg(slice(array_sort(collect_list(
-          struct(when(isnan($"cos"), lit(0)).otherwise(lit(1)).as("nf"),
-            (-$"cos").as("nc"), $"vec_id", $"cos"))), 1, k).as("top"))
+          struct((-$"cos").as("nc"), $"vec_id", $"cos"))), 1, k).as("top"))
       .select($"window.start".as("win_start"), $"probe_id",
         posexplode($"top"))
       .select($"win_start", $"probe_id", $"col.vec_id",  $"col.cos",

@@ -731,8 +731,12 @@ object LlmQueries {
     u AS (SELECT vec_id, unnest(qv) AS v,
             unnest(generate_series(1, len(qv))) AS i FROM qn)"""
 
+  // mirrors VectorOps.cosOf's total cosine (zero-norm similarity = 0.0;
+  // unreachable on the driver data, where no embedding quantizes to a
+  // zero vector — kept aligned so the two definitions cannot drift)
   private val CosSql =
-    "CAST(dot AS DOUBLE) / sqrt(CAST(pn AS DOUBLE) * CAST(nrm AS DOUBLE))"
+    "CASE WHEN pn > 0 AND nrm > 0 THEN CAST(dot AS DOUBLE) " +
+      "/ sqrt(CAST(pn AS DOUBLE) * CAST(nrm AS DOUBLE)) ELSE 0.0 END"
 
   /** The LSH multi-probe top-k closed form — ONE oracle for both the
     * batch (`llm_ann_lsh`) and streaming (`llm_stream_ann`) serving

@@ -74,4 +74,59 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(spark.table(sink).filter($"probe_id" < 0).isEmpty)
     Pins.releaseAll()
   }
+
+  test("zero-norm corpus vector: cosine is a total 0.0, serving survives") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // planes=1 + probeRadius=1 probes BOTH buckets, so every corpus
+    // vector is a candidate; vec 4 quantizes to all-zero qv → nrm=0.
+    // Under session-default ANSI the bare division would throw
+    // DIVIDE_BY_ZERO and kill batch AND stream on this one row; cosOf
+    // instead DEFINES zero-norm similarity as 0.0 (no direction → no
+    // match), and stream must equal batch row-for-row on it.
+    val rows = Seq(
+      (0L, Seq(0.9, 0.1, 0.2, 0.3)),
+      (1L, Seq(0.8, 0.2, 0.1, 0.4)),
+      (2L, Seq(-0.5, 0.6, -0.7, 0.1)),
+      (3L, Seq(0.3, -0.9, 0.2, -0.2)),
+      (4L, Seq(0.0, 0.0, 0.0, 0.0)))
+    val dim = 4
+    val planes = 1
+    val k = 5
+    val q = VectorOps.quantize(
+      rows.toDF("vec_id", "embedding"), $"vec_id", $"embedding")
+    val batch = VectorOps.lshKnn(q, _ === 0L, k, planes, dim,
+        probeRadius = 1)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(batch.exists { case (_, v, c, _) => v == 4L && c == 0.0 },
+      s"batch must carry the zero-norm vector at cos 0.0: $batch")
+    assert(batch.forall { case (_, _, c, _) => !c.isNaN },
+      s"no NaN cosines anywhere: $batch")
+
+    val idx = Pins.pin(
+      q.withColumn("bucket", VectorOps.lshBucket(planes, dim)))
+    idx.count()
+    val pv = idx.filter($"vec_id" === 0L).select($"qv").as[Seq[Long]].head()
+    val mem = MemoryStream[(Long, Long, Seq[Long])]
+    val stream = mem.toDF().select($"_1".as("probe_id"),
+      timestamp_seconds(lit(T0) + $"_2".cast("long")).as("ts"),
+      $"_3".as("qv"))
+    val sink = s"annnan_${java.util.UUID.randomUUID.toString.take(8)}"
+    val sq2 = VectorOps.streamingAnnServe(stream, idx, k, planes, dim,
+        probeRadius = 1, windowSec = WindowSec, latenessSec = 1L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((0L, 0L, pv))
+      sq2.processAllAvailable()
+      mem.addData((-1L, 10L * WindowSec, pv))
+      sq2.processAllAvailable()
+    } finally sq2.stop()
+    val got = spark.table(sink).filter($"probe_id" >= 0)
+      .select($"probe_id", $"vec_id", $"cos", $"rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == batch,
+      s"stream/batch NaN mismatch: only-stream=${got -- batch}, only-batch=${batch -- got}")
+    Pins.releaseAll()
+  }
 }

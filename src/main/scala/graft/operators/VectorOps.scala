@@ -51,7 +51,12 @@ object VectorOps {
     * corpus vector. */
   private[operators] def cosOf(num: Column, n1: Column, n2: Column): Column = {
     val den = n1.cast("double") * n2.cast("double")
-    when(den > 0, num.cast("double") / sqrt(den)).otherwise(lit(0.0))
+    // NULL inputs stay NULL (a missing embedding is not "similarity 0" —
+    // an unconditional otherwise(0.0) would promote NULL-embedding rows
+    // from rank-last to mid-ranking); the ranking mouths then drop
+    // NULL-cos candidates outright (undefined similarity never ranks)
+    when(den > 0, num.cast("double") / sqrt(den))
+      .otherwise(when(num.isNotNull && den.isNotNull, lit(0.0)))
   }
 
   private def cosCol: Column = cosOf($"dot", $"pn", $"nrm")
@@ -66,6 +71,7 @@ object VectorOps {
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
+      .filter($"cos".isNotNull) // NULL embedding: never a result
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"probe_id", $"vec_id", $"cos", $"rk")
@@ -91,6 +97,7 @@ object VectorOps {
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
+      .filter($"cos".isNotNull) // NULL embedding: never a result
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"probe_id", $"grp", $"vec_id", $"cos", $"rk")
@@ -302,8 +309,7 @@ object VectorOps {
     val wp = Window.partitionBy($"probe_id").orderBy($"ccos".desc, $"cent_id")
     val probeLists = probes.crossJoin(cents)
       .withColumn("cdot", LongArrayDot($"pv", $"cv"))
-      .withColumn("ccos", $"cdot".cast("double") /
-        sqrt($"pn".cast("double") * $"cn".cast("double")))
+      .withColumn("ccos", cosOf($"cdot", $"pn", $"cn"))
       .withColumn("prk", row_number().over(wp)).filter($"prk" <= nProbe)
       .select($"probe_id", $"cent_id".as("list_id"))
     val p = probes.join(probeLists, "probe_id")
@@ -312,6 +318,7 @@ object VectorOps {
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
+      .filter($"cos".isNotNull) // NULL embedding: never a result
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"probe_id", $"vec_id", $"cos", $"rk")
@@ -458,6 +465,7 @@ object VectorOps {
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
+      .filter($"cos".isNotNull) // NULL embedding: never a result
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"probe_id", $"vec_id", $"cos", $"rk")
@@ -506,6 +514,7 @@ object VectorOps {
       .filter($"vec_id" =!= $"nbr_id")
       .withColumn("dot", LongArrayDot($"qv", $"nv"))
       .withColumn("cos", cosOf($"dot", $"nrm", $"nn"))
+      .filter($"cos".isNotNull) // NULL embedding: never a result
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"vec_id", $"nbr_id", $"cos", $"rk"))
@@ -652,6 +661,7 @@ object VectorOps {
       .join(broadcast(p), "probe_id")
       .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
+      .filter($"cos".isNotNull) // NULL embedding: never a result
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"probe_id", $"vec_id", $"cos", $"rk")
@@ -715,6 +725,7 @@ object VectorOps {
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("dot", LongArrayDot($"pv", $"qv"))
       .withColumn("cos", cosCol)
+      .filter($"cos".isNotNull) // NULL embedding: never a result
     // sort key: cos descending then vec_id — exactly row_number over
     // (cos DESC, vec_id) in the batch path. Safe ONLY because cosOf is
     // total (zero-norm → 0.0, never NaN): a bare -cos key over a NaN-

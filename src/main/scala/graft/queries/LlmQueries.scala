@@ -852,8 +852,9 @@ object LlmQueries {
                  CAST(sum(uv.v * uc.v) AS BIGINT) AS cdot
                  FROM tru uv JOIN centu$k uc ON uc.i = uv.i GROUP BY 1, 2),
       tccs$k AS (SELECT d.vec_id, d.cent_id,
-                 CAST(d.cdot AS DOUBLE) /
-                   sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
+                 CASE WHEN q.nrm > 0 AND c.cn > 0 THEN CAST(d.cdot AS DOUBLE)
+                   / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE))
+                   ELSE 0.0 END AS ccos
                  FROM tdot$k d JOIN qn q ON q.vec_id = d.vec_id
                  JOIN tcn$k c ON c.cent_id = d.cent_id),
       tasg$k AS (SELECT vec_id,
@@ -957,7 +958,9 @@ object LlmQueries {
         FROM u uv JOIN centu$iters uc ON uc.i = uv.i GROUP BY 1, 2),
       ccs AS (
         SELECT d.vec_id, d.cent_id,
-               CAST(d.cdot AS DOUBLE) / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS ccos
+               CASE WHEN v.nrm > 0 AND c.cn > 0 THEN CAST(d.cdot AS DOUBLE)
+                 / sqrt(CAST(v.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE))
+                 ELSE 0.0 END AS ccos
         FROM cdots d JOIN qn v ON v.vec_id = d.vec_id
         JOIN cn c ON c.cent_id = d.cent_id),
       assigned AS (
@@ -2158,9 +2161,13 @@ object LlmQueries {
         JOIN u ub ON ub.vec_id = p.vec_b AND ub.i = ua.i
         GROUP BY 1, 2)
       SELECT vec_a, vec_b,
-             CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+             CASE WHEN na > 0 AND nb > 0 THEN CAST(dot AS DOUBLE)
+               / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+               ELSE 0.0 END AS cos
       FROM dots
-      WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= $EmbedMinCos
+      WHERE CASE WHEN na > 0 AND nb > 0 THEN CAST(dot AS DOUBLE)
+              / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+              ELSE 0.0 END >= $EmbedMinCos
       ORDER BY 1, 2"""
     },
 

@@ -89,10 +89,11 @@ class StreamingAnnSpec extends AnyFunSuite {
       (1L, Seq(0.8, 0.2, 0.1, 0.4)),
       (2L, Seq(-0.5, 0.6, -0.7, 0.1)),
       (3L, Seq(0.3, -0.9, 0.2, -0.2)),
-      (4L, Seq(0.0, 0.0, 0.0, 0.0)))
+      (4L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (5L, null.asInstanceOf[Seq[Double]])) // NULL embedding: poison
     val dim = 4
     val planes = 1
-    val k = 5
+    val k = 6 // > real candidate count, so a NULL-cos tail row WOULD fit
     val q = VectorOps.quantize(
       rows.toDF("vec_id", "embedding"), $"vec_id", $"embedding")
     val batch = VectorOps.lshKnn(q, _ === 0L, k, planes, dim,
@@ -102,6 +103,14 @@ class StreamingAnnSpec extends AnyFunSuite {
       s"batch must carry the zero-norm vector at cos 0.0: $batch")
     assert(batch.forall { case (_, _, c, _) => !c.isNaN },
       s"no NaN cosines anywhere: $batch")
+    assert(!batch.exists(_._2 == 5L),
+      s"a NULL embedding must never rank: $batch")
+    // bruteKnn's crossJoin has no bucket join to shed the NULL row —
+    // the explicit NULL-cos drop is load-bearing there
+    val brute = VectorOps.bruteKnn(q, q.filter($"vec_id" === 0L), k)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(brute.nonEmpty && !brute.exists(_._2 == 5L),
+      s"bruteKnn must drop the NULL embedding, not rank it: $brute")
 
     val idx = Pins.pin(
       q.withColumn("bucket", VectorOps.lshBucket(planes, dim)))

@@ -34,7 +34,17 @@ object VectorOps {
     transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
 
   def quantize(df: DataFrame, id: Column, emb: Column): DataFrame =
-    spreadByKey(df.select(id.as("vec_id"), quantizeArr(emb).as("qv")),
+    // NULL embeddings are poison records: dropped at the family mouth
+    // (ignore-don't-crash), exactly matching the oracle SQL, where a
+    // NULL vector has no `unnest` rows and so falls out of every
+    // dot/assignment CTE. Without this, a NULL qv raise_errors inside
+    // the PQ sub-splitter and rides into centroid assignment as an
+    // all-NULL-cosine row the argmax still emits. The NULL-cos filters
+    // at the ranking mouths below stay as defense-in-depth for frames
+    // built WITHOUT quantize (streamingAnnServe/bruteKnn take
+    // caller-supplied index/probe frames).
+    spreadByKey(df.select(id.as("vec_id"), quantizeArr(emb).as("qv"))
+        .filter($"qv".isNotNull),
         $"vec_id")
       .withColumn("nrm", LongArrayDot($"qv", $"qv"))
 
@@ -556,7 +566,13 @@ object VectorOps {
     * distance while the oracle's (i-1)//subDim rule scores them, a
     * divergence that only surfaces as a hash mismatch much later. */
   private def subSplit(df: DataFrame, m: Int, idAs: String): DataFrame =
-    df.select(col("vec_id").as(idAs), expr(
+    // NULL qv is a poison record, not a dimension bug: drop it (the
+    // quantize mouth already does for quantize-built frames; this
+    // covers persisted/caller-supplied index frames). Without the
+    // filter, size(NULL) % m is NULL, IF's else fires, and the
+    // raise_error kills the query with a misleading dim message.
+    df.filter($"qv".isNotNull)
+      .select(col("vec_id").as(idAs), expr(
         s"IF(size(qv) % $m = 0, qv," +
           s" raise_error('graft pq: vector dim not divisible by m=$m'))")
         .as("qv"))
@@ -727,11 +743,13 @@ object VectorOps {
       .withColumn("cos", cosCol)
       .filter($"cos".isNotNull) // NULL embedding: never a result
     // sort key: cos descending then vec_id — exactly row_number over
-    // (cos DESC, vec_id) in the batch path. Safe ONLY because cosOf is
-    // total (zero-norm → 0.0, never NaN): a bare -cos key over a NaN-
-    // producing cosine would silently invert NaN placement (-NaN sorts
-    // LAST ascending while cos DESC sorts NaN GREATEST) and drop rows
-    // the batch path keeps.
+    // (cos DESC, vec_id) in the batch path. Safe ONLY because cos here
+    // is never NaN (cosOf: zero-norm → 0.0) and never NULL (the
+    // isNotNull guard above): a bare -cos key over a NaN-producing
+    // cosine would silently invert NaN placement (-NaN sorts LAST
+    // ascending while cos DESC sorts NaN GREATEST) and drop rows the
+    // batch path keeps, and a NULL nc field has its own struct-sort
+    // placement rules.
     cand
       .groupBy(window($"ts", s"$windowSec seconds"), $"probe_id")
       .agg(slice(array_sort(collect_list(

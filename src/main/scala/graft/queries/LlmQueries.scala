@@ -731,9 +731,12 @@ object LlmQueries {
     u AS (SELECT vec_id, unnest(qv) AS v,
             unnest(generate_series(1, len(qv))) AS i FROM qn)"""
 
-  // mirrors VectorOps.cosOf's total cosine (zero-norm similarity = 0.0;
+  // mirrors VectorOps.cosOf's zero-norm convention (similarity = 0.0;
   // unreachable on the driver data, where no embedding quantizes to a
-  // zero vector — kept aligned so the two definitions cannot drift)
+  // zero vector — kept aligned so the two definitions cannot drift).
+  // NULL embeddings never reach either side: quantize drops them at
+  // the family mouth, and here they have no `unnest` rows, so the
+  // CASE's ELSE never models a NULL input (cosOf propagates NULL).
   private val CosSql =
     "CASE WHEN pn > 0 AND nrm > 0 THEN CAST(dot AS DOUBLE) " +
       "/ sqrt(CAST(pn AS DOUBLE) * CAST(nrm AS DOUBLE)) ELSE 0.0 END"
@@ -2165,9 +2168,7 @@ object LlmQueries {
                / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
                ELSE 0.0 END AS cos
       FROM dots
-      WHERE CASE WHEN na > 0 AND nb > 0 THEN CAST(dot AS DOUBLE)
-              / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-              ELSE 0.0 END >= $EmbedMinCos
+      WHERE cos >= $EmbedMinCos -- DuckDB reusable alias: ONE definition
       ORDER BY 1, 2"""
     },
 

@@ -104,10 +104,14 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(batch.forall { case (_, _, c, _) => !c.isNaN },
       s"no NaN cosines anywhere: $batch")
     assert(!batch.exists(_._2 == 5L),
-      s"a NULL embedding must never rank: $batch")
-    // bruteKnn's crossJoin has no bucket join to shed the NULL row —
-    // the explicit NULL-cos drop is load-bearing there
-    val brute = VectorOps.bruteKnn(q, q.filter($"vec_id" === 0L), k)
+      s"a NULL embedding must never rank (quantize drops it): $batch")
+    // the ranking-mouth NULL-cos drop is defense-in-depth for frames
+    // built WITHOUT quantize — hand-build one with a NULL-qv row
+    // (bruteKnn's crossJoin has no bucket join to shed it)
+    val handMade = q.unionByName(
+      Seq((5L, null.asInstanceOf[Seq[Long]], null.asInstanceOf[java.lang.Long]))
+        .toDF("vec_id", "qv", "nrm"))
+    val brute = VectorOps.bruteKnn(handMade, handMade.filter($"vec_id" === 0L), k)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(brute.nonEmpty && !brute.exists(_._2 == 5L),
       s"bruteKnn must drop the NULL embedding, not rank it: $brute")

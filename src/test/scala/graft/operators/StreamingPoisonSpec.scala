@@ -33,7 +33,7 @@ class StreamingPoisonSpec extends AnyFunSuite {
   /** Feed `rows` through `build`, one batch, read the sink back. */
   private def runOnce[T <: Product : org.apache.spark.sql.Encoder](
       rows: Seq[T], toStream: DataFrame => DataFrame,
-      build: DataFrame => DataFrame, prefix: String): Set[String] = {
+      build: DataFrame => DataFrame, prefix: String): Seq[String] = {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[T]
     val sink =
@@ -45,7 +45,9 @@ class StreamingPoisonSpec extends AnyFunSuite {
       mem.addData(rows: _*)
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(sink).collect().map(_.toString).toSet
+    // sorted multiset, NOT a Set: a regression that re-emits a clean
+    // row twice must fail the equality, not be deduplicated away
+    spark.table(sink).collect().map(_.toString).toSeq.sorted
   }
 
   private def docStream(df: DataFrame): DataFrame = {
@@ -65,7 +67,7 @@ class StreamingPoisonSpec extends AnyFunSuite {
     val a = run(clean)
     val b = run(clean ++ poison)
     assert(a.nonEmpty && a == b,
-      s"poison rows must be ignored, not change output: ${b -- a} / ${a -- b}")
+      s"poison rows must be ignored, not change output: $a vs $b")
   }
 
   test("streamingFrameDedup ignores NULL ts and NULL payload rows") {
@@ -82,25 +84,26 @@ class StreamingPoisonSpec extends AnyFunSuite {
     val a = run(clean)
     val b = run(clean ++ poison)
     assert(a.nonEmpty && a == b,
-      s"poison rows must be ignored, not change output: ${b -- a} / ${a -- b}")
+      s"poison rows must be ignored, not change output: $a vs $b")
   }
 
   test("streamingContamination ignores NULL ts rows") {
     import spark.implicits._
     val evalIdx = Pins.pin(DedupOps.contaminationIndex(
       Seq((100L, DocA)).toDF("doc_id", "text"), $"doc_id", $"text"))
-    evalIdx.count()
-    val clean = Seq((1L, T0, DocA), (2L, T0 + 30, DocB))
-    val poison = Seq((7L, -1L, DocA))
-    def run(rows: Seq[(Long, Long, String)]) =
-      runOnce(rows, docStream,
-        DedupOps.streamingContamination(_, evalIdx,
-          minJaccard = 0.5, maxLatenessSec = 3600L), "pct")
-    val a = run(clean)
-    val b = run(clean ++ poison)
-    assert(a.nonEmpty && a == b,
-      s"poison rows must be ignored, not change output: ${b -- a} / ${a -- b}")
-    Pins.releaseAll()
+    try {
+      evalIdx.count()
+      val clean = Seq((1L, T0, DocA), (2L, T0 + 30, DocB))
+      val poison = Seq((7L, -1L, DocA))
+      def run(rows: Seq[(Long, Long, String)]) =
+        runOnce(rows, docStream,
+          DedupOps.streamingContamination(_, evalIdx,
+            minJaccard = 0.5, maxLatenessSec = 3600L), "pct")
+      val a = run(clean)
+      val b = run(clean ++ poison)
+      assert(a.nonEmpty && a == b,
+        s"poison rows must be ignored, not change output: $a vs $b")
+    } finally Pins.releaseAll()
   }
 
   test("streamingAnnServe ignores NULL ts and NULL query-vector rows") {
@@ -111,25 +114,26 @@ class StreamingPoisonSpec extends AnyFunSuite {
     val q = VectorOps.quantize(
       emb.toDF("vec_id", "embedding"), $"vec_id", $"embedding")
     val idx = Pins.pin(q.withColumn("bucket", VectorOps.lshBucket(1, dim)))
-    idx.count()
-    val pv = idx.filter($"vec_id" === 0L)
-      .select($"qv").as[Seq[Long]].head()
-    def annStream(df: DataFrame): DataFrame =
-      df.select($"_1".as("probe_id"),
-        timestamp_seconds(when($"_2" >= 0, $"_2")).as("ts"),
-        when(size($"_3") > 0, $"_3").as("qv"))
-    // watermark advancer (last row) closes the serving window in both runs
-    val clean = Seq((0L, T0, pv), (-1L, T0 + 100000L, pv))
-    val poison = Seq((7L, -1L, pv),            // NULL ts
-      (8L, T0 + 10, Seq.empty[Long]))          // NULL qv
-    def run(rows: Seq[(Long, Long, Seq[Long])]) =
-      runOnce(rows, annStream,
-        VectorOps.streamingAnnServe(_, idx, 3, 1, dim, probeRadius = 1,
-          windowSec = 3600L, latenessSec = 1L), "pann")
-    val a = run(clean)
-    val b = run(clean ++ poison.map { case (id, ts, v) => (id, ts, v) })
-    assert(a.nonEmpty && a == b,
-      s"poison rows must be ignored, not change output: ${b -- a} / ${a -- b}")
-    Pins.releaseAll()
+    try {
+      idx.count()
+      val pv = idx.filter($"vec_id" === 0L)
+        .select($"qv").as[Seq[Long]].head()
+      def annStream(df: DataFrame): DataFrame =
+        df.select($"_1".as("probe_id"),
+          timestamp_seconds(when($"_2" >= 0, $"_2")).as("ts"),
+          when(size($"_3") > 0, $"_3").as("qv"))
+      // watermark advancer (last row) closes the serving window in both
+      val clean = Seq((0L, T0, pv), (-1L, T0 + 100000L, pv))
+      val poison = Seq((7L, -1L, pv),          // NULL ts
+        (8L, T0 + 10, Seq.empty[Long]))        // NULL qv
+      def run(rows: Seq[(Long, Long, Seq[Long])]) =
+        runOnce(rows, annStream,
+          VectorOps.streamingAnnServe(_, idx, 3, 1, dim, probeRadius = 1,
+            windowSec = 3600L, latenessSec = 1L), "pann")
+      val a = run(clean)
+      val b = run(clean ++ poison)
+      assert(a.nonEmpty && a == b,
+        s"poison rows must be ignored, not change output: $a vs $b")
+    } finally Pins.releaseAll()
   }
 }

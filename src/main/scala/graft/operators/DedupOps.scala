@@ -139,7 +139,14 @@ object DedupOps {
     * the timer must sit above the current watermark or Spark rejects it
     * (a key whose rows are all older than the global horizon is evicted
     * at the next tick). One implementation so the eviction/ordering
-    * subtleties can never drift between the forms. */
+    * subtleties can never drift between the forms.
+    *
+    * A later row carrying the HOLDER'S OWN id is a redelivery (an
+    * at-least-once source replaying the registering row), not a dup of
+    * itself: it emits with hit = false, matching the oracle closed
+    * forms (`doc_id > holder` / `holder < media_id`), which would
+    * otherwise disagree with the stream exactly when redelivery
+    * occurs. */
   private[operators] def firstHolderHits[R, K: Encoder, O: Encoder](
       rows: Dataset[R], key: R => K, tsMs: R => Long, id: R => Long,
       out: (R, Long, Boolean) => O, latenessMs: Long): Dataset[O] = {
@@ -155,7 +162,7 @@ object DedupOps {
             var holder = state.getOption.map(_.doc_id)
             val o = rs.map { r =>
               holder match {
-                case Some(h) => out(r, h, true)
+                case Some(h) => out(r, h, h != id(r))
                 case None => holder = Some(id(r)); out(r, id(r), false)
               }
             }

@@ -29,7 +29,13 @@ package object graft {
     * aggregate, join, window, or explicit repartition upstream — is
     * returned unchanged: a shuffle output is already spread across
     * `spark.sql.shuffle.partitions` partitions, which is exactly the
-    * parallelism this helper exists to guarantee. Streaming datasets
+    * parallelism this helper exists to guarantee. CAVEAT: a join that
+    * the planner turns into a BROADCAST join inherits the probe side's
+    * partitioning, not shuffle partitioning — a 1-partition input
+    * enriched via broadcast join comes back unspread (the logical plan
+    * cannot distinguish the two join strategies). Callers fanning heavy
+    * per-row work out of a broadcast-enrich must spread BEFORE the
+    * join, or repartition explicitly after. Streaming datasets
     * are likewise returned unchanged (no RDD to probe; the microbatch
     * engine owns their partitioning). Probe cost on the narrow path is
     * plan-time only — do not call inside a per-row or per-iteration

@@ -1001,7 +1001,16 @@ object LlmQueries {
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append).start()
     try feed(mem, q) finally q.stop()
-    s.table(sink)
+    // copy the (fixture-sized) result out and DROP the sink: the
+    // memory sink + temp view otherwise outlive the call, so a loop
+    // re-running the battery in one session (QueryTimer, a bench
+    // harness) accumulates one full result set per invocation in
+    // driver memory for the session's lifetime
+    val out = s.table(sink)
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    val local = s.createDataFrame(rows, out.schema)
+    s.catalog.dropTempView(sink)
+    local
   }
 
   private def streamNearDedupVerdicts(s: SparkSession,

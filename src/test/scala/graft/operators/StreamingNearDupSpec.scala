@@ -75,4 +75,21 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(nh2 == 0L,
       s"post-horizon clone must pass as novel after state eviction: $got")
   }
+
+  test("a redelivered document is NOT a near-dup of itself") {
+    // at-least-once sources replay rows; the holder's own id arriving
+    // again must emit hit=false (the oracle closed form is
+    // doc_id > holder — flagging a unique doc as its own dup would
+    // make a curation pipeline drop the only copy)
+    val got = run(Seq(
+      Seq((1L, 100L, Orig)),
+      Seq((1L, 100L, Orig)), // exact redelivery, same id + ts
+      Seq((2L, 120L, NearClone))), latenessSec = 3600L)
+    val (_, nh1, holders1) = got(1L)
+    assert(nh1 == 0L && holders1.isEmpty,
+      s"redelivered original must not hit its own cells: $got")
+    val (_, nh2, holders2) = got(2L)
+    assert(nh2 >= 1L && holders2 == Set(1L),
+      s"the real clone still hits the original: $got")
+  }
 }

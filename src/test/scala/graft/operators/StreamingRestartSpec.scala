@@ -67,4 +67,59 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(landed.filter($"doc_id" === 1L).count() ==
       graft.functions.DetHash.NumBands.toLong)
   }
+
+  test("ANN serving window opened before a restart emits after it") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a probe lands in a window, the query restarts, and only THEN
+    // does the watermark pass the window end: the emission must come
+    // from checkpoint-restored window state, row-for-row the batch
+    // lshKnn answer
+    val dim = 4
+    val emb = (0 until 8).map(i =>
+      (i.toLong, (0 until dim).map(j => math.sin(1.0 + i * 0.7 + j * 1.3))))
+    val q = VectorOps.quantize(
+      emb.toDF("vec_id", "embedding"), $"vec_id", $"embedding")
+    val idx = graft.Pins.pin(
+      q.withColumn("bucket", VectorOps.lshBucket(1, dim)))
+    try {
+      idx.count()
+      val batch = VectorOps.lshKnn(q, _ === 0L, 3, 1, dim, probeRadius = 1)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(batch.nonEmpty)
+      val pv = idx.filter($"vec_id" === 0L).select($"qv").as[Seq[Long]].head()
+
+      val ckpt = Files.createTempDirectory("graft_ann_ckpt").toString
+      val outDir = Files.createTempDirectory("graft_ann_out").toString
+      val mem = MemoryStream[(Long, Long, Seq[Long])]
+      val stream = mem.toDF().select($"_1".as("probe_id"),
+        timestamp_seconds(lit(1700000000L) + $"_2".cast("long")).as("ts"),
+        $"_3".as("qv"))
+      val serve = VectorOps.streamingAnnServe(stream, idx, 3, 1, dim,
+        probeRadius = 1, windowSec = 3600L, latenessSec = 1L)
+      def start() = serve.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+
+      val q1 = start()
+      try {
+        mem.addData((0L, 0L, pv)) // window [0, 3600) opens, stays open
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val q2 = start()
+      try {
+        mem.addData((-1L, 100000L, pv)) // advancer closes the window
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      val got = spark.read.parquet(outDir).filter($"probe_id" >= 0)
+        .select($"probe_id", $"vec_id", $"cos", $"rk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == batch,
+        s"restored window must serve the batch answer: " +
+          s"only-stream=${got -- batch}, only-batch=${batch -- got}")
+    } finally graft.Pins.releaseAll()
+  }
 }

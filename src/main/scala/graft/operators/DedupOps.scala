@@ -21,7 +21,10 @@ case class StreamBandHit(doc_id: Long, band: Int, bkey: Long,
 
 /** [[DedupOps.streamingNearDedup]] keyed state: the first holder of one
   * (band, bkey) cell. */
-case class BandHolderState(doc_id: Long)
+/** First-holder state for one dedup cell: the holder id plus the max
+  * event time EVER seen for the cell (not just the latest batch's — an
+  * out-of-order row must never move the eviction timer backwards). */
+case class BandHolderState(doc_id: Long, max_ts_ms: Long)
 
 /** Deduplication operators for LLM training-data pipelines: exact
   * (normalize+hash groupBy), MinHash+LSH near-dup (shingle → minhash →
@@ -166,8 +169,15 @@ object DedupOps {
                 case None => holder = Some(id(r)); out(r, id(r), false)
               }
             }
-            holder.foreach(h => state.update(BandHolderState(h)))
-            val maxTsMs = rs.map(tsMs).max
+            // max over the state's prior sightings too, NOT just this
+            // batch: a late (above-watermark, older-ts) row would
+            // otherwise move the timeout BACKWARDS and evict the cell
+            // before latenessMs has elapsed since its newest sighting —
+            // a dup arriving inside the documented horizon would then
+            // register as a fresh holder (missed dup, wrong holder)
+            val maxTsMs = math.max(rs.map(tsMs).max,
+              state.getOption.map(_.max_ts_ms).getOrElse(Long.MinValue))
+            holder.foreach(h => state.update(BandHolderState(h, maxTsMs)))
             state.setTimeoutTimestamp(math.max(maxTsMs + latenessMs,
               state.getCurrentWatermarkMs() + 1000L))
             o.iterator

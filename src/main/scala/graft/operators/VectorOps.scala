@@ -750,9 +750,15 @@ object VectorOps {
     // ascending while cos DESC sorts NaN GREATEST) and drop rows the
     // batch path keeps, and a NULL nc field has its own struct-sort
     // placement rules.
+    // collect_SET, not list: an at-least-once source redelivering a
+    // probe row within one serving window duplicates every candidate
+    // struct — a list top-k would then hold each true neighbor at two
+    // consecutive ranks and push the real rank-k tail out. Identical
+    // redeliveries produce identical (nc, vec_id, cos) structs, so the
+    // set collapses them; clean feeds are unaffected (no duplicates).
     cand
       .groupBy(window($"ts", s"$windowSec seconds"), $"probe_id")
-      .agg(slice(array_sort(collect_list(
+      .agg(slice(array_sort(collect_set(
           struct((-$"cos").as("nc"), $"vec_id", $"cos"))), 1, k).as("top"))
       .select($"window.start".as("win_start"), $"probe_id",
         posexplode($"top"))

@@ -46,6 +46,12 @@ package object graft {
       case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
            _: Union | _: GlobalLimit | _: LocalLimit =>
         p.children.forall(narrow)
+      // coalesce (Repartition with shuffle=false) is itself narrow:
+      // a coalesce(1)-shaped input is exactly the one-partition
+      // stranding this helper exists to fix, and probing its RDD runs
+      // nothing. shuffle=true Repartition falls through to the
+      // pass-through arm — that output IS already spread.
+      case r: Repartition => !r.shuffle && narrow(r.child)
       case _ => false
     }
     if (ds.isStreaming || !narrow(ds.queryExecution.analyzed)) ds

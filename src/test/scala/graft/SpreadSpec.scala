@@ -23,6 +23,11 @@ class SpreadSpec extends AnyFunSuite {
     // identity, not just exchange-free: the wide input is returned as-is
     assert(spreadByKey(wide, $"doc_id") eq wide)
     assert(nExchanges(wide.spreadBy($"doc_id").toDF) == 0)
+    // coalesce is narrow: a coalesce(1)-stranded input is exactly the
+    // one-partition case the helper exists to fix (probing its RDD
+    // runs nothing), so it must be spread, not passed through
+    val strangled = wide.coalesce(1)
+    assert(nExchanges(spreadByKey(strangled, $"doc_id").toDF) == 1)
   }
 
   test("spreadByKey passes shuffled and streaming inputs through unchanged") {

@@ -132,6 +132,11 @@ class StreamingAnnSpec extends AnyFunSuite {
     try {
       mem.addData((0L, 0L, pv))
       sq2.processAllAvailable()
+      // redeliver the probe row WITHIN the same serving window (an
+      // at-least-once source retry): identical candidate structs must
+      // collapse in the set aggregate, not occupy duplicate ranks
+      mem.addData((0L, 0L, pv))
+      sq2.processAllAvailable()
       mem.addData((-1L, 10L * WindowSec, pv))
       sq2.processAllAvailable()
     } finally sq2.stop()
@@ -139,7 +144,8 @@ class StreamingAnnSpec extends AnyFunSuite {
       .select($"probe_id", $"vec_id", $"cos", $"rk")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(got == batch,
-      s"stream/batch NaN mismatch: only-stream=${got -- batch}, only-batch=${batch -- got}")
+      s"stream/batch mismatch under intra-window redelivery: " +
+        s"only-stream=${got -- batch}, only-batch=${batch -- got}")
     Pins.releaseAll()
   }
 }

@@ -92,4 +92,23 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(nh2 >= 1L && holders2 == Set(1L),
       s"the real clone still hits the original: $got")
   }
+
+  test("a late out-of-order row must not shorten the eviction horizon") {
+    // the eviction timer re-arms from the max ts EVER seen, not the
+    // latest batch's max: a late (above-watermark, older-ts) row would
+    // otherwise move the timeout backwards and evict the cell early —
+    // a dup arriving inside the documented horizon of its original
+    // would then miss the (gone) holder and pass as novel
+    val got = run(Seq(
+      Seq((1L, 10000L, Orig)),      // holder; timeout = 10000+3600
+      Seq((1L, 9000L, Orig)),       // LATE redelivery (wm is 6400)
+      Seq((9L, 16300L, Unrelated)), // wm -> 12700
+      Seq((8L, 16310L, "filler sentence to tick the timeout batch")),
+      Seq((2L, 13300L, NearClone))  // inside the original's horizon
+    ), latenessSec = 3600L)
+    val (_, nh2, holders2) = got(2L)
+    assert(nh2 >= 1L && holders2 == Set(1L),
+      s"in-horizon clone must still find the holder (timer must not " +
+        s"regress on the late row): $got")
+  }
 }

@@ -117,8 +117,9 @@ object DedupOps {
       // ignore-don't-crash on poison records, like every batch path: a
       // NULL text would band to NULL bkeys and fail the non-nullable
       // typed conversion below, killing the whole ingest query; a NULL
-      // event time would NPE inside the state function
-      .filter($"ts".isNotNull && $"text".isNotNull)
+      // event time would NPE inside the state function; a NULL doc_id
+      // fails the AssertNotNull of the same typed conversion
+      .filter($"doc_id".isNotNull && $"ts".isNotNull && $"text".isNotNull)
       .select($"doc_id", $"ts", normText($"text").as("norm"))
       .withColumn("hs", shingleHashSet(5))
       .select($"doc_id" +: $"ts" +:
@@ -161,26 +162,59 @@ object DedupOps {
         (_: K, it: Iterator[R], state: GroupState[BandHolderState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val rs = it.toSeq.sortBy(r => (tsMs(r), id(r)))
-            var holder = state.getOption.map(_.doc_id)
-            val o = rs.map { r =>
-              holder match {
-                case Some(h) => out(r, h, h != id(r))
-                case None => holder = Some(id(r)); out(r, id(r), false)
-              }
-            }
             // max over the state's prior sightings too, NOT just this
             // batch: a late (above-watermark, older-ts) row would
             // otherwise move the timeout BACKWARDS and evict the cell
             // before latenessMs has elapsed since its newest sighting —
             // a dup arriving inside the documented horizon would then
             // register as a fresh holder (missed dup, wrong holder)
-            val maxTsMs = math.max(rs.map(tsMs).max,
-              state.getOption.map(_.max_ts_ms).getOrElse(Long.MinValue))
-            holder.foreach(h => state.update(BandHolderState(h, maxTsMs)))
-            state.setTimeoutTimestamp(math.max(maxTsMs + latenessMs,
-              state.getCurrentWatermarkMs() + 1000L))
-            o.iterator
+            var maxTsMs =
+              state.getOption.map(_.max_ts_ms).getOrElse(Long.MinValue)
+            def commit(h: Long): Unit = {
+              state.update(BandHolderState(h, maxTsMs))
+              state.setTimeoutTimestamp(math.max(maxTsMs + latenessMs,
+                state.getCurrentWatermarkMs() + 1000L))
+            }
+            state.getOption.map(_.doc_id) match {
+              case Some(h) =>
+                // steady state — every batch after the cell's first:
+                // each row emits against the stored holder, so a hot
+                // cell (a degenerate key holding a large slice of the
+                // batch) streams through in O(1) task memory instead
+                // of materializing the group. State commits lazily on
+                // exhaustion — safe because FlatMapGroupsWithStateExec
+                // reads the state handle only from the completion hook
+                // of the fully-drained output iterator.
+                var open = true
+                new Iterator[O] {
+                  def hasNext: Boolean = {
+                    val n = it.hasNext
+                    if (!n && open) { open = false; commit(h) }
+                    n
+                  }
+                  def next(): O = {
+                    val r = it.next()
+                    maxTsMs = math.max(maxTsMs, tsMs(r))
+                    out(r, h, h != id(r))
+                  }
+                }
+              case None =>
+                // the cell's FIRST batch: the holder is the (ts, id)-
+                // minimal row, known only after a full pass — the one
+                // place the group must buffer (bounded by that single
+                // micro-batch's share of the key). Uniform emission is
+                // correct for the registering row too: h == id(r), so
+                // hit = false.
+                val rs = it.toIndexedSeq
+                var h = id(rs(0)); var hTs = tsMs(rs(0))
+                rs.foreach { r =>
+                  val t = tsMs(r)
+                  if (t < hTs || (t == hTs && id(r) < h)) { h = id(r); hTs = t }
+                  maxTsMs = math.max(maxTsMs, t)
+                }
+                commit(h)
+                rs.iterator.map(r => out(r, h, h != id(r)))
+            }
           }
         })
   }

@@ -205,6 +205,13 @@ object MultimodalOps {
       .select($"media_id", md5(hex($"frame")).as("frame_h"))), minMedia)
   }
 
+  /** One-arg convenience with the historical default `minMedia = 2`
+    * (the default itself lives on the [[MediaRow]] overload; Scala
+    * forbids defaults on both overloads, so this keeps the original
+    * `frameDedup(frames)` call shape source-compatible). */
+  def frameDedup(frames: Dataset[MediaFrame]): DataFrame =
+    frameDedup(frames, minMedia = 2)
+
   private def frameDedupTail(f: DataFrame, minMedia: Long): DataFrame = {
     val media = f.select($"frame_h", $"media_id").distinct()
       .groupBy($"frame_h")
@@ -240,9 +247,12 @@ object MultimodalOps {
     val spark = media.sparkSession
     import spark.implicits._
     val frames = slicedFrameHashes(
-        // NULL event time would NPE in the state function; NULL/empty
+        // NULL event time would NPE in the state function; a NULL
+        // media_id fails the non-nullable typed conversion below
+        // (AssertNotNull) and kills the ingest query; NULL/empty
         // payloads are already dropped by the slicing pass
-        media.filter($"ts".isNotNull), Seq("media_id", "ts"),
+        media.filter($"media_id".isNotNull && $"ts".isNotNull),
+        Seq("media_id", "ts"),
         frameBytes, stride)
       .select($"media_id", $"frame_idx", $"ts", $"frame_h")
       .withWatermark("ts", s"$maxLatenessSec seconds")

@@ -1000,17 +1000,18 @@ object LlmQueries {
     val q = build(toStream(mem.toDF()))
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append).start()
-    try feed(mem, q) finally q.stop()
-    // copy the (fixture-sized) result out and DROP the sink: the
-    // memory sink + temp view otherwise outlive the call, so a loop
-    // re-running the battery in one session (QueryTimer, a bench
-    // harness) accumulates one full result set per invocation in
+    // copy the (fixture-sized) result out and DROP the sink — on EVERY
+    // path, including a throwing feed (a state-bound require, a poison
+    // row): the memory sink + temp view otherwise outlive the call, so
+    // a loop re-running the battery in one session (QueryTimer, a
+    // bench harness) accumulates one full result set per invocation in
     // driver memory for the session's lifetime
-    val out = s.table(sink)
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    val local = s.createDataFrame(rows, out.schema)
-    s.catalog.dropTempView(sink)
-    local
+    try {
+      try feed(mem, q) finally q.stop()
+      val out = s.table(sink)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      s.createDataFrame(rows, out.schema)
+    } finally s.catalog.dropTempView(sink)
   }
 
   private def streamNearDedupVerdicts(s: SparkSession,

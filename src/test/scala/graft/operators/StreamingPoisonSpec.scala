@@ -19,7 +19,8 @@ import graft.TestSpark
   *
   * NULLs ride sentinel values through the tuple encoders: ts < 0 →
   * NULL timestamp, empty text → NULL string/payload, empty vector →
-  * NULL qv. */
+  * NULL qv, id < 0 → NULL doc_id/media_id (the AssertNotNull trap of
+  * the non-nullable typed conversion). */
 class StreamingPoisonSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -52,7 +53,7 @@ class StreamingPoisonSpec extends AnyFunSuite {
 
   private def docStream(df: DataFrame): DataFrame = {
     import spark.implicits._
-    df.select($"_1".as("doc_id"),
+    df.select(when($"_1" >= 0, $"_1").as("doc_id"),
       timestamp_seconds(when($"_2" >= 0, $"_2")).as("ts"),
       when($"_3" =!= "", $"_3").as("text"))
   }
@@ -60,7 +61,8 @@ class StreamingPoisonSpec extends AnyFunSuite {
   test("streamingNearDedup ignores NULL ts and NULL text rows") {
     val clean = Seq((1L, T0, DocA), (2L, T0 + 30, DocB))
     val poison = Seq((7L, -1L, DocA), // NULL ts, real text
-      (8L, T0 + 40, ""))              // real ts, NULL text
+      (8L, T0 + 40, ""),              // real ts, NULL text
+      (-9L, T0 + 50, DocA))           // NULL doc_id (AssertNotNull trap)
     def run(rows: Seq[(Long, Long, String)]) =
       runOnce(rows, docStream,
         DedupOps.streamingNearDedup(_, 3600L).toDF(), "pnd")
@@ -73,11 +75,12 @@ class StreamingPoisonSpec extends AnyFunSuite {
   test("streamingFrameDedup ignores NULL ts and NULL payload rows") {
     import spark.implicits._
     def mediaStream(df: DataFrame): DataFrame =
-      df.select($"_1".as("media_id"),
+      df.select(when($"_1" >= 0, $"_1").as("media_id"),
         timestamp_seconds(when($"_2" >= 0, $"_2")).as("ts"),
         encode(when($"_3" =!= "", $"_3"), "UTF-8").as("payload"))
     val clean = Seq((1L, T0, DocA), (2L, T0 + 30, DocA))
-    val poison = Seq((7L, -1L, DocA), (8L, T0 + 40, ""))
+    val poison = Seq((7L, -1L, DocA), (8L, T0 + 40, ""),
+      (-9L, T0 + 50, DocA))           // NULL media_id (AssertNotNull trap)
     def run(rows: Seq[(Long, Long, String)]) =
       runOnce(rows, mediaStream,
         MultimodalOps.streamingFrameDedup(_, 3600L).toDF(), "pfd")

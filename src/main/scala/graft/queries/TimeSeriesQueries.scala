@@ -612,6 +612,43 @@ object TimeSeriesQueries {
         .orderBy("channel")
     }),
 
+    // the FLEET deployment shape in the gate (one .tsd directory per
+    // daemon, etsd.c:33, scaled to ~128 stores): user_id shards events
+    // into per-store channel data, exportFleet writes every store's
+    // span files + sidecar in ONE job, and the read-back is the SINGLE
+    // multi-store scan node (store_id column, per-store sidecar
+    // planning inside one planInputPartitions — plan size O(1) in store
+    // count) under a mid-span time range, so the per-store file prune,
+    // the residual row filter, AND the store attribution all sit under
+    // the oracle. A row landing in the wrong store's files, a prune
+    // dropping a boundary file in any one store, or a store id mixup
+    // in the scan all shift the per-store totals.
+    "ts_fleet_range" -> ((s, d) => {
+      val names = Tables.EventTypeCatalog
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.LargeS)),
+        intervalSec = 3600, blockIntervals = 24)
+      val nStores = 128
+      val hourly = events(s, d).groupBy(
+          format_string("s%03d", pmod($"user_id", lit(nStores))).as("store_id"),
+          $"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val long = hourly.select($"store_id",
+        timestamp_seconds($"bucket").as("ts"),
+        $"channel", $"s_c".as("value"), $"s_c".isNotNull.as("valid"))
+      val root = java.nio.file.Files.createTempDirectory("tsd_fleet").toString
+      EtsdSink.exportFleet(long, schema, root, blocksPerFile = 8)
+      EtsdSource.fleetRoot(s, root)
+        .filter($"valid" && !$"is_register" &&
+          $"ts" >= timestamp_seconds(lit(SEpoch + Hour)) &&
+          $"ts" < timestamp_seconds(lit(EEpoch + Hour)))
+        .groupBy($"store_id")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum($"value").as("total_c"))
+        .orderBy("store_id")
+    }),
+
     // the AC-voltage offset codec in the gate (srcECM.c:45-47,238-253):
     // a deterministic volts×10 sweep off event_id covers every code
     // region — 0 outage, 1 brownout, 2..253 offset-encoded, 0xFE
@@ -1363,6 +1400,19 @@ object TimeSeriesQueries {
                         $centsSum AS s_c
                  FROM events GROUP BY 1, 2)
       SELECT channel, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(s_c) AS BIGINT) AS total_c
+      FROM b WHERE bucket_epoch >= $SEpoch AND bucket_epoch < $EEpoch
+      GROUP BY 1 ORDER BY 1""",
+
+    // the fleet read must equal the plain per-store range-filtered
+    // hourly aggregation — store = user shard, present buckets only
+    "ts_fleet_range" -> s"""
+      WITH b AS (SELECT printf('s%03d', user_id % 128) AS store_id,
+                        event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+                        $centsSum AS s_c
+                 FROM events GROUP BY 1, 2, 3)
+      SELECT store_id, CAST(count(*) AS BIGINT) AS n_buckets,
              CAST(sum(s_c) AS BIGINT) AS total_c
       FROM b WHERE bucket_epoch >= $SEpoch AND bucket_epoch < $EEpoch
       GROUP BY 1 ORDER BY 1""",

@@ -90,43 +90,115 @@ object EtsdSink {
         val xd = xit.toSeq.groupBy(_._1).map { case (be, vs) =>
           be -> vs.map(_._2).min(ByteLexOrdering)
         }
-        val rows = it.toArray
-        val bySlot = rows.groupBy { case (te, _, _, _) =>
-          Math.floorDiv(te, span)
-        }
-        val slots = bySlot.keys
-        val enc = new EtsdEncoder(schema, xd.get)
-        (slots.min to slots.max).foreach { slot =>
-          val present = bySlot.getOrElse(slot, Array.empty)
-            .flatMap { case (_, c, v, ok) =>
-              chanIdx.get(c).map(_ -> (v, ok))
-            }.toMap
-          enc.feed(slot * span, names.indices.map { ci =>
-            present.get(ci) match {
-              case Some((Some(v), true)) => Reading(v)
-              case _                     => Reading(0L, status = 1)
-            }
-          }.toIndexedSeq)
-        }
-        val bytes = enc.toFileBytes()
-        val start = fileIdx * fileSpan
-        val path = new Path(out, f"etsd-$start%012d.tsd")
-        val fs = path.getFileSystem(HadoopConfs.build(hadoopProps))
-        val os = fs.create(path, true) // overwrite: deterministic + idempotent
-        try os.write(bytes) finally os.close()
-        val bsz = graft.codec.BlockBuffer.BlockSize
-        val nBlocks = bytes.length / bsz - 1
-        def tsAt(sector: Long): Long =
-          graft.codec.BlockBuffer(
-            bytes.slice((sector * bsz).toInt, (sector * bsz).toInt + bsz)).timestamp
-        // one status RPC per written file: the sidecar's freshness check
-        // compares (len, modTime), so the entry must carry the real mtime
-        val mod = fs.getFileStatus(path).getModificationTime
-        Iterator.single(WrittenFile(path.toString, path.getName,
-          bytes.length.toLong, nBlocks.toLong, tsAt(1), tsAt(nBlocks.toLong),
-          schema.blockIntervals.toLong * schema.intervalSec, mod))
+        val bytes = encodeSpanFile(schema, names, chanIdx, it.toArray, xd.get)
+        Iterator.single(
+          writeSpanFile(out, fileIdx * fileSpan, bytes, schema, hadoopProps))
       }
     }
+  }
+
+  /** Encode one span-file's rows into file bytes (header + blocks) —
+    * the per-task body shared by [[export]] and [[exportFleet]] so the
+    * two layouts can never encode differently. */
+  private def encodeSpanFile(schema: EtsdSchema, names: Seq[String],
+      chanIdx: Map[String, Int],
+      rows: Array[(Long, String, Option[Long], Boolean)],
+      xd: Long => Option[Array[Byte]]): Array[Byte] = {
+    val span = schema.intervalSec.toLong
+    val bySlot = rows.groupBy { case (te, _, _, _) => Math.floorDiv(te, span) }
+    val slots = bySlot.keys
+    val enc = new EtsdEncoder(schema, xd)
+    (slots.min to slots.max).foreach { slot =>
+      val present = bySlot.getOrElse(slot, Array.empty)
+        .flatMap { case (_, c, v, ok) =>
+          chanIdx.get(c).map(_ -> (v, ok))
+        }.toMap
+      enc.feed(slot * span, names.indices.map { ci =>
+        present.get(ci) match {
+          case Some((Some(v), true)) => Reading(v)
+          case _                     => Reading(0L, status = 1)
+        }
+      }.toIndexedSeq)
+    }
+    enc.toFileBytes()
+  }
+
+  /** Write one encoded span file (overwrite: deterministic + idempotent)
+    * and return its planning metadata from the bytes in hand. */
+  private def writeSpanFile(outDir: String, startEpoch: Long,
+      bytes: Array[Byte], schema: EtsdSchema,
+      hadoopProps: Seq[(String, String)]): WrittenFile = {
+    val path = new Path(outDir, f"etsd-$startEpoch%012d.tsd")
+    val fs = path.getFileSystem(HadoopConfs.build(hadoopProps))
+    val os = fs.create(path, true)
+    try os.write(bytes) finally os.close()
+    val bsz = graft.codec.BlockBuffer.BlockSize
+    val nBlocks = bytes.length / bsz - 1
+    def tsAt(sector: Long): Long =
+      graft.codec.BlockBuffer(
+        bytes.slice((sector * bsz).toInt, (sector * bsz).toInt + bsz)).timestamp
+    // one status RPC per written file: the sidecar's freshness check
+    // compares (len, modTime), so the entry must carry the real mtime
+    val mod = fs.getFileStatus(path).getModificationTime
+    WrittenFile(path.toString, path.getName,
+      bytes.length.toLong, nBlocks.toLong, tsAt(1), tsAt(nBlocks.toLong),
+      schema.blockIntervals.toLong * schema.intervalSec, mod)
+  }
+
+  /** Fleet export: write MANY stores' `.tsd` layouts in ONE Spark job.
+    *
+    * Input carries a `store_id` column alongside the [[export]] contract
+    * columns; each store lands under `rootDir/<store_id>/` with the
+    * shared `schema`. The job keys by (store, file-span) — still one
+    * file per task, still bounded group size — so the fleet write costs
+    * one shuffle regardless of store count, instead of the O(stores)
+    * separate jobs a per-store [[export]] loop would run (the write-side
+    * twin of the single multi-store fleet scan). Every store's
+    * `_graft_index` sidecar is then merged from the returned metadata on
+    * a bounded driver pool (tiny text files; no data re-reads).
+    * Store ids must be non-empty path-segment-safe names.
+    * Returns (store_id, writtenFile) rows. */
+  def exportFleet(long: DataFrame, schema: EtsdSchema, rootDir: String,
+                  blocksPerFile: Int = 256): Seq[(String, WrittenFile)] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    require(blocksPerFile >= 1)
+    val names = schema.channels.map(_.name)
+    val chanIdx = names.zipWithIndex.toMap
+    val fileSpan =
+      schema.intervalSec.toLong * schema.blockIntervals * blocksPerFile
+    val root = rootDir
+    val hadoopProps = HadoopConfs.props(spark)
+
+    val written = long
+      .select($"store_id", unix_timestamp($"ts").as("te"), $"channel",
+        $"value", $"valid")
+      .as[(String, Long, String, Option[Long], Boolean)]
+      .groupByKey { case (st, te, _, _, _) => (st, Math.floorDiv(te, fileSpan)) }
+      .mapGroups { (key: (String, Long), it) =>
+        val (store, fileIdx) = key
+        require(store.nonEmpty && !store.contains('/'),
+          s"store_id must be a path segment, got '$store'")
+        val rows = it.map { case (_, te, c, v, ok) => (te, c, v, ok) }.toArray
+        val bytes = encodeSpanFile(schema, names, chanIdx, rows, _ => None)
+        (store, writeSpanFile(s"$root/$store", fileIdx * fileSpan, bytes,
+          schema, hadoopProps))
+      }.collect().toSeq
+
+    // per-store sidecar merges: O(stores) tiny driver writes, flattened
+    // across a bounded pool (each is a <1 KB text file; the data job
+    // above is the only Spark job this export runs)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, written.map(_._1).distinct.size.max(1)))
+    try {
+      written.groupBy(_._1).map { case (store, fs) =>
+        pool.submit(new Runnable {
+          def run(): Unit = TsdIndex.merge(spark, s"$root/$store",
+            fs.map(_._2.toIndexEntry))
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    written
   }
 
   /** Export AND maintain the `_graft_index` sidecar in one pass: runs

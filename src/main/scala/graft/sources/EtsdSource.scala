@@ -42,24 +42,54 @@ object EtsdSource {
       $"valid", $"is_register")
   }
 
-  /** Fleet-wide read: one DataSource-V2 scan per STORE directory, unioned.
+  /** Above this store count, [[fleet]] plans through ONE multi-store
+    * scan node instead of a union of per-store scans: a union's logical
+    * plan is O(stores) — at the 10k–100k-store fleet a 100 TB layout
+    * implies, analysis/optimization/serialization walk every store's
+    * scan node on every query. Below it, the union is equivalent and
+    * keeps the historical per-store plan shape. */
+  val FleetUnionMax = 8
+
+  /** Fleet-wide read in the historical long schema (no store column).
     *
     * An ETSD deployment scales by STORES, not by widening one store — a
     * store's channel set is bounded by the 512-byte block capacity
     * (etsdCmd.c:295-299), so a fleet is one directory per daemon
-    * (etsd.c:33) and a fleet query is the union of per-store scans.
-    * Keeping one scan per store (rather than one multi-path load)
-    * preserves per-store planning: each scan reads its own `_graft_index`
-    * sidecar, prunes its own files under a time-range pushdown, and
-    * carries its own header schema — no cross-store coupling, and the
-    * union is exchange-free (UnionExec concatenates partitions).
-    * `TsdIndexSpec` asserts both value parity with per-store reads and
-    * zero file probes across the fleet when sidecars exist. */
+    * (etsd.c:33). Small fleets read as a union of per-store DSv2 scans
+    * (each planning against its own `_graft_index` sidecar, the union
+    * exchange-free); above [[FleetUnionMax]] stores the read delegates
+    * to [[fleetWithStores]] — a SINGLE scan node whose plan size is O(1)
+    * in store count — and drops the store column. `TsdIndexSpec` asserts
+    * value parity between the two shapes and zero file probes when
+    * sidecars exist. */
   def fleet(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     require(dirs.nonEmpty, "fleet requires at least one store directory")
-    dirs.map(d => spark.read.format("graft.sources.TsdDataSource").load(d))
-      .reduce(_ unionByName _)
+    if (dirs.size > FleetUnionMax)
+      fleetWithStores(spark, dirs).drop("store_id")
+    else
+      dirs.map(d => spark.read.format("graft.sources.TsdDataSource").load(d))
+        .reduce(_ unionByName _)
   }
+
+  /** Fleet-wide read carrying `store_id` (the store directory's base
+    * name — must be distinct across the fleet), always through the
+    * single multi-store scan node ([[TsdFleetScan]]): per-store sidecar
+    * planning happens inside ONE `planInputPartitions`, cache misses
+    * across all stores coalesce into one probe job, and an `=`/`IN`
+    * filter on `store_id` prunes whole stores at planning time. */
+  def fleetWithStores(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "fleet requires at least one store directory")
+    spark.read.format("graft.sources.TsdDataSource")
+      .option("stores", dirs.mkString(",")).load()
+  }
+
+  /** [[fleetWithStores]] over a fleet ROOT directory: every immediate
+    * subdirectory is a store. The store list is resolved at planning
+    * time by one listing of the root — the natural shape for a rotating
+    * fleet where stores come and go without the query changing. */
+  def fleetRoot(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("graft.sources.TsdDataSource")
+      .option("fleet", "true").load(root)
 
   /** Wide pivoted view of the long form — one row per timestamp, one
     * column per channel (SURVEY.md §1.5: the ECM-style consumer shape;

@@ -34,7 +34,8 @@ import graft.model.EtsdSchema
   */
 class TsdDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.getBoolean("xdata", false)) TsdDataSource.XDataSchema
+    if (TsdDataSource.fleetMode(options)) TsdDataSource.FleetSchema
+    else if (options.getBoolean("xdata", false)) TsdDataSource.XDataSchema
     else EtsdSchema.LongSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
@@ -49,29 +50,61 @@ object TsdDataSource {
     .add("block_epoch", org.apache.spark.sql.types.LongType, false)
     .add("sector", org.apache.spark.sql.types.LongType, false)
     .add("xdata", org.apache.spark.sql.types.BinaryType, false)
+
+  /** Multi-store (fleet) output: the long schema plus the originating
+    * store's id — ONE scan node for the whole fleet (see [[TsdFleetScan]]). */
+  val FleetSchema: StructType = EtsdSchema.LongSchema
+    .add("store_id", org.apache.spark.sql.types.StringType, false)
+
+  /** Fleet mode is on when the caller passes an explicit store-dir list
+    * (`option("stores", "d1,d2,…")`) or asks to treat the load path as a
+    * fleet ROOT whose immediate subdirectories are the stores
+    * (`option("fleet", "true")`). */
+  private[sources] def fleetMode(options: CaseInsensitiveStringMap): Boolean =
+    options.containsKey("stores") || options.getBoolean("fleet", false)
+
+  private[sources] def fleetMode(props: Map[String, String]): Boolean =
+    props.contains("stores") || props.get("fleet").exists(_.toBoolean)
 }
 
 private[sources] class TsdTable(props: Map[String, String])
     extends Table with SupportsRead {
   private def xdata = props.get("xdata").exists(_.toBoolean)
-  override def name(): String = s"tsd(${props.getOrElse("path", "")})"
+  private def fleet = TsdDataSource.fleetMode(props)
+  require(!(xdata && fleet), "xdata reads are per-store; drop option(\"fleet\")")
+  override def name(): String =
+    if (fleet) s"tsdFleet(${props.getOrElse("stores", props.getOrElse("path", ""))})"
+    else s"tsd(${props.getOrElse("path", "")})"
   override def schema(): StructType =
-    if (xdata) TsdDataSource.XDataSchema else EtsdSchema.LongSchema
+    if (fleet) TsdDataSource.FleetSchema
+    else if (xdata) TsdDataSource.XDataSchema else EtsdSchema.LongSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsdScanBuilder(options.get("path"),
       options.getLong("blocksPerPartition", 2048),
-      options.getBoolean("xdata", false))
+      options.getBoolean("xdata", false),
+      fleet = TsdDataSource.fleetMode(options),
+      stores = Option(options.get("stores"))
+        .map(_.split(',').toSeq.filter(_.nonEmpty)))
 }
 
 private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long,
-                                      xdata: Boolean)
+                                      xdata: Boolean,
+                                      fleet: Boolean = false,
+                                      stores: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters {
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var chans: Option[Set[String]] = None // channel pruning (long mode)
+  private var storeSel: Option[Set[String]] = None // store pruning (fleet mode)
   private var pushed = Array.empty[sources.Filter]
+
+  private def narrowStores(ids: Iterable[String]): Boolean = {
+    val set = ids.toSet
+    storeSel = Some(storeSel.fold(set)(_ intersect set))
+    true
+  }
 
   private def narrowChans(names: Iterable[String]): Boolean = {
     val set = names.toSet
@@ -104,6 +137,12 @@ private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long,
       case sources.In("channel", vs) if !xdata &&
           vs.forall(_.isInstanceOf[String]) =>
         narrowChans(vs.map(_.asInstanceOf[String]))
+      // store pruning (fleet mode): whole stores drop out of the plan —
+      // no listing, no sidecar read, no partitions for a pruned store
+      case sources.EqualTo("store_id", v: String) if fleet => narrowStores(Seq(v))
+      case sources.In("store_id", vs) if fleet &&
+          vs.forall(_.isInstanceOf[String]) =>
+        narrowStores(vs.map(_.asInstanceOf[String]))
       case sources.GreaterThan(c, v)        => bound(c, v).exists { e => lo = lo.max(e); true }
       case sources.GreaterThanOrEqual(c, v) => bound(c, v).exists { e => lo = lo.max(e); true }
       case sources.LessThan(c, v)           => bound(c, v).exists { e => hi = hi.min(e); true }
@@ -116,12 +155,16 @@ private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long,
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
   override def build(): Scan =
-    new TsdScan(path, lo, hi, blocksPerPartition, xdata, chans)
+    if (fleet)
+      new TsdFleetScan(path, stores, lo, hi, blocksPerPartition, chans,
+        storeSel)
+    else new TsdScan(path, lo, hi, blocksPerPartition, xdata, chans)
 }
 
 private[sources] case class TsdInputPartition(file: String, startSector: Long,
     endSector: Long, lo: Long, hi: Long,
-    chans: Option[Seq[String]] = None) extends InputPartition
+    chans: Option[Seq[String]] = None,
+    store: Option[String] = None) extends InputPartition
 
 private[sources] class TsdScan(path: String, lo: Long, hi: Long,
                                blocksPerPartition: Long,
@@ -172,6 +215,89 @@ private[sources] class TsdScan(path: String, lo: Long, hi: Long,
     // a time-filtered .tsd scan as small when it is
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(pruned.map(_._2.fileLen).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+/** ONE scan node for a whole multi-store fleet — `store_id` is an output
+  * column, and planning for every store happens inside this single node
+  * (per-store `_graft_index` sidecars, misses coalesced into one probe
+  * job; see [[TsdIndex.forPlanningFleet]]).
+  *
+  * The alternative — a union of per-store scans — is value-identical but
+  * O(stores) in PLAN size: at the 10k–100k-store fleet a 100 TB layout
+  * implies, analysis, optimization, and plan serialization all walk one
+  * scan node per store on every query. Here the logical plan is O(1) in
+  * store count; store count only affects planning-time metadata I/O
+  * (bounded-pool listings) and the partition list, which any file source
+  * pays. Store ids are the directory base names and must be distinct
+  * across the fleet; an `=`/`IN` predicate on `store_id` prunes whole
+  * stores before any metadata I/O. */
+private[sources] class TsdFleetScan(rootPath: String,
+                                    stores: Option[Seq[String]],
+                                    lo: Long, hi: Long,
+                                    blocksPerPartition: Long,
+                                    chans: Option[Set[String]],
+                                    storeSel: Option[Set[String]])
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = TsdDataSource.FleetSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TsdFleetScan stores=${storeDirs.size}" +
+      s" tsRange=[${if (lo == Long.MinValue) "-inf" else lo}, " +
+      s"${if (hi == Long.MaxValue) "+inf" else hi}]" +
+      chans.fold("")(cs => s" chans=${cs.toSeq.sorted.mkString(",")}") +
+      storeSel.fold("")(ss => s" storeSel=${ss.size}")
+
+  /** (storeId, dir) after store_id pushdown — explicit `stores` list, or
+    * the root's immediate subdirectories (one listing). */
+  private lazy val storeDirs: Seq[(String, Path)] = {
+    val dirs: Seq[Path] = stores match {
+      case Some(list) => list.map(new Path(_))
+      case None =>
+        val root = new Path(rootPath)
+        val fs = root.getFileSystem(
+          SparkSession.active.sessionState.newHadoopConf())
+        fs.listStatus(root).filter(s => s.isDirectory &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath).toSeq.sortBy(_.getName)
+    }
+    val withIds = dirs.map(p => (p.getName, p))
+    val dup = withIds.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"fleet store ids (dir base names) must be distinct: ${dup.mkString(",")}")
+    withIds.filter { case (id, _) => storeSel.forall(_.contains(id)) }
+  }
+
+  /** Surviving (store, file, entry) rows after store + file-level time
+    * pruning — one metadata pass for the whole fleet. */
+  private lazy val pruned: Seq[(String, String, TsdIndexEntry)] = {
+    val spark = SparkSession.active
+    val fs = new Path(storeDirs.headOption.map(_._2.toString)
+        .getOrElse(rootPath))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    TsdIndex.forPlanningFleet(spark, fs, storeDirs)
+      .filter { case (_, _, e) =>
+        e.lastTs + e.blockSpanSec >= lo && e.firstTs <= hi }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    pruned.flatMap { case (store, file, e) =>
+      (1L to e.nBlocks by blocksPerPartition).map { s =>
+        TsdInputPartition(file, s,
+          math.min(s + blocksPerPartition - 1, e.nBlocks), lo, hi,
+          chans.map(_.toSeq.sorted), Some(store))
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsdReaderFactory(HadoopConfs.props(SparkSession.active),
+      xdata = false)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(pruned.map(_._3.fileLen).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 }
@@ -254,10 +380,20 @@ private[sources] class TsdPartitionReader(p: TsdInputPartition,
     if (rows.hasNext) { cur = rows.next(); true } else false
   }
 
-  override def get(): InternalRow = InternalRow(
-    cur.tsEpoch * 1000000L, names(cur.chan),
-    cur.value.map(java.lang.Long.valueOf).orNull,
-    cur.value.isDefined, cur.isRegister)
+  // fleet partitions carry their store id; it lands as the trailing
+  // store_id column (FleetSchema) — constant per partition, one shared
+  // UTF8String reference per reader
+  private val storeU = p.store.map(UTF8String.fromString).orNull
+
+  override def get(): InternalRow =
+    if (storeU == null) InternalRow(
+      cur.tsEpoch * 1000000L, names(cur.chan),
+      cur.value.map(java.lang.Long.valueOf).orNull,
+      cur.value.isDefined, cur.isRegister)
+    else InternalRow(
+      cur.tsEpoch * 1000000L, names(cur.chan),
+      cur.value.map(java.lang.Long.valueOf).orNull,
+      cur.value.isDefined, cur.isRegister, storeU)
 
   override def close(): Unit = in.close()
 }

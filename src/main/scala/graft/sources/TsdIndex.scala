@@ -177,6 +177,73 @@ object TsdIndex {
     }.toMap)
   }
 
+  /** Fleet planning entry point: metadata for every data file of every
+    * store, in ONE call — the multi-store scan's planner.
+    *
+    * Driver work per store is one directory listing plus one tiny
+    * sidecar read, flattened across a bounded thread pool (metadata RPCs
+    * are latency-bound, so 16-way overlap keeps wall-clock ~flat in
+    * store count at fleet sizes); cache MISSES from ALL stores coalesce
+    * into a single distributed probe job — one Spark job per fleet scan
+    * at worst, zero when sidecars are fresh, never one per store.
+    * Returns (storeId, absoluteFilePath, entry). */
+  def forPlanningFleet(spark: SparkSession, fs: FileSystem,
+      stores: Seq[(String, Path)]): Seq[(String, String, TsdIndexEntry)] = {
+    if (stores.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, stores.size))
+    // per store: (hits, misses-to-probe)
+    val listed = try {
+      stores.map { case (id, root) =>
+        (id, root, pool.submit(
+          new java.util.concurrent.Callable[
+              (Seq[TsdIndexEntry], Seq[(String, Long, Long)])] {
+            def call() = {
+              val files = fs.listStatus(root).filter(isDataFile)
+                .map(f => (f.getPath.getName, f.getLen,
+                  f.getModificationTime)).toSeq
+              val cached = load(fs, root).getOrElse(Map.empty)
+              val (hit, miss) = files.partition { case (n, len, mod) =>
+                cached.get(n).exists(e => e.fileLen == len && e.modTime == mod)
+              }
+              (hit.map { case (n, _, _) => cached(n) }, miss)
+            }
+          }))
+      }.map { case (id, root, fut) => (id, root, fut.get()) }
+    } finally pool.shutdown()
+    listed.foreach { case (_, _, (hit, miss)) =>
+      PlanStats.indexedFiles.addAndGet(hit.size)
+      PlanStats.probedFiles.addAndGet(miss.size)
+    }
+    // all stores' misses -> ONE probe job, keyed back by full path
+    val missPaths = listed.flatMap { case (id, root, (_, miss)) =>
+      miss.map { case (n, len, mod) =>
+        (id, root.toString, n, len, mod)
+      }
+    }
+    val probed: Map[(String, String), TsdIndexEntry] =
+      if (missPaths.isEmpty) Map.empty
+      else {
+        val hadoopProps = HadoopConfs.props(spark)
+        val parallelism = math.min(missPaths.size,
+          spark.sparkContext.defaultParallelism * 4).max(1)
+        spark.sparkContext
+          .parallelize(missPaths, parallelism)
+          .map { case (id, dir, name, len, mod) =>
+            val p = new Path(dir, name)
+            val pfs = p.getFileSystem(HadoopConfs.build(hadoopProps))
+            ((id, name), probe(pfs, p, len, mod))
+          }.collect().toMap
+      }
+    listed.flatMap { case (id, root, (hit, miss)) =>
+      hit.map(e => (id, new Path(root, e.name).toString, e)) ++
+        miss.map { case (n, _, _) =>
+          val e = probed((id, n))
+          (id, new Path(root, n).toString, e)
+        }
+    }
+  }
+
   /** Planning entry point: metadata for every data file in `dir`, served
     * from the sidecar where fresh (name + length match) and from ONE
     * distributed probe job for the remainder. The driver's I/O is a

@@ -169,6 +169,48 @@ object FileScaleProbe {
       assert(TsdIndex.PlanStats.driverProbedFiles.get() == 0)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
+
+    // --- store-count trend through the SINGLE multi-store scan node:
+    // 128 vs 1024 stores, same per-store data. The logical plan must be
+    // O(1) in store count (one TsdFleetScan node either way — vs one
+    // scan node per store in the union shape), planning must stay
+    // sidecar-only, and pure planning wall-time (no execution) must grow
+    // sub-linearly — it's bounded-pool metadata I/O, not plan work.
+    for (nStores <- Seq(128, 1024)) {
+      val nDays = 2
+      val nSlots = nDays * 24L
+      println(s"== fleet-scan scale: $nStores stores x $nCh channels x $nDays days (ONE scan node)")
+      val root = java.nio.file.Files.createTempDirectory("fsp_fscan").toString
+      val long = spark.range(nStores)
+        .select(format_string("fs%04d", col("id")).as("store_id"))
+        .crossJoin(grid(nSlots))
+      time(s"exportFleet (one job, $nStores stores)") {
+        val w = graft.sources.EtsdSink.exportFleet(long, storeSchema, root,
+          blocksPerFile = 1)
+        println(s"    files written fleet-wide: ${w.size}")
+      }
+      val dayLo = startEpoch + 86400L
+      def pruned = graft.sources.EtsdSource.fleetRoot(spark, root)
+        .filter(col("valid") && !col("is_register") &&
+          col("ts") >= timestamp_seconds(lit(dayLo)) &&
+          col("ts") < timestamp_seconds(lit(dayLo + 86400L)))
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.size == 1, s"fleet must be ONE scan node, got ${scans.size}")
+      println(s"    plan nodes: ${pruned.queryExecution.optimizedPlan.collect { case p => p }.size} (store-count-independent)")
+      TsdIndex.PlanStats.reset()
+      val nParts = time("pure planning (no exec)") {
+        pruned.rdd.getNumPartitions
+      }
+      println(s"    partitions: $nParts, indexed: " +
+        s"${TsdIndex.PlanStats.indexedFiles.get()}, probed: " +
+        s"${TsdIndex.PlanStats.probedFiles.get()}")
+      assert(TsdIndex.PlanStats.probedFiles.get() == 0)
+      val rows = time("1-day pruned count") { pruned.count() }
+      assert(rows == nStores.toLong * nCh * 24, s"got $rows")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
     spark.stop()
   }
 }

@@ -59,6 +59,71 @@ class TsdIndexSpec extends AnyFunSuite {
       "pushdown must prune non-overlapping files in every store scan")
   }
 
+  test("fleetWithStores: ONE scan node, union parity, sidecar-only planning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a rooted fleet via exportFleet: one job writes every store + sidecar
+    val root = Files.createTempDirectory("tsdfleet").toString
+    val nStores = 12 // > EtsdSource.FleetUnionMax, so fleet() delegates too
+    val rows = (0 until nStores).flatMap { si =>
+      (0 until 20 * 4).map { k =>
+        (f"st$si%02d", t0 + k, "G", Some(((si * 7 + k) % 200).toLong), true)
+      }
+    }.toDF("store_id", "te", "channel", "value", "valid")
+      .select($"store_id",
+        org.apache.spark.sql.functions.timestamp_seconds($"te").as("ts"),
+        $"channel", $"value", $"valid")
+    val written = EtsdSink.exportFleet(rows, schema, root, blocksPerFile = 1)
+    assert(written.size == nStores * 20)
+    val stores = (0 until nStores).map(si => f"$root/st$si%02d")
+
+    TsdIndex.PlanStats.reset()
+    val fl = EtsdSource.fleetWithStores(spark, stores)
+    // ONE scan node in the plan regardless of store count — the whole point
+    val scans = fl.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1, s"fleet must plan ONE scan node, got ${scans.size}")
+    // value parity: identical to the union-of-stores shape, store ids right
+    val viaUnion = stores.map(d => spark.read
+        .format("graft.sources.TsdDataSource").load(d)
+        .withColumn("store_id", lit(new org.apache.hadoop.fs.Path(d).getName)))
+      .reduce(_ unionByName _)
+    assert(fl.count() == nStores * 20 * 4L)
+    assert(fl.exceptAll(viaUnion).isEmpty && viaUnion.exceptAll(fl).isEmpty)
+    // exportFleet maintained every store's sidecar: zero probes fleet-wide
+    assert(TsdIndex.PlanStats.probedFiles.get() == 0,
+      "fleet planning must be sidecar-only")
+    assert(TsdIndex.PlanStats.driverProbedFiles.get() == 0)
+
+    // store_id pushdown prunes whole stores at planning time
+    val one = fl.filter($"store_id" === "st03")
+    TsdIndex.PlanStats.reset()
+    assert(one.count() == 20 * 4L)
+    // each action plans once: exactly the selected store's 20 files
+    assert(TsdIndex.PlanStats.indexedFiles.get() == 20,
+      "pruned stores must contribute zero metadata I/O")
+    assert(one.rdd.getNumPartitions == 20,
+      "an = filter on store_id must plan only that store's files")
+
+    // time pushdown still prunes inside EVERY store's file set
+    val cutoff = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(t0 + 18 * 4L))
+    val prunedDf = EtsdSource.fleetWithStores(spark, stores)
+      .filter($"ts" > cutoff)
+    assert(prunedDf.count() == nStores * 8L)
+    assert(prunedDf.rdd.getNumPartitions <= nStores * 3,
+      "time pushdown must prune non-overlapping files in every store")
+
+    // the root form resolves the same stores by listing
+    assert(EtsdSource.fleetRoot(spark, root).count() == nStores * 20 * 4L)
+    // the historical fleet() schema delegates above the union threshold
+    // and stays store-free
+    val hist = EtsdSource.fleet(spark, stores)
+    assert(!hist.columns.contains("store_id"))
+    assert(hist.count() == nStores * 20 * 4L)
+  }
+
   test("planning 1000 files from the sidecar: zero file probes") {
     val n = 1000
     val dir = layout(n, indexed = true)

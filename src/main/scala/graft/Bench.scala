@@ -61,7 +61,9 @@ object Bench {
       }
       name -> best
     } // keep the name-sorted Seq: stable JSON field order run-to-run
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (_, e)) => s"\"" + k + "\":" + e }
+      .mkString("{", ",", "}")
+    val builds = results.map { case (k, (b, _)) => s"\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val caps = capRows.map { case (k, (b, r, m)) =>
       s"""\"$k\":{\"dropped_buckets\":$b,\"dropped_rows\":$r,\"max_bucket\":$m}"""
@@ -69,8 +71,9 @@ object Bench {
     val splits = splitRows.map { case (k, (b, r, m)) =>
       s"""\"$k\":{\"split_buckets\":$b,\"split_rows\":$r,\"max_bucket\":$m}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cap_drops":$caps,"cap_splits":$splits,"sf":"$sfDir"}"""
+    val total = results.map(_._2._2).filter(_ >= 0).sum
+    val buildTotal = results.map(_._2._1).filter(_ >= 0).sum
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_total":$buildTotal,"queries":$qs,"build_s":$builds,"cap_drops":$caps,"cap_splits":$splits,"sf":"$sfDir"}"""
     println(full)
     // The driver captures only a 2000-char tail of this stdout; the full
     // line above is ~10k chars (122 query names alone exceed the budget),
@@ -80,7 +83,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json"), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    val failed = results.filter(_._2 < 0).map(_._1)
+    val failed = results.filter(_._2._2 < 0).map(_._1)
     // cap the inline list so this line always fits the 2000-char tail,
     // even in a mass-failure round; the full set is in BENCH_FULL.json
     val failedJson = failed.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -88,17 +91,29 @@ object Bench {
     spark.stop()
   }
 
-  /** Warmup + min-of-3 timing for one query; -1.0 sentinel on any throw.
+  /** One query's honest timing pair: `build_s` = plan construction plus
+    * the FIRST execution (for the export/streaming/index-building
+    * entries this is where the real work happens — fixture feeds, .tsd
+    * writes, k-means training; it also absorbs JIT/page-cache
+    * first-touch), `exec_s` = min of 3 re-executions of the built plan
+    * (the steady-state cost a resident engine pays per query). The
+    * headline total sums exec_s; BENCH_FULL.json carries both so
+    * build-heavy entries can't hide behind re-execution. (-1,-1)
+    * sentinel on any throw — at construction or in a timed run — so a
+    * broken query shows as a visible failure, not a ~0 s success.
     * Package-visible so BenchSpec can exercise the failure path. */
-  private[graft] def timeQuery(build: () => org.apache.spark.sql.DataFrame): Double =
+  private[graft] def timeQuery(build: () => org.apache.spark.sql.DataFrame)
+      : (Double, Double) =
     try {
+      val t0 = System.nanoTime()
       val df = build()
-      df.count() // untimed warmup: JIT, shuffle-file page cache, AQE re-plan
+      df.count()
+      val buildS = (System.nanoTime() - t0) / 1e9
       val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
+        val t1 = System.nanoTime()
         df.count()
-        (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t1) / 1e9
       }
-      times.min
-    } catch { case _: Throwable => -1.0 }
+      (buildS, times.min)
+    } catch { case _: Throwable => (-1.0, -1.0) }
 }

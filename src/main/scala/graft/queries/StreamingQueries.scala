@@ -31,7 +31,8 @@ object StreamingQueries {
   private val IntervalSec = 10L
   private val BlockSec = 600L // 60-interval tumbling block commit
 
-  def streamIngestTotals(spark: SparkSession): DataFrame = {
+  def streamIngestTotals(spark: SparkSession,
+                         restart: Boolean = false): DataFrame = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("stream_ingest")
@@ -41,13 +42,41 @@ object StreamingQueries {
       timestamp_seconds(lit(T0) + $"value" * IntervalSec).as("ts"))
     val deltas = Ingest.counterDeltas(
       Ingest.simTransform(ticks, 0, Some(StatusEvery)).as[SrcRow])
-    val q = Ingest.commitStream(deltas.toDF(), BlockSec, out, s"$dir/ckpt")
-    try {
-      Seq(1L to 200L, 201L to 400L, 401L to N).foreach { batch =>
-        mem.addData(batch: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    def start() = Ingest.commitStream(deltas.toDF(), BlockSec, out, s"$dir/ckpt")
+    if (!restart) {
+      val q = start()
+      try {
+        Seq(1L to 200L, 201L to 400L, 401L to N).foreach { batch =>
+          mem.addData(batch: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } else {
+      // ts_stream_restart: the SAME feed, but the ingest query is KILLED
+      // after the first batch and a new query resumes from the
+      // checkpoint — with ticks 201..400 having arrived while nothing
+      // was running (the daemon-down window). The per-channel
+      // LastReading/MissedUpdate decode state must come back from the
+      // state store (tick 201's delta spans the restart boundary:
+      // last=200's odometer lives only in restored state) and the
+      // parquet sink's manifest must keep landed blocks exactly-once.
+      // The oracle is the SAME closed form as ts_stream_ingest — the
+      // reference analog is its crash-safe append-only block contract
+      // (README.md:7-9); we gate the strictly stronger claim that a
+      // kill+resume is value-invisible.
+      val q1 = start()
+      try {
+        mem.addData(1L to 200L: _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      mem.addData(201L to 400L: _*) // arrives while the query is down
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        mem.addData(401L to N: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
     spark.read.parquet(out)
       .groupBy($"channel")
       .agg(count(lit(1)).as("n_rows"),
@@ -693,6 +722,7 @@ object StreamingQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_stream_ingest" -> ((s, _) => streamIngestTotals(s)),
+    "ts_stream_restart" -> ((s, _) => streamIngestTotals(s, restart = true)),
     "ts_stream_late" -> ((s, _) => streamLateTotals(s)),
     "ts_stream_dedup" -> ((s, _) => streamDedupTotals(s)),
     "ts_stream_join" -> ((s, _) => streamJoinEnriched(s)),
@@ -706,13 +736,14 @@ object StreamingQueries {
     "ts_stream_timeout" -> ((s, _) => streamTimeoutTotals(s)),
     "ts_stream_edd" -> ((s, _) => streamEddTotals(s)))
 
-  def oracles: Map[String, String] = Map(
-    // the generator's closed form, recomputed from scratch: valid ticks
-    // (n % StatusEvery != 0) carry the sawtooth odometer; consecutive
-    // valid ticks at distance g emit the averaged delta (odo-podo)//g
-    // (g-1 missed intervals -> divide by 1+missed); every invalid tick
-    // and each channel's first valid tick emit a NULL-delta row
-    "ts_stream_ingest" -> s"""
+  /** The generator's closed form, recomputed from scratch: valid ticks
+    * (n % StatusEvery != 0) carry the sawtooth odometer; consecutive
+    * valid ticks at distance g emit the averaged delta (odo-podo)//g
+    * (g-1 missed intervals -> divide by 1+missed); every invalid tick
+    * and each channel's first valid tick emit a NULL-delta row. Shared
+    * by `ts_stream_ingest` and `ts_stream_restart`: the kill-and-resume
+    * run must land the identical result. */
+  private lazy val IngestClosedForm = s"""
       WITH chans(channel, k, amp) AS (VALUES
         ${Ingest.SimChans.map { case (n, k, a) => s"('src0_$n', $k, $a)" }
           .mkString(", ")}),
@@ -732,7 +763,14 @@ object StreamingQueries {
              CAST(count(podo) AS BIGINT) AS n_deltas,
              CAST($N - count(podo) AS BIGINT) AS n_invalid,
              CAST(sum((odo - podo) // (n - pn)) AS BIGINT) AS total
-      FROM d GROUP BY 1 ORDER BY 1""",
+      FROM d GROUP BY 1 ORDER BY 1"""
+
+  def oracles: Map[String, String] = Map(
+    "ts_stream_ingest" -> IngestClosedForm,
+
+    // the kill-and-resume run must land the IDENTICAL closed form —
+    // checkpoint recovery is value-invisible, so the oracle is shared
+    "ts_stream_restart" -> IngestClosedForm,
 
     // closed form of exactly the ADMITTED tick set: every n in 1..LateN
     // except the ticks planted beyond the watermark tolerance — if the

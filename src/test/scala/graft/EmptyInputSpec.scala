@@ -29,7 +29,7 @@ class EmptyInputSpec extends AnyFunSuite {
     dir
   }
 
-  private val streamingBacked = Set("ts_stream_ingest")
+  private val streamingBacked = Set("ts_stream_ingest", "ts_stream_restart")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if !streamingBacked(name)) {

@@ -622,32 +622,28 @@ object TimeSeriesQueries {
     // the residual row filter, AND the store attribution all sit under
     // the oracle. A row landing in the wrong store's files, a prune
     // dropping a boundary file in any one store, or a store id mixup
-    // in the scan all shift the per-store totals.
-    "ts_fleet_range" -> ((s, d) => {
-      val names = Tables.EventTypeCatalog
-      val schema = EtsdSchema(
-        names.map(n => ChannelConfig(n, StreamType.LargeS)),
-        intervalSec = 3600, blockIntervals = 24)
-      val nStores = 128
-      val hourly = events(s, d).groupBy(
-          format_string("s%03d", pmod($"user_id", lit(nStores))).as("store_id"),
-          $"event_type".as("channel"),
-          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
-        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
-      val long = hourly.select($"store_id",
-        timestamp_seconds($"bucket").as("ts"),
-        $"channel", $"s_c".as("value"), $"s_c".isNotNull.as("valid"))
-      val root = java.nio.file.Files.createTempDirectory("tsd_fleet").toString
-      EtsdSink.exportFleet(long, schema, root, blocksPerFile = 8)
-      EtsdSource.fleetRoot(s, root)
-        .filter($"valid" && !$"is_register" &&
-          $"ts" >= timestamp_seconds(lit(SEpoch + Hour)) &&
-          $"ts" < timestamp_seconds(lit(EEpoch + Hour)))
+    // in the scan all shift the per-store totals. The fixture is built
+    // once per (JVM, sfDir) — ts_fleet_range and ts_fleet_select share
+    // it (deterministic content, idempotent rebuild).
+    "ts_fleet_range" -> ((s, d) =>
+      fleetRead(s, d)
         .groupBy($"store_id")
         .agg(count(lit(1)).as("n_buckets"),
           sum($"value").as("total_c"))
-        .orderBy("store_id")
-    }),
+        .orderBy("store_id")),
+
+    // the store_id PUSHDOWN path under the oracle (planning-time store
+    // pruning, TsdIndexSpec asserts the plan side): an IN filter keeps
+    // three stores of the 128-store fixture; a prune that drops a
+    // selected store's files, keeps an unselected store, or mixes up
+    // store attribution shifts the per-channel totals
+    "ts_fleet_select" -> ((s, d) =>
+      fleetRead(s, d)
+        .filter($"store_id".isin("s007", "s031", "s100"))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum($"value").as("total_c"))
+        .orderBy("channel")),
 
     // the AC-voltage offset codec in the gate (srcECM.c:45-47,238-253):
     // a deterministic volts×10 sweep off event_id covers every code
@@ -696,6 +692,43 @@ object TimeSeriesQueries {
         .select($"hour_us" +: Tables.EventTypeCatalog
           .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
         .orderBy("hour_us")))
+
+  /** The 128-store fleet fixture, built ONCE per (JVM, sfDir) and shared
+    * by `ts_fleet_range`/`ts_fleet_select`: hourly per-(user-shard,
+    * channel) cents sums exported with [[EtsdSink.exportFleet]] (one job,
+    * all stores + sidecars), read back through the single multi-store
+    * scan ([[EtsdSource.fleetRoot]]) under the standard mid-span range.
+    * Content is deterministic and the export is an idempotent overwrite,
+    * so memoization only saves the rebuild, never changes a value. */
+  private val fleetFixtureRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fleetRead(s: SparkSession, d: String): DataFrame = {
+    val root = fleetFixtureRoots.computeIfAbsent(d, _ => {
+      val names = Tables.EventTypeCatalog
+      val schema = EtsdSchema(
+        names.map(n => ChannelConfig(n, StreamType.LargeS)),
+        intervalSec = 3600, blockIntervals = 24)
+      val hourly = events(s, d).groupBy(
+          format_string("s%03d", pmod($"user_id", lit(128))).as("store_id"),
+          $"event_type".as("channel"),
+          (floor(unix_timestamp($"ts") / Hour) * Hour).cast("long").as("bucket"))
+        .agg(sum(round($"value" * 100).cast("long")).as("s_c"))
+      val long = hourly.select($"store_id",
+        timestamp_seconds($"bucket").as("ts"),
+        $"channel", $"s_c".as("value"), $"s_c".isNotNull.as("valid"))
+      val r = java.nio.file.Files.createTempDirectory("tsd_fleet").toString
+      EtsdSink.exportFleet(long, schema, r, blocksPerFile = 8)
+      r
+    })
+    // a reading at ts covers the interval ENDING at ts (bucket = ts−1h),
+    // so bucket ∈ [S, E) ⟺ ts ∈ [S+1h, E+1h); literal comparisons so
+    // the fleet scan prunes files per store
+    EtsdSource.fleetRoot(s, root)
+      .filter($"valid" && !$"is_register" &&
+        $"ts" >= timestamp_seconds(lit(SEpoch + Hour)) &&
+        $"ts" < timestamp_seconds(lit(EEpoch + Hour)))
+  }
 
   private val centsSum = "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
 
@@ -1415,6 +1448,20 @@ object TimeSeriesQueries {
       SELECT store_id, CAST(count(*) AS BIGINT) AS n_buckets,
              CAST(sum(s_c) AS BIGINT) AS total_c
       FROM b WHERE bucket_epoch >= $SEpoch AND bucket_epoch < $EEpoch
+      GROUP BY 1 ORDER BY 1""",
+
+    // three selected stores' per-channel totals — the store-pruned read
+    // must equal the user-shard closed form restricted to those shards
+    "ts_fleet_select" -> s"""
+      WITH b AS (SELECT printf('s%03d', user_id % 128) AS store_id,
+                        event_type AS channel,
+                        ((epoch_us(ts)//1000000)//3600)*3600 AS bucket_epoch,
+                        $centsSum AS s_c
+                 FROM events GROUP BY 1, 2, 3)
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(s_c) AS BIGINT) AS total_c
+      FROM b WHERE store_id IN ('s007', 's031', 's100')
+        AND bucket_epoch >= $SEpoch AND bucket_epoch < $EEpoch
       GROUP BY 1 ORDER BY 1""",
 
     // independent re-derivation of the one-byte AC-voltage piecewise

@@ -95,15 +95,29 @@ object EtsdSource {
     * column per channel (SURVEY.md §1.5: the ECM-style consumer shape;
     * the long form stays canonical because it scales to arbitrary channel
     * counts). Register rows are excluded; the channel list comes from the
-    * schema so the output shape is fixed, not data-dependent. */
-  def wide(long: DataFrame, schema: EtsdSchema): DataFrame = {
+    * schema so the output shape is fixed, not data-dependent.
+    *
+    * SORT CONTRACT: `globalSort = true` (default, the historical
+    * behavior) appends a total `orderBy(ts)` — right for a consumer
+    * that displays or exports the view, but a consumer MATERIALIZING it
+    * at 100 TB pays a full range-shuffle sort for an ordering the next
+    * operator usually re-derives. `globalSort = false` instead sorts
+    * WITHIN the pivot's output partitions (no extra exchange — the rows
+    * are already hash-partitioned by ts from the pivot's groupBy, so
+    * each timestamp appears exactly once and each partition is
+    * internally time-ordered; there is just no cross-partition total
+    * order). Downstream time-window logic that repartitions by its own
+    * keys anyway loses nothing. */
+  def wide(long: DataFrame, schema: EtsdSchema,
+           globalSort: Boolean = true): DataFrame = {
     val chans = schema.channels.filter(_.streamType != graft.model.StreamType.DontSave)
       .map(_.name)
-    long.filter(!$"is_register")
+    val pivoted = long.filter(!$"is_register")
       .groupBy($"ts")
       .pivot("channel", chans)
       .agg(first($"value"))
-      .orderBy($"ts")
+    if (globalSort) pivoted.orderBy($"ts")
+    else pivoted.sortWithinPartitions($"ts")
   }
 
   /** Block-timestamp probe (`etsdTimeS`, etsdRead.h:27; consumed by the

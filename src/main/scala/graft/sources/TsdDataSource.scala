@@ -93,12 +93,21 @@ private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long,
                                       xdata: Boolean,
                                       fleet: Boolean = false,
                                       stores: Option[Seq[String]] = None)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var chans: Option[Set[String]] = None // channel pruning (long mode)
   private var storeSel: Option[Set[String]] = None // store pruning (fleet mode)
   private var pushed = Array.empty[sources.Filter]
+  // column pruning: the readers assemble ONLY the projected fields, so a
+  // fleet-wide count(*) (empty schema) or a (store_id, ts) rollup never
+  // boxes channel strings/values it won't read — and `.explain` shows
+  // the honest ReadSchema
+  private var required: Option[StructType] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
 
   private def narrowStores(ids: Iterable[String]): Boolean = {
     val set = ids.toSet
@@ -157,22 +166,24 @@ private[sources] class TsdScanBuilder(path: String, blocksPerPartition: Long,
   override def build(): Scan =
     if (fleet)
       new TsdFleetScan(path, stores, lo, hi, blocksPerPartition, chans,
-        storeSel)
-    else new TsdScan(path, lo, hi, blocksPerPartition, xdata, chans)
+        storeSel, required)
+    else new TsdScan(path, lo, hi, blocksPerPartition, xdata, chans, required)
 }
 
 private[sources] case class TsdInputPartition(file: String, startSector: Long,
     endSector: Long, lo: Long, hi: Long,
     chans: Option[Seq[String]] = None,
-    store: Option[String] = None) extends InputPartition
+    store: Option[String] = None,
+    cols: Option[Seq[String]] = None) extends InputPartition
 
 private[sources] class TsdScan(path: String, lo: Long, hi: Long,
                                blocksPerPartition: Long,
                                xdata: Boolean = false,
-                               chans: Option[Set[String]] = None)
+                               chans: Option[Set[String]] = None,
+                               required: Option[StructType] = None)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType =
-    if (xdata) TsdDataSource.XDataSchema else EtsdSchema.LongSchema
+  override def readSchema(): StructType = required.getOrElse(
+    if (xdata) TsdDataSource.XDataSchema else EtsdSchema.LongSchema)
   override def toBatch: Batch = this
   override def description(): String =
     s"TsdScan path=$path tsRange=[${if (lo == Long.MinValue) "-inf" else lo}, " +
@@ -203,7 +214,8 @@ private[sources] class TsdScan(path: String, lo: Long, hi: Long,
       (1L to e.nBlocks by blocksPerPartition).map { s =>
         TsdInputPartition(file, s,
           math.min(s + blocksPerPartition - 1, e.nBlocks), lo, hi,
-          chans.map(_.toSeq.sorted))
+          chans.map(_.toSeq.sorted),
+          cols = required.map(_.fieldNames.toSeq))
       }
     }.toArray
 
@@ -238,9 +250,11 @@ private[sources] class TsdFleetScan(rootPath: String,
                                     lo: Long, hi: Long,
                                     blocksPerPartition: Long,
                                     chans: Option[Set[String]],
-                                    storeSel: Option[Set[String]])
+                                    storeSel: Option[Set[String]],
+                                    required: Option[StructType] = None)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = TsdDataSource.FleetSchema
+  override def readSchema(): StructType =
+    required.getOrElse(TsdDataSource.FleetSchema)
   override def toBatch: Batch = this
   override def description(): String =
     s"TsdFleetScan stores=${storeDirs.size}" +
@@ -272,22 +286,18 @@ private[sources] class TsdFleetScan(rootPath: String,
 
   /** Surviving (store, file, entry) rows after store + file-level time
     * pruning — one metadata pass for the whole fleet. */
-  private lazy val pruned: Seq[(String, String, TsdIndexEntry)] = {
-    val spark = SparkSession.active
-    val fs = new Path(storeDirs.headOption.map(_._2.toString)
-        .getOrElse(rootPath))
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    TsdIndex.forPlanningFleet(spark, fs, storeDirs)
+  private lazy val pruned: Seq[(String, String, TsdIndexEntry)] =
+    TsdIndex.forPlanningFleet(SparkSession.active, storeDirs)
       .filter { case (_, _, e) =>
         e.lastTs + e.blockSpanSec >= lo && e.firstTs <= hi }
-  }
 
   override def planInputPartitions(): Array[InputPartition] =
     pruned.flatMap { case (store, file, e) =>
       (1L to e.nBlocks by blocksPerPartition).map { s =>
         TsdInputPartition(file, s,
           math.min(s + blocksPerPartition - 1, e.nBlocks), lo, hi,
-          chans.map(_.toSeq.sorted), Some(store))
+          chans.map(_.toSeq.sorted), Some(store),
+          cols = required.map(_.fieldNames.toSeq))
       }
     }.toArray
 
@@ -325,6 +335,8 @@ private[sources] class TsdXDataPartitionReader(p: TsdInputPartition,
   private val span = schema.blockIntervals.toLong * schema.intervalSec
   private var sector = p.startSector
   private var cur: InternalRow = null
+  // xdata-mode column pruning: project (block_epoch, sector, xdata)
+  private val xCols = p.cols.getOrElse(Seq("block_epoch", "sector", "xdata"))
 
   override def next(): Boolean = {
     cur = null
@@ -333,7 +345,13 @@ private[sources] class TsdXDataPartitionReader(p: TsdInputPartition,
       in.readFully(sector * BlockBuffer.BlockSize, buf)
       val ts = BlockBuffer(buf).timestamp
       if (ts + span >= p.lo && ts <= p.hi)
-        cur = InternalRow(ts, sector, EtsdDecoder.blockXData(layout, buf))
+        cur = InternalRow.fromSeq(xCols.map[Any] {
+          case "block_epoch" => ts
+          case "sector"      => sector
+          case "xdata"       => EtsdDecoder.blockXData(layout, buf)
+          case other => throw new IllegalArgumentException(
+            s"unknown projected column '$other'")
+        }.toIndexedSeq)
       sector += 1
     }
     cur != null
@@ -380,20 +398,32 @@ private[sources] class TsdPartitionReader(p: TsdInputPartition,
     if (rows.hasNext) { cur = rows.next(); true } else false
   }
 
-  // fleet partitions carry their store id; it lands as the trailing
-  // store_id column (FleetSchema) — constant per partition, one shared
+  // fleet partitions carry their store id; it lands as the store_id
+  // column (FleetSchema) — constant per partition, one shared
   // UTF8String reference per reader
   private val storeU = p.store.map(UTF8String.fromString).orNull
 
+  // column pruning: assemble exactly the projected fields, in the
+  // projected order (p.cols is the scan's pruned ReadSchema; None =
+  // the full long/fleet schema). count(*) prunes to ZERO columns —
+  // every surviving sample emits an empty row, no boxing at all.
+  private val fieldFns: Array[() => Any] = {
+    val full = Seq("ts", "channel", "value", "valid", "is_register") ++
+      (if (storeU == null) Nil else Seq("store_id"))
+    p.cols.getOrElse(full).map[() => Any] {
+      case "ts"          => () => cur.tsEpoch * 1000000L
+      case "channel"     => () => names(cur.chan)
+      case "value"       => () => cur.value.map(java.lang.Long.valueOf).orNull
+      case "valid"       => () => cur.value.isDefined
+      case "is_register" => () => cur.isRegister
+      case "store_id"    => () => storeU
+      case other => throw new IllegalArgumentException(
+        s"unknown projected column '$other'")
+    }.toArray
+  }
+
   override def get(): InternalRow =
-    if (storeU == null) InternalRow(
-      cur.tsEpoch * 1000000L, names(cur.chan),
-      cur.value.map(java.lang.Long.valueOf).orNull,
-      cur.value.isDefined, cur.isRegister)
-    else InternalRow(
-      cur.tsEpoch * 1000000L, names(cur.chan),
-      cur.value.map(java.lang.Long.valueOf).orNull,
-      cur.value.isDefined, cur.isRegister, storeU)
+    InternalRow.fromSeq(fieldFns.map(_()).toIndexedSeq)
 
   override def close(): Unit = in.close()
 }

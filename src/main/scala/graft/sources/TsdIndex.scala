@@ -187,18 +187,22 @@ object TsdIndex {
     * into a single distributed probe job — one Spark job per fleet scan
     * at worst, zero when sidecars are fresh, never one per store.
     * Returns (storeId, absoluteFilePath, entry). */
-  def forPlanningFleet(spark: SparkSession, fs: FileSystem,
+  def forPlanningFleet(spark: SparkSession,
       stores: Seq[(String, Path)]): Seq[(String, String, TsdIndexEntry)] = {
     if (stores.isEmpty) return Seq.empty
+    val conf = spark.sessionState.newHadoopConf()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, stores.size))
-    // per store: (hits, misses-to-probe)
+    // per store: (hits, misses-to-probe). FileSystem resolves PER STORE
+    // (cached by scheme+authority), so a fleet spanning filesystems —
+    // hot stores on one bucket/cluster, cold on another — plans fine.
     val listed = try {
       stores.map { case (id, root) =>
         (id, root, pool.submit(
           new java.util.concurrent.Callable[
               (Seq[TsdIndexEntry], Seq[(String, Long, Long)])] {
             def call() = {
+              val fs = root.getFileSystem(conf)
               val files = fs.listStatus(root).filter(isDataFile)
                 .map(f => (f.getPath.getName, f.getLen,
                   f.getModificationTime)).toSeq

@@ -154,6 +154,48 @@ class EtsdSourceSpec extends AnyFunSuite {
     assert(v2.filter($"channel" === "NoSuchChan").isEmpty)
   }
 
+  test("DSv2 column pruning reaches the scan, down to zero columns") {
+    import spark.implicits._
+    // pruning lands in V2ScanRelationPushDown (optimizer), so assert on
+    // the optimized plan's scan relation — visible even when AQE wraps
+    // the physical plan (aggregates)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources
+            .v2.DataSourceV2ScanRelation => r
+      }.head
+    val v2 = spark.read.format("graft.sources.TsdDataSource").load(tsdPath)
+    // a 2-column projection must not read the other 3 (the scan's own
+    // output schema IS the ReadSchema `.explain` shows)
+    val two = v2.select($"channel", $"value")
+    assert(scanOf(two).output.map(_.name) == Seq("channel", "value"))
+    assert(two.collect().map(_.toString).sorted.toSeq ==
+      v2.collect().map(r => s"[${r.get(1)},${r.get(2)}]").sorted.toSeq)
+    // count(*) prunes to ZERO columns — rows still counted exactly
+    val none = v2.groupBy().count()
+    assert(scanOf(none).output.isEmpty, "count(*) must read no columns")
+    assert(none.head().getLong(0) == v2.collect().length.toLong)
+    // fleet mode: store_id-only rollup reads just the constant column
+    val root = java.nio.file.Files.createTempDirectory("prune_fleet").toString
+    val rows = (0 until 2).flatMap { si =>
+      (0 until 8).map(k => (s"st$si", 1700000000L + k, "G",
+        Some(k.toLong), true))
+    }.toDF("store_id", "te", "channel", "value", "valid")
+      .select($"store_id",
+        org.apache.spark.sql.functions.timestamp_seconds($"te").as("ts"),
+        $"channel", $"value", $"valid")
+    EtsdSink.exportFleet(rows,
+      graft.model.EtsdSchema(
+        Seq(graft.model.ChannelConfig("G", graft.model.StreamType.HalfS)),
+        intervalSec = 1, blockIntervals = 4),
+      root, blocksPerFile = 2)
+    val perStore = EtsdSource.fleetRoot(spark, root)
+      .groupBy($"store_id").count()
+    assert(scanOf(perStore).output.map(_.name) == Seq("store_id"))
+    assert(perStore.collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet == Set(("st0", 8L), ("st1", 8L)))
+  }
+
   test("wide pivots the long form to one column per channel") {
     val long = EtsdSource.read(spark, tsdPath)
     val w = EtsdSource.wide(long, schema).collect()
@@ -164,6 +206,29 @@ class EtsdSourceSpec extends AnyFunSuite {
     assert(w.tail.forall(_.getLong(1) == 7L))
     assert(w.map(_.getLong(2)).toSeq ==
       (0 until n).map(k => if (k % 2 == 0) -5L else 20L))
+  }
+
+  test("wide(globalSort=false): same rows, no extra exchange for the sort") {
+    val long = EtsdSource.read(spark, tsdPath)
+    val sorted = EtsdSource.wide(long, schema)
+    val local = EtsdSource.wide(long, schema, globalSort = false)
+    // value parity as a multiset — only the cross-partition order differs
+    assert(local.collect().map(_.toString).sorted.toSeq ==
+      sorted.collect().map(_.toString).sorted.toSeq)
+    // the global sort pays a range-partitioning exchange on top of the
+    // pivot's hash exchange; the local variant must NOT
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(local) < exchanges(sorted),
+      "sortWithinPartitions must not add an exchange")
+    // and each partition is internally time-ordered
+    val ok = local.select("ts").rdd
+      .mapPartitions { it =>
+        val ts = it.map(_.getTimestamp(0).getTime).toSeq
+        Iterator.single(ts == ts.sorted)
+      }.collect()
+    assert(ok.forall(identity))
   }
 
   test("roundTripHourlyBlocks is the identity on present buckets") {

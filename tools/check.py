@@ -27,9 +27,19 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # large expanded corpora (the sf1-equivalent 10x run) push some
+    # closed-form oracles past RAM — bound DuckDB and let it spill
+    # instead of getting OOM-killed mid-battery
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        # single file (driver testdata) or Spark-written directory (the
+        # ParityProbe sf1-equivalent expansion) both register
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0

@@ -124,6 +124,44 @@ class TsdIndexSpec extends AnyFunSuite {
     assert(hist.count() == nStores * 20 * 4L)
   }
 
+  test("fleet with NO sidecars: all stores' probes coalesce into one job") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tsdfleetnoidx").toString
+    val nStores = 6
+    val rows = (0 until nStores).flatMap { si =>
+      (0 until 8).map(k => (f"nx$si%02d", t0 + k, "G", Some(5L), true))
+    }.toDF("store_id", "te", "channel", "value", "valid")
+      .select($"store_id",
+        org.apache.spark.sql.functions.timestamp_seconds($"te").as("ts"),
+        $"channel", $"value", $"valid")
+    EtsdSink.exportFleet(rows, schema, root, blocksPerFile = 1)
+    // strip every sidecar: planning must fall back to probing
+    (0 until nStores).foreach { si =>
+      Files.deleteIfExists(Paths.get(f"$root/nx$si%02d", TsdIndex.FileName))
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    TsdIndex.PlanStats.reset()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = EtsdSource.fleetRoot(spark, root).count()
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 10000L)
+      assert(n == nStores * 2 * 4L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(TsdIndex.PlanStats.probedFiles.get() == nStores * 2L,
+      "every file must go through the probe path")
+    // one coalesced probe job + the count's own job(s) — NOT one job
+    // per store (AQE may add a coalesce job; 4 is the conservative cap
+    // that still fails an O(stores) regression at 6 stores)
+    assert(jobs.get() <= 4,
+      s"fleet probing must be ONE job, saw ${jobs.get()} jobs total")
+  }
+
   test("planning 1000 files from the sidecar: zero file probes") {
     val n = 1000
     val dir = layout(n, indexed = true)

@@ -31,7 +31,9 @@ def main():
     # closed-form oracles past RAM — bound DuckDB and let it spill
     # instead of getting OOM-killed mid-battery
     con.execute("SET memory_limit='48GB'")
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+    # unique per process: concurrent checks must not reap each other's
+    # spill files
+    con.execute(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         # single file (driver testdata) or Spark-written directory (the

@@ -39,8 +39,13 @@ def main():
         # single file (driver testdata) or Spark-written directory (the
         # ParityProbe sf1-equivalent expansion) both register
         if os.path.isdir(p):
+            # Spark-written dir (flat part files) or hive-partitioned
+            # relayout (events.parquet/date=…/part-…) both register;
+            # hive_partitioning surfaces the partition column, which the
+            # oracles never select
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{p}/*.parquet')")
+                        f"read_parquet('{p}/**/*.parquet', "
+                        f"hive_partitioning=1)")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))

@@ -18,9 +18,18 @@ def main():
     out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/proxy_bench.json"
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    # same resource bounds + dir-table handling as check.py: expanded
+    # corpora (the sf1-equivalent run) need spill instead of OOM, and
+    # their tables are Spark-written directories
+    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{p}/**/*.parquet', "
+                        f"hive_partitioning=1)")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(oracle_path))
     # 3 runs per query, MEDIAN as the headline number (plus min/max in

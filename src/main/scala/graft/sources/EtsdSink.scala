@@ -156,8 +156,13 @@ object EtsdSink {
     * twin of the single multi-store fleet scan). Every store's
     * `_graft_index` sidecar is then merged from the returned metadata on
     * a bounded driver pool (tiny text files; no data re-reads).
-    * Store ids must be non-empty path-segment-safe names.
-    * Returns (store_id, writtenFile) rows. */
+    * Store ids must be non-empty path-segment-safe names (letters,
+    * digits, `._-`; never `.`/`..` — enforced per task).
+    *
+    * No xData side frame: fleet export writes data blocks only, exactly
+    * like a no-xData [[export]]. A layout whose schema reserves an
+    * xData region gets empty regions here — use the per-store
+    * [[export]] with its `xData` frame when the plugin region matters. */
   def exportFleet(long: DataFrame, schema: EtsdSchema, rootDir: String,
                   blocksPerFile: Int = 256): Seq[(String, WrittenFile)] = {
     val spark = long.sparkSession
@@ -177,8 +182,14 @@ object EtsdSink {
       .groupByKey { case (st, te, _, _, _) => (st, Math.floorDiv(te, fileSpan)) }
       .mapGroups { (key: (String, Long), it) =>
         val (store, fileIdx) = key
-        require(store.nonEmpty && !store.contains('/'),
-          s"store_id must be a path segment, got '$store'")
+        // a store id IS a directory name under rootDir: reject anything
+        // that could escape it (separators, "."/"..") or surprise a
+        // filesystem — an upstream formatting bug must fail fast here,
+        // not rewrite a sibling directory's sidecar
+        require(store.nonEmpty && store.length <= 255 &&
+            store.forall(c => c.isLetterOrDigit || c == '_' || c == '-' ||
+              c == '.') && store != "." && store != "..",
+          s"store_id must be a safe path segment, got '$store'")
         val rows = it.map { case (_, te, c, v, ok) => (te, c, v, ok) }.toArray
         val bytes = encodeSpanFile(schema, names, chanIdx, rows, _ => None)
         (store, writeSpanFile(s"$root/$store", fileIdx * fileSpan, bytes,

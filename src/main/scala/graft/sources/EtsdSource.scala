@@ -64,7 +64,14 @@ object EtsdSource {
     * sidecars exist. */
   def fleet(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     require(dirs.nonEmpty, "fleet requires at least one store directory")
-    if (dirs.size > FleetUnionMax)
+    // the single-scan path adds preconditions the historical union never
+    // had (distinct base names for store_id, comma-free paths for the
+    // option encoding) — inputs that violate them keep the union shape
+    // instead of newly throwing, so fleet() stays a drop-in
+    val baseNames = dirs.map(d => new org.apache.hadoop.fs.Path(d).getName)
+    val fleetScanSafe =
+      baseNames.distinct.size == dirs.size && dirs.forall(!_.contains(','))
+    if (dirs.size > FleetUnionMax && fleetScanSafe)
       fleetWithStores(spark, dirs).drop("store_id")
     else
       dirs.map(d => spark.read.format("graft.sources.TsdDataSource").load(d))

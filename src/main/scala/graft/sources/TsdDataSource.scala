@@ -63,8 +63,13 @@ object TsdDataSource {
   private[sources] def fleetMode(options: CaseInsensitiveStringMap): Boolean =
     options.containsKey("stores") || options.getBoolean("fleet", false)
 
+  // lenient parse matching CaseInsensitiveStringMap.getBoolean (only a
+  // case-insensitive "true" is true) so the two fleetMode views of the
+  // same options can never disagree — strict toBoolean would throw on
+  // option("fleet", "1") AFTER inferSchema had treated it as non-fleet
   private[sources] def fleetMode(props: Map[String, String]): Boolean =
-    props.contains("stores") || props.get("fleet").exists(_.toBoolean)
+    props.contains("stores") ||
+      props.get("fleet").exists(_.equalsIgnoreCase("true"))
 }
 
 private[sources] class TsdTable(props: Map[String, String])

@@ -265,15 +265,9 @@ object TsdIndex {
       return probeDistributed(spark, root.getParent,
         Seq((root.getName, st.getLen, st.getModificationTime)))
     }
-    val files = fs.listStatus(root).filter(isDataFile)
-      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSeq
-    val cached = load(fs, root).getOrElse(Map.empty)
-    val (hit, miss) = files.partition { case (n, len, mod) =>
-      cached.get(n).exists(e => e.fileLen == len && e.modTime == mod)
-    }
-    PlanStats.indexedFiles.addAndGet(hit.size)
-    PlanStats.probedFiles.addAndGet(miss.size)
-    hit.map { case (n, _, _) => cached(n) } ++
-      probeDistributed(spark, root, miss)
+    // the directory case IS a one-store fleet: one listing + sidecar
+    // partition + probe-job shape, so the freshness predicate and the
+    // PlanStats accounting can never drift between the two entry points
+    forPlanningFleet(spark, Seq((root.getName, root))).map(_._3)
   }
 }

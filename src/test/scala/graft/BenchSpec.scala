@@ -24,6 +24,7 @@ class BenchSpec extends AnyFunSuite {
     assert(e >= 0.0)
     // build covers construction + the first count, so it can never be
     // cheaper than a later re-execution by more than timer noise
-    assert(b >= e * 0.5 || b >= 0.0)
+    assert(b >= 0.0 && b >= e * 0.5,
+      s"build_s ($b) must cover construction + first count (exec_s $e)")
   }
 }

@@ -30,7 +30,12 @@ def main():
     # large expanded corpora (the sf1-equivalent 10x run) push some
     # closed-form oracles past RAM — bound DuckDB and let it spill
     # instead of getting OOM-killed mid-battery
-    con.execute("SET memory_limit='48GB'")
+    # bounded to 60% of physical RAM (capped at 48 GB): a hardcoded
+    # limit above RAM would re-enable the OOM-kill the setting exists
+    # to prevent on smaller hosts
+    mem_gb = max(4, min(48, int(os.sysconf("SC_PAGE_SIZE")
+                                 * os.sysconf("SC_PHYS_PAGES") / 2**30 * 0.6)))
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
     # unique per process: concurrent checks must not reap each other's
     # spill files
     con.execute(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")

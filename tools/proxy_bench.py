@@ -21,7 +21,12 @@ def main():
     # same resource bounds + dir-table handling as check.py: expanded
     # corpora (the sf1-equivalent run) need spill instead of OOM, and
     # their tables are Spark-written directories
-    con.execute("SET memory_limit='48GB'")
+    # bounded to 60% of physical RAM (capped at 48 GB): a hardcoded
+    # limit above RAM would re-enable the OOM-kill the setting exists
+    # to prevent on smaller hosts
+    mem_gb = max(4, min(48, int(os.sysconf("SC_PAGE_SIZE")
+                                 * os.sysconf("SC_PHYS_PAGES") / 2**30 * 0.6)))
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
     con.execute(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"

@@ -185,11 +185,15 @@ object EtsdSink {
         // a store id IS a directory name under rootDir: reject anything
         // that could escape it (separators, "."/"..") or surprise a
         // filesystem — an upstream formatting bug must fail fast here,
-        // not rewrite a sibling directory's sidecar
+        // not rewrite a sibling directory's sidecar. Leading '_'/'.' are
+        // rejected too: fleetRoot's store listing skips such directories
+        // (Hadoop hidden-file convention), so allowing them on the write
+        // side would land rows a fleet read silently never returns.
         require(store.nonEmpty && store.length <= 255 &&
             store.forall(c => c.isLetterOrDigit || c == '_' || c == '-' ||
-              c == '.') && store != "." && store != "..",
-          s"store_id must be a safe path segment, got '$store'")
+              c == '.') && !store.startsWith("_") && !store.startsWith("."),
+          s"store_id must be a safe path segment not starting with " +
+            s"'_' or '.', got '$store'")
         val rows = it.map { case (_, te, c, v, ok) => (te, c, v, ok) }.toArray
         val bytes = encodeSpanFile(schema, names, chanIdx, rows, _ => None)
         (store, writeSpanFile(s"$root/$store", fileIdx * fileSpan, bytes,

@@ -86,6 +86,12 @@ object EtsdSource {
     * filter on `store_id` prunes whole stores at planning time. */
   def fleetWithStores(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     require(dirs.nonEmpty, "fleet requires at least one store directory")
+    // the store list travels as ONE comma-joined DSv2 option: a path
+    // containing ',' (or an empty segment) would silently mis-split into
+    // bogus store dirs on the read side — fail fast here instead
+    require(dirs.forall(d => d.nonEmpty && !d.contains(',')),
+      "fleet store directories must be non-empty and comma-free " +
+        "(the store list is encoded as a comma-joined scan option)")
     spark.read.format("graft.sources.TsdDataSource")
       .option("stores", dirs.mkString(",")).load()
   }

@@ -93,6 +93,31 @@ class StreamingNearDupSpec extends AnyFunSuite {
       s"the real clone still hits the original: $got")
   }
 
+  test("steady-state lazy commit lands: a later sighting advances eviction") {
+    // the steady-state path commits state LAZILY, from hasNext on
+    // iterator exhaustion — it relies on FlatMapGroupsWithStateExec
+    // applying the state handle only after the per-group output
+    // iterator is fully drained. This pins that ordering against Spark
+    // upgrades: batch 2 re-sights the holder's cells at a NEWER ts
+    // through the steady-state path, which must advance the eviction
+    // timeout from 10000+lateness to 20000+lateness. Batch 3 then
+    // drives the watermark BETWEEN those two horizons and batch 4 ticks
+    // timeouts — if the drained-iterator commit were lost, the cells
+    // would evict on the stale horizon and the in-horizon clone in
+    // batch 5 would (wrongly) pass as novel.
+    val got = run(Seq(
+      Seq((1L, 10000L, Orig)),      // holder; timeout = 10000+3600
+      Seq((1L, 20000L, Orig)),      // steady state: lazy commit -> 23600
+      Seq((9L, 25000L, Unrelated)), // wm -> 21400: past 13600, before 23600
+      Seq((8L, 25010L, "filler sentence to tick the timeout batch")),
+      Seq((2L, 22000L, NearClone))  // inside the ADVANCED horizon only
+    ), latenessSec = 3600L)
+    val (_, nh2, holders2) = got(2L)
+    assert(nh2 >= 1L && holders2 == Set(1L),
+      s"steady-state drain must have committed the advanced timeout " +
+        s"(else the holder was evicted on the stale horizon): $got")
+  }
+
   test("a late out-of-order row must not shorten the eviction horizon") {
     // the eviction timer re-arms from the max ts EVER seen, not the
     // latest batch's max: a late (above-watermark, older-ts) row would

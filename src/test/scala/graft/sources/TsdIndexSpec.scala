@@ -124,6 +124,46 @@ class TsdIndexSpec extends AnyFunSuite {
     assert(hist.count() == nStores * 20 * 4L)
   }
 
+  test("write/read fleet contract: ids the listing would skip are rejected") {
+    import spark.implicits._
+    // fleetRoot's store listing skips '_'/'.'-prefixed directories (the
+    // Hadoop hidden-file convention, and where _graft_index sidecars
+    // live) — so exportFleet must refuse to WRITE such a store id, or a
+    // fleet read would silently miss the store's rows
+    val root = Files.createTempDirectory("tsdfleetbad").toString
+    def rowsFor(store: String) =
+      Seq((store, t0, "G", Some(5L), true))
+        .toDF("store_id", "te", "channel", "value", "valid")
+        .select($"store_id",
+          org.apache.spark.sql.functions.timestamp_seconds($"te").as("ts"),
+          $"channel", $"value", $"valid")
+    Seq("_hidden", ".hidden", "..", ".").foreach { bad =>
+      val e = intercept[org.apache.spark.SparkException] {
+        EtsdSink.exportFleet(rowsFor(bad), schema, root, blocksPerFile = 1)
+      }
+      assert(e.getMessage.contains("safe path segment") ||
+          Option(e.getCause).exists(_.getMessage.contains("safe path segment")),
+        s"store_id '$bad' must be rejected by the writer: ${e.getMessage}")
+    }
+    // and the option-encoding guard: a comma in a store path would
+    // mis-split into bogus store dirs on the read side
+    val bad = intercept[IllegalArgumentException] {
+      EtsdSource.fleetWithStores(spark, Seq(s"$root/a,b"))
+    }
+    assert(bad.getMessage.contains("comma-free"))
+    // fleet() (the drop-in historical surface) must NOT newly throw the
+    // option-encoding guard on the same input — it keeps the per-store
+    // union shape instead (the dir doesn't exist, so the read itself
+    // fails, but with a file error, not the guard)
+    scala.util.Try(EtsdSource.fleet(spark, Seq(s"$root/a,b")).count()) match {
+      case scala.util.Failure(e) =>
+        assert(Option(e.getMessage).forall(!_.contains("comma-free")),
+          s"fleet() must keep the union shape for comma paths: $e")
+      case scala.util.Success(_) =>
+        fail("reading a nonexistent store dir must fail")
+    }
+  }
+
   test("fleet with NO sidecars: all stores' probes coalesce into one job") {
     import spark.implicits._
     val root = Files.createTempDirectory("tsdfleetnoidx").toString

@@ -129,6 +129,139 @@ object SketchOps {
     quantileEstimate(quantileKept(df, group, key, value, logInvFrac, salt),
       pcts)
 
+  // ---- HyperLogLog (fixed-size registers) ----
+
+  /** The HLL STATE: per (group, register) the longest trailing-zero run
+    * (+1) seen among hashed items landing in that register — at most
+    * 2^b rows per group NO MATTER THE CARDINALITY. That fixed size is
+    * exactly what [[thetaKept]] lacks: a theta state grows as
+    * ~distinct/2^logInvFrac, so at trillions of distinct items the
+    * state itself becomes a dataset, while HLL registers stay a few KB
+    * per group forever. The trade is the readout: a bias-corrected
+    * float estimate instead of theta's exact scaled count.
+    *
+    * Determinism note (why this is NOT `approx_count_distinct`): the
+    * register index is `h60 mod 2^b` and the run length is an exact
+    * integer function of the remaining 60−b hash bits (`bit_count` of
+    * the isolated lowest set bit minus one) — both pure md5 integer
+    * arithmetic, reproduced bit-for-bit by the DuckDB oracle. Engine-
+    * native HLLs hash with engine internals and merge with engine-
+    * private register codecs; this one is portable state.
+    *
+    * Merge ([[mergeHllRegisters]]): per-register MAX — associative,
+    * commutative, idempotent, so incremental corpus growth is a
+    * register-table upsert, never a re-scan.
+    * Output: grp, reg, max_rho. */
+  def hllRegisters(df: DataFrame, group: Column, item: Column,
+                   b: Int = 10, salt: String = "hll:"): DataFrame = {
+    require(b >= 4 && b <= 16, s"register bits must be in [4,16], got $b")
+    val m = 1L << b
+    val maxRho = 60 - b + 1 // all remaining bits zero
+    val h = DetHash.h60(concat(lit(salt), item))
+    df.select((h % m).as("reg"), shiftright(h, b).as("w"), group.as("grp"))
+      .select($"grp", $"reg",
+        when($"w" === 0L, lit(maxRho))
+          .otherwise(bit_count($"w".bitwiseAND(-$"w") - 1L) + 1)
+          .cast("int").as("rho"))
+      .groupBy($"grp", $"reg")
+      .agg(max($"rho").as("max_rho"))
+  }
+
+  /** Merge HLL register states (same b/salt required): per-register max
+    * — the combined state equals the state of the combined corpus. */
+  def mergeHllRegisters(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy($"grp", $"reg").agg(max($"max_rho").as("max_rho"))
+
+  /** The estimate readout over a register state from [[hllRegisters]]:
+    * the standard HLL harmonic mean with the small-range linear-counting
+    * correction (Flajolet et al. 2007). The harmonic sum is carried as
+    * an EXACT integer (Σ 2^(P−rho) over a 2^P scale, P = 62−b… well
+    * inside int64 for b ≥ 4), so the only floating-point steps are one
+    * division and the final round — bit-reproducible in the oracle.
+    * Output: grp, n_regs (non-empty registers), est_distinct. */
+  def hllEstimate(regs: DataFrame, b: Int): DataFrame = {
+    val m = 1L << b
+    val p = hllScaleBits(b)
+    val num = hllNumerator(b)
+    regs.groupBy($"grp")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $p - max_rho)")).as("s_run"))
+      .select($"grp", $"n_regs",
+        (lit(m) - $"n_regs").as("v"),
+        (lit(num) / ((lit(m) - $"n_regs") * lit(1L << p) + $"s_run")
+          .cast("double")).as("raw"))
+      .select($"grp", $"n_regs",
+        when($"raw" <= 2.5 * m && $"v" > 0L,
+            round(lit(m.toDouble) * log(lit(m.toDouble) / $"v")))
+          .otherwise(round($"raw"))
+          .cast("long").as("est_distinct"))
+  }
+
+  /** Per-group HLL distinct estimate (build + readout in one). */
+  def hllDistinct(df: DataFrame, group: Column, item: Column,
+                  b: Int = 10, salt: String = "hll:"): DataFrame =
+    hllEstimate(hllRegisters(df, group, item, b, salt), b)
+
+  /** Harmonic-sum exponent scale: 2^(P − rho) terms with rho ∈ [1,
+    * 60−b+1] stay positive-exponent integers. Shared with the SQL
+    * oracles so both sides carry the identical exact sum. */
+  def hllScaleBits(b: Int): Int = (60 - b + 1) + 1
+
+  /** The readout numerator alpha_m·m²·2^P as ONE double, computed once
+    * here and embedded as a literal on BOTH sides (Scala's
+    * Double.toString round-trips, so the SQL text parses back to the
+    * identical bits — the division is then deterministic everywhere). */
+  def hllNumerator(b: Int): Double = {
+    val m = (1L << b).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * math.pow(2.0, hllScaleBits(b))
+  }
+
+  // ---- count-min sketch (fixed d×w counters) ----
+
+  /** The CMS STATE: d hash rows × w buckets of plain counts — a fixed
+    * d·w-cell table no matter how many distinct items flow through,
+    * mergeable by per-cell SUM (so per-partition / per-day states
+    * combine without re-scanning). The readout for any item is the MIN
+    * of its d bucket counts: always ≥ the true count (every occurrence
+    * landed in all d cells), within εN with probability 1−δ for
+    * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉ (Cormode & Muthukrishnan 2005). Entirely
+    * integer md5 arithmetic — the oracle reproduces the ESTIMATES, not
+    * just their error bound. Output: j, bucket, cnt. */
+  def cmsCounts(df: DataFrame, item: Column, d: Int = 4, w: Int = 512,
+                salt: String = "cms"): DataFrame = {
+    require(d >= 1 && w >= 2)
+    df.select(item.cast("string").as("it"))
+      .select(explode(array((0 until d).map(lit): _*)).as("j"), $"it")
+      .select($"j",
+        (DetHash.h60(concat(lit(salt), $"j".cast("string"), lit(":"),
+          $"it")) % w).as("bucket"))
+      .groupBy($"j", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge CMS states (same d/w/salt required): per-cell sum. */
+  def mergeCms(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy($"j", $"bucket").agg(sum($"cnt").as("cnt"))
+
+  /** Frequency estimates for a (small, broadcastable) probe set against
+    * a CMS state: min over the d rows, 0 for never-seen items (their
+    * buckets may be absent from the state — LEFT join + coalesce).
+    * Output: it, est_cnt. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, item: Column,
+                  d: Int = 4, w: Int = 512,
+                  salt: String = "cms"): DataFrame =
+    probes.select(item.cast("string").as("it")).distinct()
+      .select($"it", explode(array((0 until d).map(lit): _*)).as("j"))
+      .select($"it", $"j",
+        (DetHash.h60(concat(lit(salt), $"j".cast("string"), lit(":"),
+          $"it")) % w).as("bucket"))
+      .join(cms, Seq("j", "bucket"), "left")
+      .groupBy($"it")
+      .agg(min(coalesce($"cnt", lit(0L))).as("est_cnt"))
+
   /** Sliding distinct count — "distinct users in the trailing 24 h, at
     * every hour" — the query mergeable sketches exist for: an EXACT
     * sliding distinct would re-shuffle every window's full item set,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft._
 import graft.functions.DetHash
-import graft.operators.{DedupOps, MultimodalOps, SketchOps, TextAnalysisOps, VectorOps}
+import graft.operators.{DedupOps, FuzzyJoinOps, MultimodalOps, SketchOps, TextAnalysisOps, VectorOps}
 
 /** LLM-training-data-pipeline operators over the driver's `documents` and
   * `embeddings` tables: exact / MinHash-LSH / SimHash / n-gram-Jaccard /
@@ -37,6 +37,9 @@ object LlmQueries {
   private val ContainSampleMod = 8 // 1-in-8 candidate-shingle sampling
   private val CapBucket = 20       // [2, CapBucket] skew cap for buckets
   private val NgramMinJaccard = 0.5
+  private val FuzzyK = 2       // edit-distance join threshold
+  private val FuzzyPrefix = 48 // linkage key: first 48 chars (min n_chars)
+  private val HllB = 10        // HLL register bits: 2^10 registers/group
   private val MaxHamming = 2L
   private val AnnK = 5
   private val AnnProbeMax = 10L    // probe set: vec_id < 10
@@ -424,6 +427,21 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // HyperLogLog distinct-token estimate per lang — theta's fixed-size
+    // sibling: the state is ≤ 2^HllB register rows per group no matter
+    // the cardinality (theta state grows with it), merged by max. The
+    // register math is pure md5 integer arithmetic and the readout one
+    // double division + round, so the ESTIMATE is oracle-exact too
+    "llm_hll_distinct" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select($"lang", DedupOps.normText($"text").as("norm"))
+        .select($"lang", explode(split($"norm", " ")).as("tok"))
+        .filter(length($"tok") > 0)
+      SketchOps.hllDistinct(toks, $"lang", $"tok", b = HllB)
+        .select($"grp".as("lang"), $"n_regs", $"est_distinct")
+        .orderBy("lang")
+    }),
+
     // mergeable quantile sketch (theta's order-statistics sibling): a
     // deterministic 1/4 hash-space row-sample of per-language doc
     // lengths, exact type-1 quantiles over the bounded survivor set
@@ -433,6 +451,31 @@ object LlmQueries {
         .select($"grp".as("lang"), $"n_kept",
           $"p25", $"p50", $"p75", $"p90")
         .orderBy("lang")),
+
+    // edit-distance record linkage: the PassJoin-pigeonhole similarity
+    // join links a deterministically corrupted (md5-seeded delete +
+    // substitute — the classic linkage benchmark construction, since
+    // the synthetic corpus has no natural typos) copy of every doc
+    // prefix back to the clean corpus at Levenshtein ≤ FuzzyK, without
+    // an all-pairs stage; the oracle IS the brute-force all-pairs join
+    "llm_fuzzy_join" -> ((s, d) => {
+      val base = docs(s, d).filter($"n_chars" >= FuzzyPrefix)
+        .select($"doc_id", substring($"text", 1, FuzzyPrefix).as("k"))
+      def h(salt: String) =
+        DetHash.h60(concat(lit(salt), $"doc_id".cast("string")))
+      val e = h("fz:") % 3
+      val p1 = (h("fzp1:") % 40 + 4).cast("int")
+      val p2 = (h("fzp2:") % 38 + 2).cast("int")
+      val k1 = when(e >= 1, concat($"k".substr(lit(1), p1 - 1),
+        $"k".substr(p1 + 1, lit(FuzzyPrefix)))).otherwise($"k")
+      val dirty = base.select(($"doc_id" + 1000000L).as("did"),
+        when(e === 2, concat(k1.substr(lit(1), p2 - 1), lit("#"),
+          k1.substr(p2 + 1, lit(FuzzyPrefix)))).otherwise(k1).as("dk"))
+      FuzzyJoinOps.editDistanceJoin(base, $"doc_id", $"k",
+          dirty, $"did", $"dk", FuzzyK)
+        .select($"left_id".as("doc_id"), $"right_id".as("did"), $"dist")
+        .orderBy("doc_id", "did")
+    }),
 
     // TextRank keyword extraction: integer-scaled PageRank power
     // iteration (3 steps, damping 0.85) over the undirected bigram
@@ -1627,6 +1670,38 @@ object LlmQueries {
              CAST(count(*) * 16 AS BIGINT) AS est_distinct
       FROM k GROUP BY 1 ORDER BY 1""",
 
+    "llm_hll_distinct" -> {
+      val m = 1L << HllB
+      val maxRho = 60 - HllB + 1
+      val p = SketchOps.hllScaleBits(HllB)
+      val num = SketchOps.hllNumerator(HllB)
+      s"""
+      WITH tk AS (SELECT lang, unnest(string_split($Norm, ' ')) AS tok
+                  FROM documents),
+      t2 AS (SELECT lang, tok FROM tk WHERE length(tok) > 0),
+      h AS (SELECT lang, ${DetHash.h60Sql("'hll:' || tok")} AS h FROM t2),
+      rr AS (SELECT lang, h % $m AS reg, h // $m AS w FROM h),
+      r2 AS (SELECT lang, reg,
+               CASE WHEN w = 0 THEN $maxRho
+                    ELSE bit_count(CAST((w & (-w)) - 1 AS BIGINT)) + 1
+               END AS rho
+             FROM rr),
+      st AS (SELECT lang, reg, max(rho) AS max_rho FROM r2 GROUP BY 1, 2),
+      g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_regs,
+                   CAST(sum(CAST(1 AS BIGINT) << ($p - max_rho)) AS BIGINT)
+                     AS s_run
+            FROM st GROUP BY 1),
+      e AS (SELECT lang, n_regs, $m - n_regs AS v,
+                   $num / CAST(($m - n_regs) * ${1L << p} + s_run AS DOUBLE)
+                     AS raw
+            FROM g)
+      SELECT lang, n_regs,
+             CAST(CASE WHEN raw <= ${2.5 * m} AND v > 0
+                       THEN round($m.0 * ln($m.0 / v))
+                       ELSE round(raw) END AS BIGINT) AS est_distinct
+      FROM e ORDER BY lang"""
+    },
+
     "llm_quantile_sketch" -> s"""
       WITH k AS (SELECT DISTINCT lang,
                    ${DetHash.h60Sql("'qsk:' || CAST(doc_id AS VARCHAR)")} AS h,
@@ -1642,6 +1717,33 @@ object LlmQueries {
              vs[CAST((n_kept*75 + 99)//100 AS INT)] AS p75,
              vs[CAST((n_kept*90 + 99)//100 AS INT)] AS p90
       FROM g ORDER BY lang""",
+
+    "llm_fuzzy_join" -> s"""
+      WITH base AS (SELECT doc_id, substr(text, 1, $FuzzyPrefix) AS k
+                    FROM documents WHERE n_chars >= $FuzzyPrefix),
+      d0 AS (SELECT doc_id, k,
+               ${DetHash.h60Sql("'fz:' || CAST(doc_id AS VARCHAR)")} % 3 AS e,
+               CAST(${DetHash.h60Sql("'fzp1:' || CAST(doc_id AS VARCHAR)")}
+                    % 40 + 4 AS INT) AS p1,
+               CAST(${DetHash.h60Sql("'fzp2:' || CAST(doc_id AS VARCHAR)")}
+                    % 38 + 2 AS INT) AS p2
+             FROM base),
+      d1 AS (SELECT doc_id, e, p2,
+               CASE WHEN e >= 1
+                    THEN substr(k, 1, p1 - 1) || substr(k, p1 + 1, $FuzzyPrefix)
+                    ELSE k END AS k1
+             FROM d0),
+      dirty AS (SELECT doc_id + 1000000 AS did,
+               CASE WHEN e = 2
+                    THEN substr(k1, 1, p2 - 1) || '#' ||
+                         substr(k1, p2 + 1, $FuzzyPrefix)
+                    ELSE k1 END AS dk
+             FROM d1)
+      SELECT b.doc_id, d.did,
+             CAST(levenshtein(b.k, d.dk) AS BIGINT) AS dist
+      FROM base b, dirty d
+      WHERE levenshtein(b.k, d.dk) <= $FuzzyK
+      ORDER BY 1, 2""",
 
     "llm_textrank" -> s"""
       WITH t AS (SELECT string_split($Norm, ' ') AS ws FROM documents),

@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft._
-import graft.operators.{RangeJoinOps, TimeSeriesOps}
+import graft.functions.DetHash
+import graft.operators.{RangeJoinOps, SketchOps, TimeSeriesOps}
 
 /** Relational operators the reference lacks but our engine exposes for free
   * through Catalyst (SURVEY.md §2.3 joins, §2.6 sort/limit/top-k, §2.7 set
@@ -17,6 +18,11 @@ object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
+
+  // count-min sketch shape: 4 hash rows x 512 buckets, probe users < 64
+  private val CmsD = 4
+  private val CmsW = 512
+  private val CmsProbeMax = 64L
 
   // rel_bucketed_join writes two bucketed table copies to a fresh temp
   // dir per invocation; DROP TABLE on external tables leaves the files,
@@ -218,6 +224,23 @@ object RelationalQueries {
         .select($"c_mktsegment", $"n",
           ($"v_c".cast("double") / 100.0).as("total"))
         .orderBy("c_mktsegment")
+    }),
+
+    // count-min-sketch frequency estimation: the events stream folded
+    // into a FIXED CmsD x CmsW counter table (mergeable by per-cell
+    // sum — per-day states combine without re-scan), probed for a
+    // bounded user set; est >= true always, and the estimates — not
+    // just their bound — are md5-deterministic, so oracle-exact
+    "rel_cms_heavy" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cms = SketchOps.cmsCounts(ev, $"user_id", CmsD, CmsW)
+      val probes = ev.select($"user_id").filter($"user_id" < CmsProbeMax)
+      val est = SketchOps.cmsEstimate(cms, probes, $"user_id", CmsD, CmsW)
+      ev.filter($"user_id" < CmsProbeMax)
+        .groupBy($"user_id").agg(count(lit(1)).as("true_cnt"))
+        .join(est, $"user_id".cast("string") === est("it"))
+        .select($"user_id", $"true_cnt", $"est_cnt")
+        .orderBy("user_id")
     }),
 
     // bloom-pruned selective join: small parts (p_size <= 5) filter the
@@ -432,6 +455,29 @@ object RelationalQueries {
           $"l_linestatus".asc_nulls_last)))
 
   def oracles: Map[String, String] = Map(
+    "rel_cms_heavy" -> {
+      val jList = (0 until CmsD).mkString("[", ", ", "]")
+      val hashB = DetHash.h60Sql(
+        "'cms' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+      s"""
+      WITH js AS (SELECT unnest($jList) AS j),
+      cells AS (SELECT j, $hashB % $CmsW AS bucket
+                FROM events, js),
+      cms AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM cells GROUP BY 1, 2),
+      pr AS (SELECT DISTINCT user_id FROM events
+             WHERE user_id < $CmsProbeMax),
+      pb AS (SELECT user_id, j, $hashB % $CmsW AS bucket
+             FROM pr, js),
+      es AS (SELECT user_id, min(coalesce(cnt, 0)) AS est_cnt
+             FROM pb LEFT JOIN cms USING (j, bucket) GROUP BY 1),
+      ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+             FROM events WHERE user_id < $CmsProbeMax GROUP BY 1)
+      SELECT ex.user_id, true_cnt, CAST(est_cnt AS BIGINT) AS est_cnt
+      FROM ex JOIN es USING (user_id)
+      ORDER BY 1"""
+    },
+
     "rel_price_quartiles" -> """
       WITH v AS (SELECT c_mktsegment AS segment,
                         CAST(round(o_totalprice*100) AS BIGINT) AS vc,

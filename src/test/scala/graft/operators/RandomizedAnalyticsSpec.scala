@@ -464,6 +464,112 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
     assert(merged == got)
   }
 
+  test("hllDistinct: scala register fold parity, both branches, merge == direct") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // scala reference: registers + the exact readout formula
+    def ref(items: Seq[String], b: Int): (Long, Long) = {
+      val m = 1L << b
+      val regs = items.distinct.map(i => h60("hll:" + i))
+        .groupBy(_ % m)
+        .map { case (r, hs) =>
+          r -> hs.map { h =>
+            val w = h >> b
+            if (w == 0) 60 - b + 1
+            else java.lang.Long.bitCount((w & -w) - 1) + 1
+          }.max
+        }
+      val p = SketchOps.hllScaleBits(b)
+      val v = m - regs.size
+      val s = v * (1L << p) + regs.values.map(r => 1L << (p - r)).sum
+      val raw = SketchOps.hllNumerator(b) / s.toDouble
+      val est = if (raw <= 2.5 * m && v > 0)
+        math.round(m.toDouble * math.log(m.toDouble / v))
+      else math.round(raw)
+      (regs.size.toLong, est)
+    }
+    // SMALL cardinality (linear-counting branch) and LARGE (raw branch)
+    val small = (1 to 60).map(i => ("s", s"it$i"))
+    val large = (1 to 60000).map(i => ("l", s"it$i"))
+    val rows = small ++ large
+    val got = Pins.scoped {
+      SketchOps.hllDistinct(rows.toDF("grp", "item"), $"grp", $"item", b = 10)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    assert(got("s") == ref(small.map(_._2), 10), s"small: ${got("s")}")
+    assert(got("l") == ref(large.map(_._2), 10), s"large: ${got("l")}")
+    // both branches really exercised: small V > 0 under the 2.5m bar,
+    // large raw above it (0 empty registers is near-certain at 60k)
+    assert(got("s")._1 < 1024 && got("l")._1 == 1024L,
+      s"branch coverage assumption broken: $got")
+    // accuracy: ~1.04/sqrt(1024) ≈ 3.3% SE — assert within 15%
+    assert(math.abs(got("s")._2 - 60L) <= 9, got("s").toString)
+    assert(math.abs(got("l")._2 - 60000L) <= 9000, got("l").toString)
+    // merge of disjoint halves == direct sketch of the union
+    val (h1, h2) = large.splitAt(30000)
+    val merged = Pins.scoped {
+      val s1 = SketchOps.hllRegisters(h1.toDF("grp", "item"),
+        $"grp", $"item", b = 10)
+      val s2 = SketchOps.hllRegisters(h2.toDF("grp", "item"),
+        $"grp", $"item", b = 10)
+      SketchOps.hllEstimate(SketchOps.mergeHllRegisters(Seq(s1, s2)), b = 10)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    assert(merged("l") == got("l"))
+  }
+
+  test("cmsEstimate: >= truth always, exact scala parity, merge == direct") {
+    val rng = new scala.util.Random(888)
+    // zipf-ish: low ids hot — CMS must over-estimate, never under
+    val rows = (1 to 5000).map(_ => math.min(rng.nextInt(40),
+      rng.nextInt(400)).toLong)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probeIds = (0L until 50L)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // scala reference CMS
+    val cells = scala.collection.mutable.Map[(Int, Long), Long]()
+    for (it <- rows; j <- 0 until 4) {
+      val b = h60(s"cms$j:$it") % 512
+      cells((j, b)) = cells.getOrElse((j, b), 0L) + 1
+    }
+    def refEst(it: Long): Long =
+      (0 until 4).map(j => cells.getOrElse((j, h60(s"cms$j:$it") % 512), 0L)).min
+    val got = Pins.scoped {
+      val cms = SketchOps.cmsCounts(rows.toDF("it"), $"it")
+      SketchOps.cmsEstimate(cms, probeIds.toDF("it"), $"it")
+        .as[(String, Long)].collect().toMap
+    }
+    probeIds.foreach { it =>
+      assert(got(it.toString) == refEst(it), s"$it: ${got(it.toString)}")
+      assert(got(it.toString) >= truth.getOrElse(it, 0L),
+        s"CMS under-estimated $it")
+    }
+    // an item the sketch never saw can still alias to non-empty cells,
+    // but min over d rows is exact-scala-parity regardless
+    assert(got(49L.toString) == refEst(49L))
+    // merge of two disjoint halves == the full sketch state
+    val (h1, h2) = rows.splitAt(2500)
+    val mergedGot = Pins.scoped {
+      val c1 = SketchOps.cmsCounts(h1.toDF("it"), $"it")
+      val c2 = SketchOps.cmsCounts(h2.toDF("it"), $"it")
+      SketchOps.cmsEstimate(SketchOps.mergeCms(Seq(c1, c2)),
+          probeIds.toDF("it"), $"it")
+        .as[(String, Long)].collect().toMap
+    }
+    assert(mergedGot == got)
+  }
+
   test("quantileSketch == scala md5-sample order statistics; merge == direct") {
     val rng = new scala.util.Random(777)
     val rows = (1L to 2000L).map(i =>

@@ -323,6 +323,91 @@ object StreamingQueries {
     spark.table(sink).orderBy("bucket_epoch", "channel")
   }
 
+  // ---- ts_stream_cms fixture geometry (heavy-hitter sketch) ----
+  /** CMS shape for the stream: 4 hash rows × 64 cells — small enough
+    * that the per-window state bound (d·w = 256) sits BELOW the
+    * fixture's tick count, so a per-event state leak trips the assert
+    * instead of hiding under the sketch bound. */
+  private val CmsStreamD = 4
+  private val CmsStreamW = 64L
+  /** Hot ids: every 5th tick collapses to u ∈ [0, 7) — the heavy
+    * hitters the probe readout estimates. */
+  private val CmsStreamProbes = 7
+
+  /** Streaming count-min sketch — heavy-hitter monitoring live, the
+    * [[streamDistinct]] pattern applied to frequency: each tick
+    * explodes into its [[CmsStreamD]] hash cells MAP-SIDE, a
+    * watermarked hourly window counts per (bucket, row, cell), and
+    * Append lands each closed bucket's counter table exactly once.
+    * Streaming state is ≤ d·w rows per open window NO MATTER THE
+    * TRAFFIC — the fixed-size-sketch-as-stream-state bound, asserted
+    * via the state-operator metrics (and sized so a per-event leak
+    * overshoots it; see [[CmsStreamW]]). The probe readout (min over
+    * the d cells, 0 for absent) then runs BATCH over the landed cells —
+    * the persisted-sketch serving shape shared with
+    * [[graft.operators.SketchOps.cmsEstimate]] — and every estimate is
+    * pure md5 integer arithmetic, so DuckDB reproduces the numbers from
+    * the tick closed form, not just their error bound. */
+  def streamCmsHeavy(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val cells = mem.toDF().select($"value".as("n"))
+      .select(timestamp_seconds(lit(LateT0) + $"n" * 10L).as("ts"), $"n")
+      // zipf-ish: every 5th tick lands on a hot id in [0, 7)
+      .select($"ts",
+        when($"n" % 5 === 0, $"n" % 7).otherwise($"n" % 97).as("u"))
+      .withWatermark("ts", "2 hours")
+      .select($"ts",
+        explode(array((0 until CmsStreamD).map(lit): _*)).as("j"), $"u")
+      .select($"ts", $"j",
+        (graft.functions.DetHash.h60(concat(lit("cms"), $"j".cast("string"),
+          lit(":"), $"u".cast("string"))) % CmsStreamW).as("cell"))
+      .groupBy(window($"ts", "3600 seconds"), $"j", $"cell")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_seconds($"window.start").as("bucket_epoch"),
+        $"j", $"cell", $"cnt")
+    val sink = s"cms_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = cells.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // sentinel (n=50000) closes both real hourly buckets; its own
+      // window stays open and never lands
+      Seq(1L to 300L, 301L to LateN, Seq(50000L)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val maxState = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+        .maxOption.getOrElse(0L)
+      // the sketch bound: ≤ d·w per open window (3 windows incl. the
+      // sentinel's). The fixture has 600+ ticks/window × d cells, so a
+      // per-event leak lands far above this and fails loudly.
+      require(maxState <= CmsStreamD * CmsStreamW * 3,
+        s"CMS state holds $maxState rows > d*w*windows = " +
+          s"${CmsStreamD * CmsStreamW * 3} - sketch state is leaking " +
+          "per-event rows")
+    } finally q.stop()
+    // batch probe readout over the landed counter tables; both sides
+    // read the sink, so the probe side's columns are RENAMED before the
+    // self-join (aliased outputs carry fresh attribute ids — the
+    // standard cure for conflicting-reference self-joins)
+    val landed = spark.table(sink)
+    val probes = landed.select($"bucket_epoch".as("pe")).distinct()
+      .select($"pe", explode(array(
+        (0 until CmsStreamProbes).map(i => lit(i.toLong)): _*)).as("u"))
+      .select($"pe", $"u",
+        explode(array((0 until CmsStreamD).map(lit): _*)).as("pj"))
+      .select($"pe", $"u", $"pj",
+        (graft.functions.DetHash.h60(concat(lit("cms"), $"pj".cast("string"),
+          lit(":"), $"u".cast("string"))) % CmsStreamW).as("pc"))
+    probes.join(landed,
+        $"pe" === $"bucket_epoch" && $"pj" === $"j" && $"pc" === $"cell",
+        "left")
+      .groupBy($"pe".as("bucket_epoch"), $"u")
+      .agg(min(coalesce($"cnt", lit(0L))).as("est_cnt"))
+      .orderBy("bucket_epoch", "u")
+  }
+
   /** The edoRRD mirror sink inside the oracle gate: a live tick stream
     * flows through [[Ingest.edoMirror]] — each micro-batch appends
     * PARTIAL hourly/daily AVERAGE/MIN/MAX/LAST consolidations via
@@ -728,6 +813,7 @@ object StreamingQueries {
     "ts_stream_join" -> ((s, _) => streamJoinEnriched(s)),
     "ts_stream_sessions" -> ((s, _) => streamSessionTotals(s)),
     "ts_stream_distinct" -> ((s, _) => streamDistinct(s)),
+    "ts_stream_cms" -> ((s, _) => streamCmsHeavy(s)),
     "ts_stream_quantile" -> ((s, _) => streamQuantiles(s)),
     "ts_stream_mirror" -> ((s, _) => streamMirrorRollups(s)),
     "ts_stream_tsd" -> ((s, _) => streamTsdMirror(s)),
@@ -831,6 +917,37 @@ object StreamingQueries {
              CAST(count(*) * ${1L << DistinctLogInvFrac} AS BIGINT)
                AS est_distinct
       FROM kk GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // closed form of the streamed CMS readout: the same tick grid
+    // folded into per-(hourly bucket, hash row, cell) counts, hot-id
+    // probes estimated by min-over-rows — a state leak, dropped
+    // bucket, or drifted hash shifts a count and fails the hash
+    "ts_stream_cms" -> s"""
+      WITH t AS (SELECT n FROM generate_series(1, $LateN) g(n)),
+      u AS (SELECT (($LateT0 + n*10) // 3600) * 3600 AS bucket_epoch,
+                   CASE WHEN n % 5 = 0 THEN n % 7 ELSE n % 97 END AS u
+            FROM t),
+      js AS (SELECT unnest(${(0 until CmsStreamD).mkString("[", ", ", "]")})
+               AS j),
+      cells AS (SELECT bucket_epoch, j,
+                       ${graft.functions.DetHash.h60Sql(
+                         "'cms' || CAST(j AS VARCHAR) || ':' || " +
+                         "CAST(u AS VARCHAR)")} % $CmsStreamW AS cell,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM u CROSS JOIN js GROUP BY 1, 2, 3),
+      pr AS (SELECT unnest(${(0 until CmsStreamProbes)
+               .mkString("[", ", ", "]")}) AS u),
+      pb AS (SELECT b.bucket_epoch, CAST(pr.u AS BIGINT) AS u, js.j,
+                    ${graft.functions.DetHash.h60Sql(
+                      "'cms' || CAST(js.j AS VARCHAR) || ':' || " +
+                      "CAST(pr.u AS VARCHAR)")} % $CmsStreamW AS cell
+             FROM (SELECT DISTINCT bucket_epoch FROM u) b, pr, js)
+      SELECT pb.bucket_epoch, pb.u,
+             CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est_cnt
+      FROM pb LEFT JOIN cells
+        ON pb.bucket_epoch = cells.bucket_epoch
+       AND pb.j = cells.j AND pb.cell = cells.cell
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // closed form of the RRA ladder over the valid tick grid: the
     // merged streaming partials must equal the straight batch rollup

@@ -58,8 +58,13 @@ object ParityProbe {
       "llm_embed_dedup", "llm_semdedup", "llm_cluster_sizes",
       "llm_label_centroids")
     val needDocs = names.exists(n => n.startsWith("llm_") && !EmbFamily(n))
-    val needEvents = names.exists(_.startsWith("ts_"))
-    val needRel = names.exists(_.startsWith("rel_"))
+    // rel_ queries over the events fact table (not TPC-H) need the
+    // events expansion, same as the ts_ family
+    val EventsRel = Set("rel_setops_users", "rel_salted_agg",
+      "rel_cms_heavy", "rel_json_props", "rel_asof_join", "rel_funnel",
+      "rel_attribution", "rel_cohorts", "rel_sessions")
+    val needEvents = names.exists(n => n.startsWith("ts_") || EventsRel(n))
+    val needRel = names.exists(n => n.startsWith("rel_") && !EventsRel(n))
     val needEmb = names.exists(EmbFamily)
 
     if (needDocs && missing("documents")) {

@@ -42,6 +42,9 @@ import graft._
   * The confirm step is Spark's codegen'd banded `levenshtein(l, r, k)`
   * (O(k·|key|) per candidate, early-exit above the threshold), fetched
   * by pair-level joins so the candidate join never carries key text.
+  * Distances are CODEPOINT-based (so is the chunk slicing — `substr`
+  * counts characters), pinned by `FuzzyJoinOpsSpec`; note DuckDB's
+  * `levenshtein` counts BYTES, so SQL oracles agree only on ASCII keys.
   *
   * The reference has no fuzzy matching (channel names resolve by exact
   * substring, etsdQuery.c:69-77); this is part of the training-data

@@ -457,7 +457,10 @@ object LlmQueries {
     // substitute — the classic linkage benchmark construction, since
     // the synthetic corpus has no natural typos) copy of every doc
     // prefix back to the clean corpus at Levenshtein ≤ FuzzyK, without
-    // an all-pairs stage; the oracle IS the brute-force all-pairs join
+    // an all-pairs stage; the oracle IS the brute-force all-pairs join.
+    // Oracle scope: ASCII keys (this corpus is) — DuckDB's levenshtein
+    // counts bytes where Spark counts codepoints; the engine's
+    // codepoint semantics are pinned non-ASCII in FuzzyJoinOpsSpec
     "llm_fuzzy_join" -> ((s, d) => {
       val base = docs(s, d).filter($"n_chars" >= FuzzyPrefix)
         .select($"doc_id", substring($"text", 1, FuzzyPrefix).as("k"))

@@ -93,6 +93,21 @@ class FuzzyJoinOpsSpec extends AnyFunSuite {
     assert(run(ls, rs, k = 0) == Set((1L, 10L, 0L)))
   }
 
+  test("non-ASCII keys: distances are codepoint-based, not byte-based") {
+    // Spark's levenshtein counts CODEPOINTS ('héllo' vs 'hello' = 1);
+    // DuckDB's counts BYTES (= 2 there), so the SQL oracle only agrees
+    // on ASCII keys — the gate corpus is ASCII, and this pins the
+    // ENGINE's (correct) semantics so a drift in either direction
+    // fails loudly. The PassJoin chunking must also slice by codepoint
+    // (substr does), or a chunk boundary inside a multibyte char would
+    // break candidate generation.
+    val ls = Seq((1L, "héllo wörld abc"), (2L, "日本語のテキスト例"))
+    val rs = Seq((10L, "hello world abc"), (11L, "日本語のテキスト丁"))
+    val got = run(ls, rs, k = 2)
+    assert(got == brute(ls, rs, k = 2), got) // scala String DP == codepoints
+    assert(got.contains((1L, 10L, 2L)) && got.contains((2L, 11L, 1L)), got)
+  }
+
   test("self-join pairs form: unordered, a < b") {
     val c = corpus(40, tag = 3)
     import spark.implicits._

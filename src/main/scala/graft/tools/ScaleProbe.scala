@@ -97,6 +97,11 @@ object ScaleProbe {
           d.filter($"doc_id" >= (k - 1) * 10000000L),
           $"doc_id", $"text").count())
       }
+      println("  editDistancePairs (PassJoin chunks; clone replicas " +
+        "share every chunk piece - the probe-replication cap fires)")
+      time(graft.operators.FuzzyJoinOps.editDistancePairs(
+        d.select($"doc_id", substring($"text", 1, 48).as("k")),
+        $"doc_id", $"k", 2).count())
       println("  knnGraph (corpus-wide probes; clone replicas push " +
         "buckets over the cap at 16x - the split skew guard fires)")
       time(VectorOps.knnGraph(

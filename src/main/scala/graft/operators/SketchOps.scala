@@ -158,7 +158,11 @@ object SketchOps {
     val m = 1L << b
     val maxRho = 60 - b + 1 // all remaining bits zero
     val h = DetHash.h60(concat(lit(salt), item))
-    df.select((h % m).as("reg"), shiftright(h, b).as("w"), group.as("grp"))
+    // NULL items count nothing (policy shared with the dedup family) —
+    // without the mouth filter they would land a null register whose
+    // null rho skews n_regs vs s_run inconsistently
+    df.filter(item.isNotNull)
+      .select((h % m).as("reg"), shiftright(h, b).as("w"), group.as("grp"))
       .select($"grp", $"reg",
         when($"w" === 0L, lit(maxRho))
           .otherwise(bit_count($"w".bitwiseAND(-$"w") - 1L) + 1)
@@ -232,7 +236,8 @@ object SketchOps {
   def cmsCounts(df: DataFrame, item: Column, d: Int = 4, w: Int = 512,
                 salt: String = "cms"): DataFrame = {
     require(d >= 1 && w >= 2)
-    df.select(item.cast("string").as("it"))
+    df.filter(item.isNotNull) // NULL items count nothing (dedup-family policy)
+      .select(item.cast("string").as("it"))
       .select(explode(array((0 until d).map(lit): _*)).as("j"), $"it")
       .select($"j",
         (DetHash.h60(concat(lit(salt), $"j".cast("string"), lit(":"),
@@ -253,7 +258,8 @@ object SketchOps {
   def cmsEstimate(cms: DataFrame, probes: DataFrame, item: Column,
                   d: Int = 4, w: Int = 512,
                   salt: String = "cms"): DataFrame =
-    probes.select(item.cast("string").as("it")).distinct()
+    probes.filter(item.isNotNull)
+      .select(item.cast("string").as("it")).distinct()
       .select($"it", explode(array((0 until d).map(lit): _*)).as("j"))
       .select($"it", $"j",
         (DetHash.h60(concat(lit(salt), $"j".cast("string"), lit(":"),

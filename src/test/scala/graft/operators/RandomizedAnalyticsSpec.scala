@@ -510,6 +510,16 @@ class RandomizedAnalyticsSpec extends AnyFunSuite {
     // accuracy: ~1.04/sqrt(1024) ≈ 3.3% SE — assert within 15%
     assert(math.abs(got("s")._2 - 60L) <= 9, got("s").toString)
     assert(math.abs(got("l")._2 - 60000L) <= 9000, got("l").toString)
+    // NULL items count nothing (the dedup-family mouth policy)
+    val withNulls = small.map { case (g, i) => (g, Option(i)) } ++
+      Seq(("s", Option.empty[String]), ("s", Option.empty[String]))
+    val gotN = Pins.scoped {
+      SketchOps.hllDistinct(withNulls.toDF("grp", "item"),
+          $"grp", $"item", b = 10)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    assert(gotN("s") == got("s"), s"NULL items must not move the sketch")
     // merge of disjoint halves == direct sketch of the union
     val (h1, h2) = large.splitAt(30000)
     val merged = Pins.scoped {

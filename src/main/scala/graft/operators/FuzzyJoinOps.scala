@@ -54,7 +54,11 @@ object FuzzyJoinOps {
 
   /** All (left, right) pairs with `levenshtein(leftKey, rightKey) ≤ k`.
     * NULL ids/keys are dropped at the mouth (policy shared with the
-    * dedup family: a NULL key matches nothing). */
+    * dedup family: a NULL key matches nothing). Ids must uniquely
+    * identify keys on each side — the engine-wide `doc_id` contract; a
+    * duplicated id with differing keys emits one row per matching KEY
+    * pair (same id pair, different dist), since the id no longer names
+    * one string. */
   def editDistanceJoin(left: DataFrame, leftId: Column, leftKey: Column,
                        right: DataFrame, rightId: Column, rightKey: Column,
                        k: Int, maxBucket: Int = 50): DataFrame = {

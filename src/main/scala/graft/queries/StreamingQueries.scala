@@ -265,7 +265,12 @@ object StreamingQueries {
         .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
         .maxOption.getOrElse(0L)
       // ≤ one row per (hourly bucket, channel) incl. the sentinel's open
-      // bucket — 3 buckets × 2 channels, with headroom for overlap
+      // bucket — 3 buckets × 2 channels, with headroom for overlap.
+      // The ≥ 1 bound keeps the guard non-vacuous: if a Spark upgrade
+      // stops populating stateOperators, maxState reads 0 and the leak
+      // assert would otherwise pass while asserting nothing.
+      require(maxState >= 1L,
+        "stateOperators metrics are empty - the state-leak guard is blind")
       require(maxState <= 8L,
         s"distinct state holds $maxState rows for ${LateChans.size} " +
           "channels x 3 buckets - sketch state is leaking per-event rows")
@@ -316,6 +321,8 @@ object StreamingQueries {
       val maxState = q.recentProgress.toSeq
         .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
         .maxOption.getOrElse(0L)
+      require(maxState >= 1L, // same non-vacuity bound as streamDistinct
+        "stateOperators metrics are empty - the state-leak guard is blind")
       require(maxState <= 8L,
         s"quantile state holds $maxState rows for ${LateChans.size} " +
           "channels x 3 buckets - sample state is leaking per-event rows")
@@ -382,6 +389,8 @@ object StreamingQueries {
       // the sketch bound: ≤ d·w per open window (3 windows incl. the
       // sentinel's). The fixture has 600+ ticks/window × d cells, so a
       // per-event leak lands far above this and fails loudly.
+      require(maxState >= 1L, // same non-vacuity bound as streamDistinct
+        "stateOperators metrics are empty - the state-leak guard is blind")
       require(maxState <= CmsStreamD * CmsStreamW * 3,
         s"CMS state holds $maxState rows > d*w*windows = " +
           s"${CmsStreamD * CmsStreamW * 3} - sketch state is leaking " +

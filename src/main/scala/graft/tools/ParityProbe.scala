@@ -58,13 +58,15 @@ object ParityProbe {
       "llm_embed_dedup", "llm_semdedup", "llm_cluster_sizes",
       "llm_label_centroids")
     val needDocs = names.exists(n => n.startsWith("llm_") && !EmbFamily(n))
-    // rel_ queries over the events fact table (not TPC-H) need the
-    // events expansion, same as the ts_ family
+    // rel_ queries over the events fact table need the events expansion
+    // same as the ts_ family; two of them (asof/salted) ALSO join a
+    // TPC-H table, so only the events-ONLY set suppresses the rel build
     val EventsRel = Set("rel_setops_users", "rel_salted_agg",
       "rel_cms_heavy", "rel_json_props", "rel_asof_join", "rel_funnel",
       "rel_attribution", "rel_cohorts", "rel_sessions")
+    val EventsOnlyRel = EventsRel - "rel_salted_agg" - "rel_asof_join"
     val needEvents = names.exists(n => n.startsWith("ts_") || EventsRel(n))
-    val needRel = names.exists(n => n.startsWith("rel_") && !EventsRel(n))
+    val needRel = names.exists(n => n.startsWith("rel_") && !EventsOnlyRel(n))
     val needEmb = names.exists(EmbFamily)
 
     if (needDocs && missing("documents")) {

@@ -40,6 +40,7 @@ object LlmQueries {
   private val FuzzyK = 2       // edit-distance join threshold
   private val FuzzyPrefix = 48 // linkage key: first 48 chars (min n_chars)
   private val HllB = 10        // HLL register bits: 2^10 registers/group
+  private val FuzzyPairMax = 100L // llm_fuzzy_dedup probe id bound
   private val MaxHamming = 2L
   private val AnnK = 5
   private val AnnProbeMax = 10L    // probe set: vec_id < 10
@@ -478,6 +479,31 @@ object LlmQueries {
           dirty, $"did", $"dk", FuzzyK)
         .select($"left_id".as("doc_id"), $"right_id".as("did"), $"dist")
         .orderBy("doc_id", "did")
+    }),
+
+    // the self-join (fuzzy DEDUP) form of the edit-distance join:
+    // unordered pairs a < b over the clean ∪ corrupted union. The
+    // probe set is id-bounded (doc_id < FuzzyPairMax) so the
+    // brute-force oracle stays O(1) in scale factor — the pairs form's
+    // SCALE story is ScaleProbe's 1×/4×/16× census (output-bounded,
+    // sub-linear in corpus), this gate is its correctness anchor
+    "llm_fuzzy_dedup" -> ((s, d) => {
+      val base = docs(s, d)
+        .filter($"n_chars" >= FuzzyPrefix && $"doc_id" < FuzzyPairMax)
+        .select($"doc_id", substring($"text", 1, FuzzyPrefix).as("k"))
+      def h(salt: String) =
+        DetHash.h60(concat(lit(salt), $"doc_id".cast("string")))
+      val e = h("fz:") % 3
+      val p1 = (h("fzp1:") % 40 + 4).cast("int")
+      val p2 = (h("fzp2:") % 38 + 2).cast("int")
+      val k1 = when(e >= 1, concat($"k".substr(lit(1), p1 - 1),
+        $"k".substr(p1 + 1, lit(FuzzyPrefix)))).otherwise($"k")
+      val dirty = base.select(($"doc_id" + 1000000L).as("doc_id"),
+        when(e === 2, concat(k1.substr(lit(1), p2 - 1), lit("#"),
+          k1.substr(p2 + 1, lit(FuzzyPrefix)))).otherwise(k1).as("k"))
+      FuzzyJoinOps.editDistancePairs(base.unionByName(dirty),
+          $"doc_id", $"k", FuzzyK)
+        .orderBy("doc_a", "doc_b")
     }),
 
     // TextRank keyword extraction: integer-scaled PageRank power
@@ -1746,6 +1772,36 @@ object LlmQueries {
              CAST(levenshtein(b.k, d.dk) AS BIGINT) AS dist
       FROM base b, dirty d
       WHERE levenshtein(b.k, d.dk) <= $FuzzyK
+      ORDER BY 1, 2""",
+
+    "llm_fuzzy_dedup" -> s"""
+      WITH base AS (SELECT doc_id, substr(text, 1, $FuzzyPrefix) AS k
+                    FROM documents
+                    WHERE n_chars >= $FuzzyPrefix AND doc_id < $FuzzyPairMax),
+      d0 AS (SELECT doc_id, k,
+               ${DetHash.h60Sql("'fz:' || CAST(doc_id AS VARCHAR)")} % 3 AS e,
+               CAST(${DetHash.h60Sql("'fzp1:' || CAST(doc_id AS VARCHAR)")}
+                    % 40 + 4 AS INT) AS p1,
+               CAST(${DetHash.h60Sql("'fzp2:' || CAST(doc_id AS VARCHAR)")}
+                    % 38 + 2 AS INT) AS p2
+             FROM base),
+      d1 AS (SELECT doc_id, e, p2,
+               CASE WHEN e >= 1
+                    THEN substr(k, 1, p1 - 1) || substr(k, p1 + 1, $FuzzyPrefix)
+                    ELSE k END AS k1
+             FROM d0),
+      uni AS (SELECT doc_id, k FROM base
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     CASE WHEN e = 2
+                          THEN substr(k1, 1, p2 - 1) || '#' ||
+                               substr(k1, p2 + 1, $FuzzyPrefix)
+                          ELSE k1 END AS k
+              FROM d1)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+      FROM uni a, uni b
+      WHERE a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= $FuzzyK
       ORDER BY 1, 2""",
 
     "llm_textrank" -> s"""

@@ -24,6 +24,19 @@ object Bench {
         queries.Tables.table(spark, sfDir, "documents").limit(64),
         $"doc_id", $"text")).count()
     } catch { case _: Throwable => }
+    // fixed calibration query: a constant-size in-memory shuffle+agg with
+    // zero dependence on the corpus or on any graft operator, timed with
+    // the same min-of-3 discipline as the battery and reported as
+    // `calib_s`. Round-over-round bench swings divide out against it:
+    // a JVM/box-state shift moves calib_s by the same multiplier as the
+    // board (r13 burned a worktree A/B proving a uniform ~1.4× swing was
+    // box state — this makes the next one readable from the artifact).
+    val (calibBuild, calibExec) = timeQuery { () =>
+      import org.apache.spark.sql.functions._
+      spark.range(64L * 1000 * 1000)
+        .select(pmod(col("id") * 2654435761L, lit(9973L)).as("k"), col("id"))
+        .groupBy("k").agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
+    }
     // per query: one untimed warmup (plan construction + first count —
     // absorbs JIT/page-cache first-touch noise that dominated sub-second
     // queries: identical code swung 7× between rounds on min-of-2), then
@@ -73,7 +86,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
     val buildTotal = results.map(_._2._1).filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_total":$buildTotal,"queries":$qs,"build_s":$builds,"cap_drops":$caps,"cap_splits":$splits,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_total":$buildTotal,"calib_s":$calibExec,"calib_build_s":$calibBuild,"queries":$qs,"build_s":$builds,"cap_drops":$caps,"cap_splits":$splits,"sf":"$sfDir"}"""
     println(full)
     // The driver captures only a 2000-char tail of this stdout; the full
     // line above is ~10k chars (122 query names alone exceed the budget),
@@ -87,7 +100,7 @@ object Bench {
     // cap the inline list so this line always fits the 2000-char tail,
     // even in a mass-failure round; the full set is in BENCH_FULL.json
     val failedJson = failed.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_file":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"calib_s":$calibExec,"queries_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 

@@ -23,6 +23,19 @@ import graft._
   * set enumerates every length L within k of |l| and every feasible
   * shift of every chunk.
   *
+  * The right side's chunk table is a PERSISTABLE INDEX
+  * ([[buildChunkIndex]] → parquet), probed by batches via
+  * [[fuzzyJoinWithIndex]] — the production linkage shape at 100 TB: the
+  * historical key set is chunked ONCE, and each new batch pays only its
+  * own probe explode plus the candidate equality join. Sub-bucket
+  * splits are sized over the INDEX alone (the probe side replicates),
+  * so an indexed run over a probe batch equals the from-scratch
+  * [[editDistanceJoin]] restricted to that batch PAIR FOR PAIR — the
+  * same parity contract [[DedupOps.incrementalDedupAgainstIndex]]
+  * carries. [[editDistanceJoin]] delegates through the index path, so
+  * the persisted and derived forms share every line of probe/confirm
+  * logic.
+  *
   * Skew: a hot piece (boilerplate prefix shared by millions of keys)
   * is salted, not dropped — index members of an over-cap (L, chunk,
   * piece) bucket spread into ⌈c/maxBucket⌉ member-hash sub-buckets
@@ -52,26 +65,70 @@ import graft._
   */
 object FuzzyJoinOps {
 
-  /** All (left, right) pairs with `levenshtein(leftKey, rightKey) ≤ k`.
-    * NULL ids/keys are dropped at the mouth (policy shared with the
-    * dedup family: a NULL key matches nothing). Ids must uniquely
-    * identify keys on each side — the engine-wide `doc_id` contract; a
-    * duplicated id with differing keys emits one row per matching KEY
-    * pair (same id pair, different dist), since the id no longer names
-    * one string. */
-  def editDistanceJoin(left: DataFrame, leftId: Column, leftKey: Column,
-                       right: DataFrame, rightId: Column, rightKey: Column,
-                       k: Int, maxBucket: Int = 50): DataFrame = {
+  /** chunk i of a length-`len` key: even split, first (len mod (k+1))
+    * chunks one char longer — the ONE boundary formula the index build,
+    * the probe side, and the SQL oracles share. Returns (start, length)
+    * in 1-based substr coordinates. */
+  private def boundaries(k: Int, len: Column, i: Column): (Column, Column) = {
+    val base = (len - pmod(len, lit(k + 1))) / lit(k + 1)
+    val rem = pmod(len, lit(k + 1))
+    val clen = (base + when(i < rem, 1).otherwise(0)).cast("int")
+    val start = (lit(1) + i * base + least(i, rem)).cast("int")
+    (start, clen)
+  }
+
+  /** The persistable chunk index over the RIGHT (historical) key set —
+    * one row per key carrying everything a later probe batch needs: the
+    * key itself (for the banded-Levenshtein confirm), its length, and
+    * its k+1 PassJoin chunks. This is the table a 100 TB linkage corpus
+    * materializes ONCE (parquet) and appends each ingested batch to, so
+    * [[fuzzyJoinWithIndex]] runs never re-slice the historical keys.
+    * Keys shorter than k+1 chars get an empty chunk array and pair
+    * through the short zone (they are still index rows — the index is
+    * the COMPLETE right side). NULL ids/keys are dropped at the mouth
+    * (policy shared with the dedup family: a NULL key matches nothing).
+    * Output: rid, rk, L, pieces array<struct<i int, piece string>>. */
+  def buildChunkIndex(right: DataFrame, rightId: Column, rightKey: Column,
+                      k: Int): DataFrame = {
+    require(k >= 0, s"edit-distance threshold must be >= 0, got $k")
+    val base = right
+      .filter(rightId.isNotNull && rightKey.isNotNull)
+      .select(rightId.as("rid"), rightKey.as("rk"),
+        length(rightKey).as("L"))
+    val pieces = array((0 to k).map { i =>
+      val (start, clen) = boundaries(k, $"L", lit(i))
+      struct(lit(i).as("i"), $"rk".substr(start, clen).as("piece"))
+    }: _*)
+    // slice-to-empty keeps the element type without a cast: short keys
+    // (L ≤ k) carry no chunks, only their (rid, rk, L) short-zone row
+    base.select($"rid", $"rk", $"L",
+      when($"L" >= k + 1, pieces).otherwise(slice(pieces, 1, 0)).as("pieces"))
+  }
+
+  /** Probe a (typically persisted) [[buildChunkIndex]] table with a
+    * batch of left keys — the serving form: per batch, the only
+    * index-sized work is the chunk explode feeding the bucket-size
+    * count and the candidate equality join; the probe explode, the
+    * candidate set, and the confirm are all batch-bounded. Sub-bucket
+    * splits are sized over the index ALONE, so the result equals
+    * [[editDistanceJoin]] over (batch, full right side) pair for pair —
+    * probing with a subset of the left side yields exactly the full
+    * run's pairs restricted to that subset.
+    * Output: left_id, right_id, dist (0 ≤ dist ≤ k). */
+  def fuzzyJoinWithIndex(index0: DataFrame,
+                         left: DataFrame, leftId: Column, leftKey: Column,
+                         k: Int, maxBucket: Int = 50): DataFrame = {
     require(k >= 0, s"edit-distance threshold must be >= 0, got $k")
     require(maxBucket >= 2)
+    // index pinned: three consumers (chunk explode → counts + join side,
+    // short zone, confirm-side key fetch); probe batch pinned: probe
+    // explode + confirm-side key fetch
+    val index = Pins.pin(index0)
     val l = Pins.pin(left
       .filter(leftId.isNotNull && leftKey.isNotNull)
       .select(leftId.as("lid"), leftKey.as("lk")))
-    val r = Pins.pin(right
-      .filter(rightId.isNotNull && rightKey.isNotNull)
-      .select(rightId.as("rid"), rightKey.as("rk")))
 
-    // ---- main path: PassJoin chunks (right) vs shifted probes (left)
+    // ---- main path: indexed PassJoin chunks vs shifted probes (left)
     // (dl = L − |l|, chunk i, shift d) triples feasible under the
     // pigeonhole: |d| indels before the intact chunk, |Δ − d| after
     val combos = for {
@@ -82,30 +139,15 @@ object FuzzyJoinOps {
       struct(lit(dl).as("dl"), lit(i).as("i"), lit(d).as("d"))
     }: _*)
 
-    // chunk i of a length-L key: even split, first (L mod (k+1)) chunks
-    // one char longer — the ONE boundary formula both sides (and the
-    // SQL oracles) share
-    def boundaries(len: Column, i: Column): (Column, Column) = {
-      val base = (len - pmod(len, lit(k + 1))) / lit(k + 1)
-      val rem = pmod(len, lit(k + 1))
-      val clen = (base + when(i < rem, 1).otherwise(0)).cast("int")
-      val start = (lit(1) + i * base + least(i, rem)).cast("int")
-      (start, clen)
-    }
-
-    val idx = {
-      val withI = r.withColumn("L", length($"rk"))
-        .filter($"L" >= k + 1)
-        .withColumn("i", explode(array((0 to k).map(lit): _*)))
-      val (start, clen) = boundaries($"L", $"i")
-      withI.select($"rid", $"L", $"i", $"rk".substr(start, clen).as("piece"))
-    }
+    val idx = index.filter($"L" >= k + 1)
+      .select($"rid", $"L", explode($"pieces").as("p"))
+      .select($"rid", $"L", $"p.i".as("i"), $"p.piece".as("piece"))
     val probes = {
       val withC = l.withColumn("mlen", length($"lk"))
         .withColumn("c", explode(comboArr))
         .withColumn("L", ($"mlen" + $"c.dl").cast("int"))
         .filter($"L" >= k + 1)
-      val (start, clen) = boundaries($"L", $"c.i")
+      val (start, clen) = boundaries(k, $"L", $"c.i")
       val p = (start + $"c.d").cast("int")
       withC
         .filter(p >= 1 && p + clen - lit(1) <= $"mlen")
@@ -113,7 +155,9 @@ object FuzzyJoinOps {
         .distinct() // shifted probes of one row can coincide
     }
     // hot pieces: split the index into member-hash sub-buckets and
-    // REPLICATE the probe across them (recall-exact; see scaladoc)
+    // REPLICATE the probe across them (recall-exact; see scaladoc).
+    // Counts over the INDEX alone — the probe batch never influences
+    // the split, which is what makes indexed == full-run-restricted.
     val keys = Seq("L", "i", "piece")
     val counts = Pins.pin(DedupOps.subSizedCounts(idx, keys,
       "fuzzy_join", maxBucket, minCount = 1))
@@ -130,10 +174,9 @@ object FuzzyJoinOps {
     // constant key here constant-folds `z = z` to `true` and plans a
     // BroadcastNestedLoopJoin)
     val candShort = {
-      val rShort = r.filter(length($"rk") <= k)
+      val rShort = index.filter($"L" <= k)
         .select($"rid", explode(sequence(
-          greatest(length($"rk") - k, lit(0)),
-          length($"rk") + k)).as("ml"))
+          greatest($"L" - k, lit(0)), $"L" + k)).as("ml"))
       l.filter(length($"lk") <= 2 * k)
         .select($"lid", length($"lk").as("ml"))
         .join(rShort, "ml")
@@ -145,12 +188,107 @@ object FuzzyJoinOps {
     cand
       .join(l.withColumnRenamed("lid", "left_id"),
         cand("lid") === $"left_id")
-      .join(r.withColumnRenamed("rid", "right_id"),
+      .join(index.select($"rid".as("right_id"), $"rk"),
         cand("rid") === $"right_id")
       .select($"left_id", $"right_id",
         levenshtein($"lk", $"rk", k).cast("long").as("dist"))
       .filter($"dist" >= 0)
   }
+
+  /** STREAMING fuzzy linkage — [[fuzzyJoinWithIndex]] applied at
+    * ingest, following [[DedupOps.streamingContamination]]'s
+    * stream-static template: arriving keys probe the STATIC chunk index
+    * through a stateless equality join, with the banded-Levenshtein
+    * confirm in the same projection (the stream row carries its own
+    * key, the index row carries rk — no pair-level fetch join, which a
+    * stream cannot re-join). A pair matching on several (L, chunk,
+    * piece, sub) combos emits identical rows, collapsed by the
+    * watermarked pair dedup — so the ONLY streaming state is one row
+    * per emitted pair inside the lateness horizon (true links are rare
+    * by construction at a sane k). The probe explode is per-row
+    * stateless work bounded by the fixed combo factor; the static side
+    * (chunk rows, bucket counts, sub-bucket assignment, short zone) is
+    * derived ONCE and pinned — the in-memory stand-in for the parquet
+    * tables a production pipeline materializes — because a
+    * stream-static join re-executes the static plan every micro-batch.
+    * No candidate cap is needed on the stream side: per-row fan-out is
+    * bounded by the index's sub-bucket structure, and the batch
+    * [[fuzzyJoinWithIndex]] over the landed corpus stays the backstop.
+    * `stream` must be a streaming DataFrame; `ts` is its event-time.
+    * Output: left_id, ts, right_id, dist (0 ≤ dist ≤ k). */
+  def streamingFuzzyLink(stream: DataFrame, id: Column, ts: Column,
+                         key: Column, index0: DataFrame, k: Int,
+                         maxBucket: Int = 50,
+                         maxLatenessSec: Long): DataFrame = {
+    require(k >= 0, s"edit-distance threshold must be >= 0, got $k")
+    require(maxBucket >= 2)
+    val index = Pins.pin(index0)
+    val keys = Seq("L", "i", "piece")
+    val idx = index.filter($"L" >= k + 1)
+      .select($"rid", $"rk", $"L", explode($"pieces").as("p"))
+      .select($"rid", $"rk", $"L", $"p.i".as("i"), $"p.piece".as("piece"))
+    val counts = Pins.pin(DedupOps.subSizedCounts(idx, keys,
+      "fuzzy_stream", maxBucket, minCount = 1))
+    val idxSub = Pins.pin(DedupOps.withSubBucket(idx.join(counts, keys),
+      keys, idCol = "rid", prefix = "fz:"))
+    val rShort = Pins.pin(index.filter($"L" <= k)
+      .select($"rid", $"rk", explode(sequence(
+        greatest($"L" - k, lit(0)), $"L" + k)).as("ml")))
+
+    // ignore-don't-crash on poison records, the streaming-family policy:
+    // a NULL key would NPE in the probe explode, a NULL event time would
+    // break the watermarked pair dedup
+    val base = stream.filter(id.isNotNull && ts.isNotNull && key.isNotNull)
+      .select(id.as("lid"), ts.as("ts"), key.as("lk"))
+    val combos = for {
+      dl <- -k to k; i <- 0 to k; d <- -k to k
+      if math.abs(d) + math.abs(-dl - d) <= k
+    } yield (dl, i, d)
+    val comboArr = array(combos.map { case (dl, i, d) =>
+      struct(lit(dl).as("dl"), lit(i).as("i"), lit(d).as("d"))
+    }: _*)
+    val probes = {
+      val withC = base.withColumn("mlen", length($"lk"))
+        .withColumn("c", explode(comboArr))
+        .withColumn("L", ($"mlen" + $"c.dl").cast("int"))
+        .filter($"L" >= k + 1)
+      val (start, clen) = boundaries(k, $"L", $"c.i")
+      val p = (start + $"c.d").cast("int")
+      // no .distinct() (stateful on a stream): coinciding shifted probes
+      // only duplicate emissions of the same pair, which the pair dedup
+      // collapses with identical values
+      withC.filter(p >= 1 && p + clen - lit(1) <= $"mlen")
+        .select($"lid", $"ts", $"lk", $"L", $"c.i".as("i"),
+          $"lk".substr(p, clen).as("piece"))
+    }
+    val candMain = probes.join(broadcast(counts), keys)
+      .withColumn("sub", explode(sequence(lit(0L), $"nsub" - 1)))
+      .join(broadcast(idxSub), keys :+ "sub")
+      .select($"lid", $"ts", $"lk", $"rid", $"rk")
+    val candShort = base.filter(length($"lk") <= 2 * k)
+      .select($"lid", $"ts", $"lk", length($"lk").as("ml"))
+      .join(broadcast(rShort), "ml")
+      .select($"lid", $"ts", $"lk", $"rid", $"rk")
+    candMain.unionByName(candShort)
+      .select($"lid".as("left_id"), $"ts", $"rid".as("right_id"),
+        levenshtein($"lk", $"rk", k).cast("long").as("dist"))
+      .filter($"dist" >= 0)
+      .withWatermark("ts", s"$maxLatenessSec seconds")
+      .dropDuplicatesWithinWatermark("left_id", "right_id")
+  }
+
+  /** All (left, right) pairs with `levenshtein(leftKey, rightKey) ≤ k`
+    * — the from-scratch form, delegating through [[buildChunkIndex]] +
+    * [[fuzzyJoinWithIndex]] with the index derived in-plan. Ids must
+    * uniquely identify keys on each side — the engine-wide `doc_id`
+    * contract; a duplicated id with differing keys emits one row per
+    * matching KEY pair (same id pair, different dist), since the id no
+    * longer names one string. */
+  def editDistanceJoin(left: DataFrame, leftId: Column, leftKey: Column,
+                       right: DataFrame, rightId: Column, rightKey: Column,
+                       k: Int, maxBucket: Int = 50): DataFrame =
+    fuzzyJoinWithIndex(buildChunkIndex(right, rightId, rightKey, k),
+      left, leftId, leftKey, k, maxBucket)
 
   /** Self-join form for fuzzy dedup: unordered pairs (a < b) within
     * edit distance k over one corpus. */

@@ -181,8 +181,16 @@ object SketchOps {
     * the standard HLL harmonic mean with the small-range linear-counting
     * correction (Flajolet et al. 2007). The harmonic sum is carried as
     * an EXACT integer (Σ 2^(P−rho) over a 2^P scale, P = 62−b… well
-    * inside int64 for b ≥ 4), so the only floating-point steps are one
-    * division and the final round — bit-reproducible in the oracle.
+    * inside int64 for b ≥ 4), so on the harmonic branch the only
+    * floating-point steps are one division and the final round —
+    * bit-reproducible in the oracle. CAVEAT: the linear-counting branch
+    * evaluates a transcendental, m·ln(m/v), whose low bits are NOT
+    * guaranteed to agree across engines in general; at the gate's b = 10
+    * the minimum distance of 1024·ln(1024/v) to a .5 rounding boundary
+    * over all v ∈ [1, 1023] is ~6.6e-6 (≫ any plausible ulp drift in a
+    * correctly-rounded-ish ln), so the rounded estimate is stable there.
+    * A different b moves those margins — re-verify the sweep (or assert
+    * the margin) before relying on cross-engine hash equality at new b.
     * Output: grp, n_regs (non-empty registers), est_distinct. */
   def hllEstimate(regs: DataFrame, b: Int): DataFrame = {
     val m = 1L << b

@@ -397,12 +397,25 @@ object TextAnalysisOps {
     * vocabulary, which is ≪ corpus at 100 TB. Exact integer counts.
     * Output: rk, pair (2 chars), n — the top `topK` merge candidates. */
   def bpePairCounts(docs: DataFrame, id: Column, text: Column,
-                    topK: Int = 20): DataFrame = {
-    val words = docs.select(id.as("doc_id"), normText(text).as("norm"))
+                    topK: Int = 20): DataFrame =
+    bpePairsFrom(wordTypeCounts(docs, id, text), topK)
+
+  /** The (w, wn) word-TYPE table [[bpePairCounts]] and [[bpeEncode]]
+    * share: normalized whitespace tokens of ≥ 2 chars with corpus
+    * frequencies — the vocab-sized surface tokenizer induction works
+    * on. */
+  private def wordTypeCounts(docs: DataFrame, id: Column,
+                             text: Column): DataFrame =
+    docs.select(id.as("doc_id"), normText(text).as("norm"))
       .spreadBy($"doc_id") // conditional hash-wide parallelism (graft.spreadByKey)
       .select(explode(split($"norm", " ")).as("w"))
       .filter(length($"w") >= 2)
       .groupBy($"w").agg(count(lit(1)).as("wn"))
+
+  /** The pair-ranking half of [[bpePairCounts]] over an existing word
+    * table (so [[bpeEncode]] can pin the words once and derive both the
+    * merges and the encodings from the same pass). */
+  private def bpePairsFrom(words: DataFrame, topK: Int): DataFrame = {
     val counts = words
       .select($"wn", explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
@@ -410,6 +423,60 @@ object TextAnalysisOps {
       .groupBy($"pair").agg(sum($"wn").as("n"))
     rankTopN(counts, topK, $"n".desc, $"pair")
       .select($"rk", $"pair", $"n")
+  }
+
+  /** BPE ENCODE — applying the learned merges table, the step between
+    * [[bpePairCounts]] (learning candidates) and a dataloader: every
+    * word type's character sequence is rewritten by the top-`topK`
+    * merges in rank order, each applied exhaustively left-to-right.
+    * With a single-level merges table (every merge pairs single CHARS,
+    * which is what [[bpePairCounts]] learns), a merged token is 2 chars
+    * and can never create a new single-char adjacency, so ONE
+    * in-rank-order sweep is exactly the iterated pick-min-rank-present
+    * encode loop (GPT-2's algorithm) run to fixpoint — bounded work by
+    * construction, no iteration-until-convergence.
+    *
+    * Word-TYPE level, like the learner: the encode runs once per
+    * distinct word (vocab-sized, not corpus-sized); a 100 TB corpus
+    * applies it by joining its token stream against this table. The
+    * merges are a driver-side collect bounded by `topK` (the bounded
+    * literal-table pattern of VectorOps' centroids), compiled into a
+    * chain of `topK` per-row array FOLDS (`functions.aggregate`), each
+    * one exhaustive left-to-right merge pass: the incoming token merges
+    * into the accumulator's last token iff (last, t) = (a, b) — and
+    * since the merged 2-char token can never equal the 1-char `a`, the
+    * no-reuse-of-a-merged-token rule of greedy BPE falls out of the
+    * comparison itself (a run `aaaa` folds to `aa aa`, `aaaaa` to
+    * `aa aa a`). A string `replace` chain over a delimited form is NOT
+    * equivalent — Java/DuckDB replace resumes scanning past the
+    * consumed delimiter, so `a b a b` merges only alternate occurrences
+    * — hence the fold. The SQL twin is the identical fold via DuckDB's
+    * `list_reduce` over a string accumulator.
+    * Output: rk, w, wn, n_toks, enc — the top `topWords` word types by
+    * (count desc, word). */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+                topK: Int = 20, topWords: Int = 500): DataFrame = {
+    val words = Pins.pin(wordTypeCounts(docs, id, text))
+    val spark = words.sparkSession
+    import spark.implicits._
+    val merges = bpePairsFrom(words, topK)
+      .orderBy($"rk").select($"pair").as[String].collect().toSeq
+    val toks0 = split($"w", "")
+    val toksN = merges.foldLeft(toks0) { (toks, p) =>
+      val cps = p.codePoints.toArray
+      require(cps.length == 2, s"merge pair must be 2 codepoints: '$p'")
+      val a = new String(cps, 0, 1); val b = new String(cps, 1, 1)
+      aggregate(toks, typedLit(Seq.empty[String]), (acc, t) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(p))))
+          .otherwise(concat(acc, array(t))))
+    }
+    rankTopN(words, topWords, $"wn".desc, $"w")
+      .withColumn("toks", toksN)
+      .select($"rk", $"w", $"wn",
+        size($"toks").cast("long").as("n_toks"),
+        array_join($"toks", " ").as("enc"))
   }
 
   /** Collocation mining — adjacent word pairs ranked by frequency with

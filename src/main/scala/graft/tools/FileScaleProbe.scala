@@ -209,6 +209,31 @@ object FileScaleProbe {
       assert(TsdIndex.PlanStats.probedFiles.get() == 0)
       val rows = time("1-day pruned count") { pruned.count() }
       assert(rows == nStores.toLong * nCh * 24, s"got $rows")
+      // exec-side scale rows (r13 verdict item): the fleet READ+AGG —
+      // decode every block, aggregate per channel — must grow linearly
+      // in readings (so ~8× here) while the PER-READING cost stays flat
+      // as stores grow 8×, and the pruned-day read+agg must stay ~flat
+      // outright (fixed rows selected; planning already shown O(1)).
+      // This is the measurement that retires ts_fleet_range's
+      // planning-only evidence: the nominal 16×-of-proxy ratio is a
+      // stage floor on 0.5 s absolute, not a scan cost that scales.
+      time(s"fleet FULL read+agg ($nStores stores)") {
+        graft.sources.EtsdSource.fleetRoot(spark, root)
+          .filter(col("valid") && !col("is_register"))
+          .groupBy(col("channel")).agg(sum(col("value"))).count()
+      }
+      time(s"fleet 1-day pruned read+agg ($nStores stores)") {
+        pruned.groupBy(col("channel")).agg(sum(col("value"))).count()
+      }
+      // optional parquet mirror of the same rows for a DuckDB-side
+      // comparison (the proxy engine cannot read .tsd stores): set
+      // GRAFT_FSP_MIRROR=<dir> and run the same aggs there
+      sys.env.get("GRAFT_FSP_MIRROR").foreach { mdir =>
+        time("parquet mirror write") {
+          long.write.mode("overwrite")
+            .parquet(s"$mdir/fleet_$nStores.parquet")
+        }
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
     spark.stop()

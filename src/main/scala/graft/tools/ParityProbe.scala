@@ -34,6 +34,17 @@ object ParityProbe {
     "llm_ngram_jaccard", "llm_tfidf", "llm_textrank",
     "ts_anchored_cum", "ts_winsorize", "ts_outliers_mad")
 
+  /** rel_ queries that read the events fact table, and the subset that
+    * reads ONLY events (no TPC-H table) — drives which tables the probe
+    * expands. Object-level so `ParityProbeSpec` can assert these sets
+    * against the queries' own oracle SQL (the ground truth of what each
+    * query reads): a new events-backed rel_ query not added here fails
+    * that spec instead of silently skipping the events expansion. */
+  val EventsRel = Set("rel_setops_users", "rel_salted_agg",
+    "rel_cms_heavy", "rel_json_props", "rel_asof_join", "rel_funnel",
+    "rel_attribution", "rel_cohorts", "rel_sessions")
+  val EventsOnlyRel: Set[String] = EventsRel - "rel_salted_agg" - "rel_asof_join"
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val out = args.drop(1).headOption.getOrElse("/tmp/parity")
@@ -61,10 +72,8 @@ object ParityProbe {
     // rel_ queries over the events fact table need the events expansion
     // same as the ts_ family; two of them (asof/salted) ALSO join a
     // TPC-H table, so only the events-ONLY set suppresses the rel build
-    val EventsRel = Set("rel_setops_users", "rel_salted_agg",
-      "rel_cms_heavy", "rel_json_props", "rel_asof_join", "rel_funnel",
-      "rel_attribution", "rel_cohorts", "rel_sessions")
-    val EventsOnlyRel = EventsRel - "rel_salted_agg" - "rel_asof_join"
+    // (sets defined at object level; ParityProbeSpec pins them against
+    // each query's oracle SQL)
     val needEvents = names.exists(n => n.startsWith("ts_") || EventsRel(n))
     val needRel = names.exists(n => n.startsWith("rel_") && !EventsOnlyRel(n))
     val needEmb = names.exists(EmbFamily)

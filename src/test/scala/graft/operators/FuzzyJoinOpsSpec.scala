@@ -108,6 +108,45 @@ class FuzzyJoinOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 10L, 2L)) && got.contains((2L, 11L, 1L)), got)
   }
 
+  test("persisted chunk index: parquet round-trip serves identical pairs") {
+    // the production linkage shape: the right side exists only as its
+    // buildChunkIndex parquet; probing it must equal the from-scratch
+    // join — and probing with a BATCH (subset of the left side) must
+    // equal the full run restricted to that batch, pair for pair (the
+    // incrementalDedup parity contract: sub-bucket splits are sized
+    // over the index alone, so the probe set can't perturb them)
+    import spark.implicits._
+    val ls = corpus(60, tag = 4)
+    val rs = corpus(60, tag = 4).map { case (i, s) => (i + 1000, s) } ++
+      corpus(30, tag = 5).map { case (i, s) => (i + 2000, s) }
+    val dir = java.nio.file.Files.createTempDirectory("fuzzyidx").toString
+    try {
+      graft.Pins.scoped {
+        FuzzyJoinOps.buildChunkIndex(rs.toDF("id", "k"), $"id", $"k", 2)
+          .write.mode("overwrite").parquet(s"$dir/chunks.parquet")
+      }
+      val index = spark.read.parquet(s"$dir/chunks.parquet")
+      val full = graft.Pins.scoped {
+        FuzzyJoinOps.fuzzyJoinWithIndex(index, ls.toDF("id", "k"),
+            $"id", $"k", k = 2)
+          .as[(Long, Long, Long)].collect().toSet
+      }
+      assert(full == brute(ls, rs, k = 2),
+        s"missing=${(brute(ls, rs, 2) -- full).take(5)}")
+      val batchIds = ls.map(_._1).filter(_ % 3 == 0).toSet
+      val batch = ls.filter(p => batchIds(p._1))
+      val got = graft.Pins.scoped {
+        FuzzyJoinOps.fuzzyJoinWithIndex(index, batch.toDF("id", "k"),
+            $"id", $"k", k = 2)
+          .as[(Long, Long, Long)].collect().toSet
+      }
+      assert(got == full.filter(p => batchIds(p._1)),
+        "indexed batch probe must equal the full run restricted to the batch")
+      assert(got.nonEmpty, "fixture must produce batch pairs")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("self-join pairs form: unordered, a < b") {
     val c = corpus(40, tag = 3)
     import spark.implicits._

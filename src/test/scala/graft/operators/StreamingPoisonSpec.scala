@@ -109,6 +109,32 @@ class StreamingPoisonSpec extends AnyFunSuite {
     } finally Pins.releaseAll()
   }
 
+  test("streamingFuzzyLink ignores NULL ts, NULL key, and NULL id rows") {
+    import spark.implicits._
+    val idx = Pins.pin(FuzzyJoinOps.buildChunkIndex(
+      Seq((100L, "the quick brown fox"), (101L, "zz"))
+        .toDF("id", "k"), $"id", $"k", 2))
+    try {
+      idx.count()
+      val clean = Seq((1L, T0, "the quick brown fax"), // dist 1 vs 100
+        (2L, T0 + 30, "completely unrelated key"))
+      val poison = Seq((7L, -1L, "the quick brown fox"), // NULL ts
+        (8L, T0 + 40, ""),                               // NULL key
+        (-9L, T0 + 50, "the quick brown fox"))           // NULL id
+      def run(rows: Seq[(Long, Long, String)]) =
+        runOnce(rows, df =>
+          df.select(when($"_1" >= 0, $"_1").as("did"),
+            timestamp_seconds(when($"_2" >= 0, $"_2")).as("ts"),
+            when($"_3" =!= "", $"_3").as("dk")),
+          FuzzyJoinOps.streamingFuzzyLink(_, $"did", $"ts", $"dk",
+            idx, k = 2, maxLatenessSec = 3600L), "pfz")
+      val a = run(clean)
+      val b = run(clean ++ poison)
+      assert(a.nonEmpty && a == b,
+        s"poison rows must be ignored, not change output: $a vs $b")
+    } finally Pins.releaseAll()
+  }
+
   test("streamingAnnServe ignores NULL ts and NULL query-vector rows") {
     import spark.implicits._
     val dim = 4

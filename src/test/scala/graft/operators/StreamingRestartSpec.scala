@@ -68,6 +68,49 @@ class StreamingRestartSpec extends AnyFunSuite {
       graft.functions.DetHash.NumBands.toLong)
   }
 
+  test("fuzzy-link pair-dedup state survives stop + restart") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_fz_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_fz_out").toString
+    val idx = graft.Pins.pin(FuzzyJoinOps.buildChunkIndex(
+      Seq((100L, Orig)).toDF("id", "k"), $"id", $"k", 2))
+    try {
+      idx.count()
+      val dirty = Orig.replace("dog", "dot") // dist 1 from the indexed key
+      val mem = MemoryStream[(Long, Long, String)]
+      val keys = mem.toDF().select($"_1".as("did"),
+        timestamp_seconds($"_2").as("ts"), $"_3".as("dk"))
+      val out = FuzzyJoinOps.streamingFuzzyLink(keys, $"did", $"ts", $"dk",
+        idx, k = 2, maxLatenessSec = 3600L)
+      def start() = out.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+
+      // epoch 1: the pair (1, 100) emits and registers in dedup state
+      val q1 = start()
+      try {
+        mem.addData((1L, 100L, dirty))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      // epoch 2: an at-least-once source REDELIVERS the same row; its
+      // suppression can only come from state restored off the checkpoint
+      val q2 = start()
+      try {
+        mem.addData((1L, 100L, dirty), (2L, 130L, Orig))
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      val landed = spark.read.parquet(outDir)
+      assert(landed.filter($"left_id" === 1L).count() == 1L,
+        "redelivered pair must stay deduped across the restart")
+      assert(landed.filter($"left_id" === 2L && $"right_id" === 100L &&
+        $"dist" === 0L).count() == 1L)
+    } finally graft.Pins.releaseAll()
+  }
+
   test("ANN serving window opened before a restart emits after it") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

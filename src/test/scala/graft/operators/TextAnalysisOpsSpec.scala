@@ -142,6 +142,69 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "ab", 4L), (2L, "aa", 3L), (3L, "bb", 1L)))
   }
 
+  test("bpeEncode equals the iterated min-rank-first GPT-2 encode loop") {
+    // independent ground truth: learn the merges by brute-force pair
+    // counting, then encode each word with the CLASSIC loop — repeat
+    // "find the lowest-rank adjacent pair present, merge all its
+    // occurrences left-to-right" until none applies. bpeEncode's single
+    // in-rank-order replace sweep must match it exactly (the scaladoc's
+    // claim that one sweep reaches the fixpoint for single-char merges).
+    val d = Seq(
+      (1L, "abab abab banana bandana"),
+      (2L, "aaaa abba banana cab"),
+      (3L, "ban cab abab aaaa")).toDF("doc_id", "text")
+    val words = d.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = words.toSeq
+      .flatMap { case (w, wn) => w.sliding(2).map(_ -> wn) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val merges = pairCounts.sortBy { case (p, n) => (-n, p) }
+      .take(4).map(_._1)
+    def gpt2Encode(w: String): Seq[String] = {
+      var toks = w.map(_.toString).toVector
+      var done = false
+      while (!done) {
+        val present = merges.zipWithIndex.filter { case (m, _) =>
+          toks.sliding(2).exists(s =>
+            s.length == 2 && s(0) + s(1) == m)
+        }
+        if (present.isEmpty) done = true
+        else {
+          val m = present.minBy(_._2)._1
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) + toks(i + 1) == m) {
+              out += m; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+        }
+      }
+      toks
+    }
+    val got = TextAnalysisOps.bpeEncode(d, $"doc_id", $"text",
+        topK = 4, topWords = 100)
+      .as[(Long, String, Long, Long, String)].collect().sortBy(_._1)
+    val want = words.toSeq.sortBy { case (w, wn) => (-wn, w) }
+      .map { case (w, wn) => (w, wn, gpt2Encode(w)) }
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach {
+      case (((rk, w, wn, nToks, enc), (ww, wwn, toks)), i) =>
+        assert(rk == i + 1 && w == ww && wn == wwn, s"row $i: $w vs $ww")
+        assert(enc == toks.mkString(" "), s"'$w': got '$enc', want $toks")
+        assert(nToks == toks.length)
+    }
+    // fixture strength: an adjacent run (where the naive replace trick
+    // diverges from greedy — 'aaaa' must fold to 'aa aa', not 'aa a a')
+    // and a word where one merge's consumption blocks another
+    val byW = got.map(r => r._2 -> r._5).toMap
+    assert(byW("aaaa") == "aa aa", byW)
+    assert(byW("banana") == "ba n an a" || byW("banana") == "b an an a",
+      byW) // whichever of ba/an ranks first must win the shared 'a'
+  }
+
   test("blocklistFilter: exact-token hits only, counted") {
     val d = Seq(
       (1L, "totally Fine text"),

@@ -1237,13 +1237,18 @@ object LlmQueries {
       }
       // the streaming contract: state is one row per emitted pair (plus
       // nothing per probe or per candidate) — a candidate- or probe-
-      // sized leak overshoots this bound immediately
-      val maxState = q.recentProgress.toSeq
-        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
-        .maxOption.getOrElse(-1L)
-      require(maxState >= 0, "stream fuzzy link: state metrics absent")
-      require(maxState <= 4 * StreamFzMaxDoc,
-        s"fuzzy-link state holds $maxState rows for ${rows.length} probes")
+      // sized leak overshoots this bound immediately. The absent-metric
+      // case fails loudly (r12 ADVICE pattern) — but only when batches
+      // were actually fed: an empty corpus legitimately has no progress
+      // (EmptyInputSpec's shape), and there is nothing to assert.
+      if (rows.nonEmpty) {
+        val maxState = q.recentProgress.toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+          .maxOption.getOrElse(-1L)
+        require(maxState >= 0, "stream fuzzy link: state metrics absent")
+        require(maxState <= 4 * StreamFzMaxDoc,
+          s"fuzzy-link state holds $maxState rows for ${rows.length} probes")
+      }
     }
       .select($"right_id".as("doc_id"), $"left_id".as("did"), $"dist")
       .orderBy("doc_id", "did")

@@ -217,14 +217,18 @@ object FileScaleProbe {
       // This is the measurement that retires ts_fleet_range's
       // planning-only evidence: the nominal 16×-of-proxy ratio is a
       // stage floor on 0.5 s absolute, not a scan cost that scales.
-      time(s"fleet FULL read+agg ($nStores stores)") {
-        graft.sources.EtsdSource.fleetRoot(spark, root)
-          .filter(col("valid") && !col("is_register"))
-          .groupBy(col("channel")).agg(sum(col("value"))).count()
-      }
-      time(s"fleet 1-day pruned read+agg ($nStores stores)") {
-        pruned.groupBy(col("channel")).agg(sum(col("value"))).count()
-      }
+      // one untimed warmup per agg (the 128-store pass otherwise eats
+      // the fleet-scan JIT and reports a bigger number than 1024 stores
+      // on 8× the data), then the timed run — same discipline as Bench
+      def fullAgg() = graft.sources.EtsdSource.fleetRoot(spark, root)
+        .filter(col("valid") && !col("is_register"))
+        .groupBy(col("channel")).agg(sum(col("value"))).count()
+      fullAgg()
+      time(s"fleet FULL read+agg ($nStores stores)") { fullAgg() }
+      def dayAgg() = pruned.groupBy(col("channel"))
+        .agg(sum(col("value"))).count()
+      dayAgg()
+      time(s"fleet 1-day pruned read+agg ($nStores stores)") { dayAgg() }
       // optional parquet mirror of the same rows for a DuckDB-side
       // comparison (the proxy engine cannot read .tsd stores): set
       // GRAFT_FSP_MIRROR=<dir> and run the same aggs there

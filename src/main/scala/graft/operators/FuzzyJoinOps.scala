@@ -32,9 +32,12 @@ import graft._
   * so an indexed run over a probe batch equals the from-scratch
   * [[editDistanceJoin]] restricted to that batch PAIR FOR PAIR — the
   * same parity contract [[DedupOps.incrementalDedupAgainstIndex]]
-  * carries. [[editDistanceJoin]] delegates through the index path, so
-  * the persisted and derived forms share every line of probe/confirm
-  * logic.
+  * carries. [[editDistanceJoin]] delegates through the index path, and
+  * [[streamingFuzzyLink]] composes the same private probe/chunk/short-
+  * zone builders, so all three forms share every line of candidate
+  * logic. Each index row records the `k` it was chunked with, and the
+  * serving forms assert it in-plan — probing a persisted index with a
+  * different threshold fails loudly instead of silently losing pairs.
   *
   * Skew: a hot piece (boilerplate prefix shared by millions of keys)
   * is salted, not dropped — index members of an over-cap (L, chunk,
@@ -77,17 +80,83 @@ object FuzzyJoinOps {
     (start, clen)
   }
 
+  /** The feasible (dl = L − |l|, chunk i, shift d) probe triples under
+    * the pigeonhole: |d| indels before the intact chunk, |Δ − d| after.
+    * ONE enumeration for every serving form. */
+  private def comboArr(k: Int): Column = {
+    val combos = for {
+      dl <- -k to k; i <- 0 to k; d <- -k to k
+      if math.abs(d) + math.abs(-dl - d) <= k
+    } yield (dl, i, d)
+    array(combos.map { case (dl, i, d) =>
+      struct(lit(dl).as("dl"), lit(i).as("i"), lit(d).as("d"))
+    }: _*)
+  }
+
+  /** Shifted-substring probe rows for a (lid, lk, carry...) left table:
+    * lid, carry..., L, i, piece. No dedup here — the batch form
+    * distincts (coinciding shifted probes of one row), the streaming
+    * form cannot (stateless) and lets the pair dedup absorb them. */
+  private def probeRows(base: DataFrame, k: Int,
+                        carry: Seq[String]): DataFrame = {
+    val withC = base.withColumn("mlen", length($"lk"))
+      .withColumn("c", explode(comboArr(k)))
+      .withColumn("L", ($"mlen" + $"c.dl").cast("int"))
+      .filter($"L" >= k + 1)
+    val (start, clen) = boundaries(k, $"L", $"c.i")
+    val p = (start + $"c.d").cast("int")
+    withC.filter(p >= 1 && p + clen - lit(1) <= $"mlen")
+      .select($"lid" +: carry.map(col) :+ $"L" :+ $"c.i".as("i") :+
+        $"lk".substr(p, clen).as("piece"): _*)
+  }
+
+  /** Exploded (rid[, rk], L, i, piece) view of a chunk index. */
+  private def chunkRows(index: DataFrame, k: Int,
+                        carryKey: Boolean): DataFrame = {
+    val cols = if (carryKey) Seq($"rid", $"rk") else Seq($"rid")
+    index.filter($"L" >= k + 1)
+      .select(cols :+ $"L" :+ explode($"pieces").as("p"): _*)
+      .select(cols :+ $"L" :+ $"p.i".as("i") :+ $"p.piece".as("piece"): _*)
+  }
+
+  /** Short-zone side of the index: right keys of ≤ k chars match only
+    * left keys of length within k — one (rid[, rk], ml) row per
+    * matchable left length, joined on LENGTH (a real column, so the
+    * optimizer cannot fold the join into a nested loop; a constant key
+    * here would constant-fold `z = z` to `true` and plan a
+    * BroadcastNestedLoopJoin). */
+  private def shortZone(index: DataFrame, k: Int,
+                        carryKey: Boolean): DataFrame = {
+    val cols = if (carryKey) Seq($"rid", $"rk") else Seq($"rid")
+    index.filter($"L" <= k)
+      .select(cols :+ explode(sequence(
+        greatest($"L" - k, lit(0)), $"L" + k)).as("ml"): _*)
+  }
+
+  /** In-plan guard at the serving mouths: every index row must carry
+    * the probe's k. `assert_true` raises at the first mismatched row —
+    * a persisted k=2 index probed with k=3 would otherwise chunk
+    * lengths 4 ways against 3-way pieces and silently lose most pairs.
+    * The filter is row-cheap (one int compare) and cannot be pruned
+    * (the predicate is load-bearing). */
+  private def kGuard(index: DataFrame, k: Int): DataFrame =
+    index.filter(assert_true($"k" === lit(k),
+      concat(lit("chunk index built with k="), $"k".cast("string"),
+        lit(s", probed with k=$k"))).isNull)
+
   /** The persistable chunk index over the RIGHT (historical) key set —
     * one row per key carrying everything a later probe batch needs: the
-    * key itself (for the banded-Levenshtein confirm), its length, and
-    * its k+1 PassJoin chunks. This is the table a 100 TB linkage corpus
-    * materializes ONCE (parquet) and appends each ingested batch to, so
-    * [[fuzzyJoinWithIndex]] runs never re-slice the historical keys.
-    * Keys shorter than k+1 chars get an empty chunk array and pair
-    * through the short zone (they are still index rows — the index is
-    * the COMPLETE right side). NULL ids/keys are dropped at the mouth
-    * (policy shared with the dedup family: a NULL key matches nothing).
-    * Output: rid, rk, L, pieces array<struct<i int, piece string>>. */
+    * key itself (for the banded-Levenshtein confirm), its length, the
+    * threshold it was chunked with, and its k+1 PassJoin chunks. This
+    * is the table a 100 TB linkage corpus materializes ONCE (parquet)
+    * and appends each ingested batch to (rows are independent, so
+    * append == rebuild), so [[fuzzyJoinWithIndex]] runs never re-slice
+    * the historical keys. Keys shorter than k+1 chars get an empty
+    * chunk array and pair through the short zone (they are still index
+    * rows — the index is the COMPLETE right side). NULL ids/keys are
+    * dropped at the mouth (policy shared with the dedup family: a NULL
+    * key matches nothing).
+    * Output: rid, rk, L, k, pieces array<struct<i int, piece string>>. */
   def buildChunkIndex(right: DataFrame, rightId: Column, rightKey: Column,
                       k: Int): DataFrame = {
     require(k >= 0, s"edit-distance threshold must be >= 0, got $k")
@@ -101,7 +170,7 @@ object FuzzyJoinOps {
     }: _*)
     // slice-to-empty keeps the element type without a cast: short keys
     // (L ≤ k) carry no chunks, only their (rid, rk, L) short-zone row
-    base.select($"rid", $"rk", $"L",
+    base.select($"rid", $"rk", $"L", lit(k).as("k"),
       when($"L" >= k + 1, pieces).otherwise(slice(pieces, 1, 0)).as("pieces"))
   }
 
@@ -113,7 +182,8 @@ object FuzzyJoinOps {
     * splits are sized over the index ALONE, so the result equals
     * [[editDistanceJoin]] over (batch, full right side) pair for pair —
     * probing with a subset of the left side yields exactly the full
-    * run's pairs restricted to that subset.
+    * run's pairs restricted to that subset. The index must have been
+    * built with the same `k` (asserted in-plan per row).
     * Output: left_id, right_id, dist (0 ≤ dist ≤ k). */
   def fuzzyJoinWithIndex(index0: DataFrame,
                          left: DataFrame, leftId: Column, leftKey: Column,
@@ -123,37 +193,14 @@ object FuzzyJoinOps {
     // index pinned: three consumers (chunk explode → counts + join side,
     // short zone, confirm-side key fetch); probe batch pinned: probe
     // explode + confirm-side key fetch
-    val index = Pins.pin(index0)
+    val index = Pins.pin(kGuard(index0, k))
     val l = Pins.pin(left
       .filter(leftId.isNotNull && leftKey.isNotNull)
       .select(leftId.as("lid"), leftKey.as("lk")))
 
-    // ---- main path: indexed PassJoin chunks vs shifted probes (left)
-    // (dl = L − |l|, chunk i, shift d) triples feasible under the
-    // pigeonhole: |d| indels before the intact chunk, |Δ − d| after
-    val combos = for {
-      dl <- -k to k; i <- 0 to k; d <- -k to k
-      if math.abs(d) + math.abs(-dl - d) <= k
-    } yield (dl, i, d)
-    val comboArr = array(combos.map { case (dl, i, d) =>
-      struct(lit(dl).as("dl"), lit(i).as("i"), lit(d).as("d"))
-    }: _*)
-
-    val idx = index.filter($"L" >= k + 1)
-      .select($"rid", $"L", explode($"pieces").as("p"))
-      .select($"rid", $"L", $"p.i".as("i"), $"p.piece".as("piece"))
-    val probes = {
-      val withC = l.withColumn("mlen", length($"lk"))
-        .withColumn("c", explode(comboArr))
-        .withColumn("L", ($"mlen" + $"c.dl").cast("int"))
-        .filter($"L" >= k + 1)
-      val (start, clen) = boundaries(k, $"L", $"c.i")
-      val p = (start + $"c.d").cast("int")
-      withC
-        .filter(p >= 1 && p + clen - lit(1) <= $"mlen")
-        .select($"lid", $"L", $"c.i".as("i"), $"lk".substr(p, clen).as("piece"))
-        .distinct() // shifted probes of one row can coincide
-    }
+    val idx = chunkRows(index, k, carryKey = false)
+    val probes = probeRows(l, k, carry = Nil)
+      .distinct() // shifted probes of one row can coincide
     // hot pieces: split the index into member-hash sub-buckets and
     // REPLICATE the probe across them (recall-exact; see scaladoc).
     // Counts over the INDEX alone — the probe batch never influences
@@ -167,21 +214,10 @@ object FuzzyJoinOps {
       .withColumn("sub", explode(sequence(lit(0L), $"nsub" - 1)))
     val candMain = probeSub.join(idxSub, keys :+ "sub")
       .select($"lid", $"rid")
-
-    // ---- short zone: right keys of ≤ k chars match only left keys of
-    // length within k of theirs — an equality bucket on LENGTH (a real
-    // column, so the optimizer cannot fold it into a nested loop; a
-    // constant key here constant-folds `z = z` to `true` and plans a
-    // BroadcastNestedLoopJoin)
-    val candShort = {
-      val rShort = index.filter($"L" <= k)
-        .select($"rid", explode(sequence(
-          greatest($"L" - k, lit(0)), $"L" + k)).as("ml"))
-      l.filter(length($"lk") <= 2 * k)
-        .select($"lid", length($"lk").as("ml"))
-        .join(rShort, "ml")
-        .select($"lid", $"rid")
-    }
+    val candShort = l.filter(length($"lk") <= 2 * k)
+      .select($"lid", length($"lk").as("ml"))
+      .join(shortZone(index, k, carryKey = false), "ml")
+      .select($"lid", $"rid")
 
     // ---- confirm: banded Levenshtein on the distinct candidates only
     val cand = Pins.pin(candMain.unionByName(candShort).distinct())
@@ -214,54 +250,32 @@ object FuzzyJoinOps {
     * No candidate cap is needed on the stream side: per-row fan-out is
     * bounded by the index's sub-bucket structure, and the batch
     * [[fuzzyJoinWithIndex]] over the landed corpus stays the backstop.
-    * `stream` must be a streaming DataFrame; `ts` is its event-time.
-    * Output: left_id, ts, right_id, dist (0 ≤ dist ≤ k). */
+    * Candidate construction composes the SAME private builders as the
+    * batch form (comboArr/probeRows/chunkRows/shortZone), so the two
+    * cannot drift. `stream` must be a streaming DataFrame; `ts` is its
+    * event-time. Output: left_id, ts, right_id, dist (0 ≤ dist ≤ k). */
   def streamingFuzzyLink(stream: DataFrame, id: Column, ts: Column,
                          key: Column, index0: DataFrame, k: Int,
                          maxBucket: Int = 50,
                          maxLatenessSec: Long): DataFrame = {
     require(k >= 0, s"edit-distance threshold must be >= 0, got $k")
     require(maxBucket >= 2)
-    val index = Pins.pin(index0)
+    val index = Pins.pin(kGuard(index0, k))
     val keys = Seq("L", "i", "piece")
-    val idx = index.filter($"L" >= k + 1)
-      .select($"rid", $"rk", $"L", explode($"pieces").as("p"))
-      .select($"rid", $"rk", $"L", $"p.i".as("i"), $"p.piece".as("piece"))
+    val idx = chunkRows(index, k, carryKey = true)
     val counts = Pins.pin(DedupOps.subSizedCounts(idx, keys,
       "fuzzy_stream", maxBucket, minCount = 1))
     val idxSub = Pins.pin(DedupOps.withSubBucket(idx.join(counts, keys),
       keys, idCol = "rid", prefix = "fz:"))
-    val rShort = Pins.pin(index.filter($"L" <= k)
-      .select($"rid", $"rk", explode(sequence(
-        greatest($"L" - k, lit(0)), $"L" + k)).as("ml")))
+    val rShort = Pins.pin(shortZone(index, k, carryKey = true))
 
     // ignore-don't-crash on poison records, the streaming-family policy:
     // a NULL key would NPE in the probe explode, a NULL event time would
     // break the watermarked pair dedup
     val base = stream.filter(id.isNotNull && ts.isNotNull && key.isNotNull)
       .select(id.as("lid"), ts.as("ts"), key.as("lk"))
-    val combos = for {
-      dl <- -k to k; i <- 0 to k; d <- -k to k
-      if math.abs(d) + math.abs(-dl - d) <= k
-    } yield (dl, i, d)
-    val comboArr = array(combos.map { case (dl, i, d) =>
-      struct(lit(dl).as("dl"), lit(i).as("i"), lit(d).as("d"))
-    }: _*)
-    val probes = {
-      val withC = base.withColumn("mlen", length($"lk"))
-        .withColumn("c", explode(comboArr))
-        .withColumn("L", ($"mlen" + $"c.dl").cast("int"))
-        .filter($"L" >= k + 1)
-      val (start, clen) = boundaries(k, $"L", $"c.i")
-      val p = (start + $"c.d").cast("int")
-      // no .distinct() (stateful on a stream): coinciding shifted probes
-      // only duplicate emissions of the same pair, which the pair dedup
-      // collapses with identical values
-      withC.filter(p >= 1 && p + clen - lit(1) <= $"mlen")
-        .select($"lid", $"ts", $"lk", $"L", $"c.i".as("i"),
-          $"lk".substr(p, clen).as("piece"))
-    }
-    val candMain = probes.join(broadcast(counts), keys)
+    val candMain = probeRows(base, k, carry = Seq("ts", "lk"))
+      .join(broadcast(counts), keys)
       .withColumn("sub", explode(sequence(lit(0L), $"nsub" - 1)))
       .join(broadcast(idxSub), keys :+ "sub")
       .select($"lid", $"ts", $"lk", $"rid", $"rk")

@@ -54,6 +54,36 @@ object LlmQueries {
     (base, dirty)
   }
 
+  /** The corruption CTE block the fuzzy-join/incr/stream oracles share
+    * — the SQL twin of [[fuzzyCorpus]], so the recipe has ONE Scala
+    * source and ONE SQL source: clean `base` (doc_id, k) plus corrupted
+    * `dirty` (did, dk), with the dirty side optionally id-bounded (the
+    * incremental/streaming gates, keeping the brute-force confirm
+    * O(|base|) in SF). llm_fuzzy_dedup's union form stays bespoke. */
+  private def fuzzyCtes(bound: Option[Long]): String = {
+    val where = bound.map(b => s" WHERE doc_id < $b").getOrElse("")
+    s"""base AS (SELECT doc_id, substr(text, 1, $FuzzyPrefix) AS k
+                    FROM documents WHERE n_chars >= $FuzzyPrefix),
+      d0 AS (SELECT doc_id, k,
+               ${DetHash.h60Sql("'fz:' || CAST(doc_id AS VARCHAR)")} % 3 AS e,
+               CAST(${DetHash.h60Sql("'fzp1:' || CAST(doc_id AS VARCHAR)")}
+                    % 40 + 4 AS INT) AS p1,
+               CAST(${DetHash.h60Sql("'fzp2:' || CAST(doc_id AS VARCHAR)")}
+                    % 38 + 2 AS INT) AS p2
+             FROM base$where),
+      d1 AS (SELECT doc_id, e, p2,
+               CASE WHEN e >= 1
+                    THEN substr(k, 1, p1 - 1) || substr(k, p1 + 1, $FuzzyPrefix)
+                    ELSE k END AS k1
+             FROM d0),
+      dirty AS (SELECT doc_id + 1000000 AS did,
+               CASE WHEN e = 2
+                    THEN substr(k1, 1, p2 - 1) || '#' ||
+                         substr(k1, p2 + 1, $FuzzyPrefix)
+                    ELSE k1 END AS dk
+             FROM d1)"""
+  }
+
   private val MinJaccard = 0.8     // planted near-dups sit at ≥0.85
   private val MinContainment = 0.9 // near-supersets: most of one side shared
   private val ContainSampleMod = 8 // 1-in-8 candidate-shingle sampling
@@ -1895,85 +1925,30 @@ object LlmQueries {
       FROM g ORDER BY lang""",
 
     "llm_fuzzy_join" -> s"""
-      WITH base AS (SELECT doc_id, substr(text, 1, $FuzzyPrefix) AS k
-                    FROM documents WHERE n_chars >= $FuzzyPrefix),
-      d0 AS (SELECT doc_id, k,
-               ${DetHash.h60Sql("'fz:' || CAST(doc_id AS VARCHAR)")} % 3 AS e,
-               CAST(${DetHash.h60Sql("'fzp1:' || CAST(doc_id AS VARCHAR)")}
-                    % 40 + 4 AS INT) AS p1,
-               CAST(${DetHash.h60Sql("'fzp2:' || CAST(doc_id AS VARCHAR)")}
-                    % 38 + 2 AS INT) AS p2
-             FROM base),
-      d1 AS (SELECT doc_id, e, p2,
-               CASE WHEN e >= 1
-                    THEN substr(k, 1, p1 - 1) || substr(k, p1 + 1, $FuzzyPrefix)
-                    ELSE k END AS k1
-             FROM d0),
-      dirty AS (SELECT doc_id + 1000000 AS did,
-               CASE WHEN e = 2
-                    THEN substr(k1, 1, p2 - 1) || '#' ||
-                         substr(k1, p2 + 1, $FuzzyPrefix)
-                    ELSE k1 END AS dk
-             FROM d1)
+      WITH ${fuzzyCtes(bound = None)}
       SELECT b.doc_id, d.did,
              CAST(levenshtein(b.k, d.dk) AS BIGINT) AS dist
       FROM base b, dirty d
       WHERE levenshtein(b.k, d.dk) <= $FuzzyK
       ORDER BY 1, 2""",
 
+    // the shared CTEs with an id bound on the dirty side: the
+    // incremental serving gate (brute confirm O(|base|) in SF)
     "llm_fuzzy_incr" -> s"""
-      WITH base AS (SELECT doc_id, substr(text, 1, $FuzzyPrefix) AS k
-                    FROM documents WHERE n_chars >= $FuzzyPrefix),
-      d0 AS (SELECT doc_id, k,
-               ${DetHash.h60Sql("'fz:' || CAST(doc_id AS VARCHAR)")} % 3 AS e,
-               CAST(${DetHash.h60Sql("'fzp1:' || CAST(doc_id AS VARCHAR)")}
-                    % 40 + 4 AS INT) AS p1,
-               CAST(${DetHash.h60Sql("'fzp2:' || CAST(doc_id AS VARCHAR)")}
-                    % 38 + 2 AS INT) AS p2
-             FROM base WHERE doc_id < $FuzzyIncrMax),
-      d1 AS (SELECT doc_id, e, p2,
-               CASE WHEN e >= 1
-                    THEN substr(k, 1, p1 - 1) || substr(k, p1 + 1, $FuzzyPrefix)
-                    ELSE k END AS k1
-             FROM d0),
-      batch AS (SELECT doc_id + 1000000 AS did,
-               CASE WHEN e = 2
-                    THEN substr(k1, 1, p2 - 1) || '#' ||
-                         substr(k1, p2 + 1, $FuzzyPrefix)
-                    ELSE k1 END AS dk
-             FROM d1)
+      WITH ${fuzzyCtes(bound = Some(FuzzyIncrMax))}
       SELECT b.doc_id, d.did,
              CAST(levenshtein(b.k, d.dk) AS BIGINT) AS dist
-      FROM base b, batch d
+      FROM base b, dirty d
       WHERE levenshtein(b.k, d.dk) <= $FuzzyK
       ORDER BY 1, 2""",
 
-    // llm_fuzzy_incr's CTEs with the stream fixture's id bound — the
-    // landed-batch closed form of the streaming link
+    // same, with the stream fixture's id bound — the landed-batch
+    // closed form of the streaming link
     "llm_stream_fuzzy" -> s"""
-      WITH base AS (SELECT doc_id, substr(text, 1, $FuzzyPrefix) AS k
-                    FROM documents WHERE n_chars >= $FuzzyPrefix),
-      d0 AS (SELECT doc_id, k,
-               ${DetHash.h60Sql("'fz:' || CAST(doc_id AS VARCHAR)")} % 3 AS e,
-               CAST(${DetHash.h60Sql("'fzp1:' || CAST(doc_id AS VARCHAR)")}
-                    % 40 + 4 AS INT) AS p1,
-               CAST(${DetHash.h60Sql("'fzp2:' || CAST(doc_id AS VARCHAR)")}
-                    % 38 + 2 AS INT) AS p2
-             FROM base WHERE doc_id < $StreamFzMaxDoc),
-      d1 AS (SELECT doc_id, e, p2,
-               CASE WHEN e >= 1
-                    THEN substr(k, 1, p1 - 1) || substr(k, p1 + 1, $FuzzyPrefix)
-                    ELSE k END AS k1
-             FROM d0),
-      batch AS (SELECT doc_id + 1000000 AS did,
-               CASE WHEN e = 2
-                    THEN substr(k1, 1, p2 - 1) || '#' ||
-                         substr(k1, p2 + 1, $FuzzyPrefix)
-                    ELSE k1 END AS dk
-             FROM d1)
+      WITH ${fuzzyCtes(bound = Some(StreamFzMaxDoc))}
       SELECT b.doc_id, d.did,
              CAST(levenshtein(b.k, d.dk) AS BIGINT) AS dist
-      FROM base b, batch d
+      FROM base b, dirty d
       WHERE levenshtein(b.k, d.dk) <= $FuzzyK
       ORDER BY 1, 2""",
 

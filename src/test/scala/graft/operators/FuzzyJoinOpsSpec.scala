@@ -147,6 +147,25 @@ class FuzzyJoinOpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("probing a persisted index with a different k fails loudly") {
+    // a k=2 index probed at k=3 splits lengths 4 ways against 3-way
+    // pieces — without the in-plan guard this silently loses most
+    // pairs, which is worse than any crash on the exact workflow the
+    // persisted index exists for (cross-session parquet reuse)
+    import spark.implicits._
+    val rs = corpus(20, tag = 6).toDF("id", "k")
+    val ls = corpus(10, tag = 6).toDF("id", "k")
+    val idx = FuzzyJoinOps.buildChunkIndex(rs, $"id", $"k", 2)
+    val e = intercept[Exception] {
+      graft.Pins.scoped {
+        FuzzyJoinOps.fuzzyJoinWithIndex(idx, ls, $"id", $"k", k = 3).count()
+      }
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("chunk index built with k=2")), e)
+  }
+
   test("self-join pairs form: unordered, a < b") {
     val c = corpus(40, tag = 3)
     import spark.implicits._

@@ -14,12 +14,17 @@ class ParityProbeSpec extends AnyFunSuite {
   private val TpchTables =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
-  /** True when `sql` scans `table` (FROM/JOIN reference; a CTE of the
-    * same name would shadow the table, but no oracle does that — and if
-    * one ever did, this spec failing is the right outcome: the probe's
-    * table logic needs a human look either way). */
+  /** True when `sql` scans `table` (FROM/JOIN reference, including a
+    * comma-list position — the fuzzy oracles' `FROM base b, dirty d`
+    * style; a CTE of the same name would shadow the table, but no
+    * oracle does that — and if one ever did, this spec failing is the
+    * right outcome: the probe's table logic needs a human look either
+    * way). The comma branch can overmatch (a comma-list of aliases is
+    * rare but conceivable) — that errs toward INCLUDING a query in the
+    * events set, i.e. a superfluous expansion, never a skipped one. */
   private def reads(sql: String, table: String): Boolean =
-    ("""(?is)\b(from|join)\s+""" + table + """\b""").r.findFirstIn(sql).isDefined
+    ("""(?is)(\b(from|join)\s+|,\s*)""" + table + """\b""").r
+      .findFirstIn(sql).isDefined
 
   private lazy val relSql: Map[String, String] =
     graft.SparkEntry.oracleSql.filter(_._1.startsWith("rel_"))

@@ -457,12 +457,24 @@ object TextAnalysisOps {
   def bpeEncode(docs: DataFrame, id: Column, text: Column,
                 topK: Int = 20, topWords: Int = 500): DataFrame = {
     val words = Pins.pin(wordTypeCounts(docs, id, text))
+    val toksN = bpeFold(words, topK)
+    rankTopN(words, topWords, $"wn".desc, $"w")
+      .withColumn("toks", toksN)
+      .select($"rk", $"w", $"wn",
+        size($"toks").cast("long").as("n_toks"),
+        array_join($"toks", " ").as("enc"))
+  }
+
+  /** The learned-merges token fold over a `w` column: learns the top-K
+    * merges from `words` (driver-side bounded collect) and returns the
+    * token-array column encoding `w` — the shared core of [[bpeEncode]]
+    * and [[bpeTokenCounts]]. */
+  private def bpeFold(words: DataFrame, topK: Int): Column = {
     val spark = words.sparkSession
     import spark.implicits._
     val merges = bpePairsFrom(words, topK)
       .orderBy($"rk").select($"pair").as[String].collect().toSeq
-    val toks0 = split($"w", "")
-    val toksN = merges.foldLeft(toks0) { (toks, p) =>
+    merges.foldLeft(split($"w", "")) { (toks, p) =>
       val cps = p.codePoints.toArray
       require(cps.length == 2, s"merge pair must be 2 codepoints: '$p'")
       val a = new String(cps, 0, 1); val b = new String(cps, 1, 1)
@@ -472,11 +484,36 @@ object TextAnalysisOps {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(p))))
           .otherwise(concat(acc, array(t))))
     }
-    rankTopN(words, topWords, $"wn".desc, $"w")
-      .withColumn("toks", toksN)
-      .select($"rk", $"w", $"wn",
-        size($"toks").cast("long").as("n_toks"),
-        array_join($"toks", " ").as("enc"))
+  }
+
+  /** Corpus-level BPE token accounting — the dataloader-facing view of
+    * [[bpeEncode]]: every word TYPE is encoded once (the vocab-sized
+    * fold; a single-char word is trivially one token and skips the
+    * table), and each document's BPE token count is then ONE join of
+    * its word stream against that table — so the corpus-sized work is
+    * the word explode + one equality join, never a per-document encode.
+    * The whitespace count rides the same aggregation, giving the
+    * compression ratio (words vs BPE tokens) a mixture/packing policy
+    * reads. Docs whose normalized text is empty produce no row (no
+    * words — the same contract as the token-count family).
+    * Output: doc_id, n_words, n_bpe_tokens. */
+  def bpeTokenCounts(docs: DataFrame, id: Column, text: Column,
+                     topK: Int = 20): DataFrame = {
+    // one corpus pass feeds both the type table (via groupBy) and the
+    // per-doc join side
+    val docWords = Pins.pin(
+      docs.select(id.as("doc_id"), normText(text).as("norm"))
+        .spreadBy($"doc_id")
+        .select($"doc_id", explode(split($"norm", " ")).as("w"))
+        .filter(length($"w") >= 1))
+    val types = Pins.pin(docWords.filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("wn")))
+    val enc = types.select($"w", size(bpeFold(types, topK))
+      .cast("long").as("n_toks"))
+    docWords.join(enc, Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce($"n_toks", lit(1L))).as("n_bpe_tokens"))
   }
 
   /** Collocation mining — adjacent word pairs ranked by frequency with

@@ -487,6 +487,14 @@ object LlmQueries {
           BpeTopK, BpeEncodeWords)
         .orderBy("rk")),
 
+    // corpus-level BPE token accounting: every word TYPE encoded once,
+    // per-doc counts by one word-stream join — whitespace vs BPE token
+    // counts per doc, the numbers a packing/mixture policy budgets with
+    "llm_bpe_tokens" -> ((s, d) =>
+      TextAnalysisOps.bpeTokenCounts(docs(s, d), $"doc_id", $"text",
+          BpeTopK)
+        .orderBy("doc_id")),
+
     // theta-sketch distinct-token estimate per lang (bounded-memory
     // mergeable cardinality; deterministic md5 threshold, so the
     // estimate itself — not just its accuracy — is oracle-exact)
@@ -1863,6 +1871,49 @@ object LlmQueries {
       SELECT rk, w, wn,
              CAST(len(string_split(enc, ' ')) AS BIGINT) AS n_toks, enc
       FROM fin ORDER BY rk""",
+
+    // llm_bpe_encode's fold applied to EVERY word type (no top bound),
+    // then one word-stream join: per-doc whitespace vs BPE token counts
+    "llm_bpe_tokens" -> s"""
+      WITH RECURSIVE words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(string_split($Norm, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY 1),
+      p AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                 i -> substr(w, i, 2))) AS pair, wn
+        FROM words),
+      c AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY 1),
+      r AS (SELECT pair,
+            CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
+            FROM c),
+      m AS (SELECT pair, rk FROM r WHERE rk <= $BpeTopK),
+      nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+      app AS (
+        SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
+               CAST(0 AS BIGINT) AS step
+        FROM words
+        UNION ALL
+        SELECT a.w,
+               list_reduce(string_split(a.s, ' '), (acc, t) ->
+                 CASE WHEN regexp_extract(acc, '[^ ]+$$')
+                            = substr(m.pair, 1, 1)
+                       AND t = substr(m.pair, 2, 1)
+                 THEN substr(acc, 1, length(acc)
+                        - length(regexp_extract(acc, '[^ ]+$$'))) || m.pair
+                 ELSE acc || ' ' || t END) AS s,
+               a.step + 1
+        FROM app a JOIN m ON m.rk = a.step + 1),
+      enc AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_toks
+              FROM app WHERE step = (SELECT n FROM nm)),
+      dw AS (SELECT doc_id, unnest(string_split($Norm, ' ')) AS w
+             FROM documents),
+      dw1 AS (SELECT doc_id, w FROM dw WHERE length(w) >= 1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN length(w) >= 2 THEN e.n_toks
+                           ELSE 1 END) AS BIGINT) AS n_bpe_tokens
+      FROM dw1 LEFT JOIN enc e USING (w)
+      GROUP BY 1 ORDER BY 1""",
 
     "llm_theta_distinct" -> s"""
       WITH tk AS (SELECT lang, unnest(string_split($Norm, ' ')) AS tok

@@ -153,19 +153,22 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       (1L, "abab abab banana bandana"),
       (2L, "aaaa abba banana cab"),
       (3L, "ban cab abab aaaa")).toDF("doc_id", "text")
-    val words = d.as[(Long, String)].collect()
-      .flatMap(_._2.split(" ")).filter(_.length >= 2)
-      .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val pairCounts = words.toSeq
-      .flatMap { case (w, wn) => w.sliding(2).map(_ -> wn) }
-      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
-    val merges = pairCounts.sortBy { case (p, n) => (-n, p) }
-      .take(4).map(_._1)
-    def gpt2Encode(w: String): Seq[String] = {
+    def typeCounts(corpus: Seq[(Long, String)]): Map[String, Long] =
+      corpus.flatMap(_._2.split(" ")).filter(_.length >= 2)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def learnMerges(words: Map[String, Long]): Seq[String] =
+      words.toSeq
+        .flatMap { case (w, wn) => w.sliding(2).map(_ -> wn) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy { case (p, n) => (-n, p) }
+        .take(4).map(_._1)
+    val words = typeCounts(d.as[(Long, String)].collect())
+    val merges = learnMerges(words)
+    def gpt2Encode(w: String, ms: Seq[String] = merges): Seq[String] = {
       var toks = w.map(_.toString).toVector
       var done = false
       while (!done) {
-        val present = merges.zipWithIndex.filter { case (m, _) =>
+        val present = ms.zipWithIndex.filter { case (m, _) =>
           toks.sliding(2).exists(s =>
             s.length == 2 && s(0) + s(1) == m)
         }
@@ -203,6 +206,26 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(byW("aaaa") == "aa aa", byW)
     assert(byW("banana") == "ba n an a" || byW("banana") == "b an an a",
       byW) // whichever of ba/an ranks first must win the shared 'a'
+
+    // and the corpus-level accounting over the same fixture: per-doc
+    // (n_words, n_bpe_tokens) must equal the ground-truth sums, with
+    // single-char words counting one token without touching the table
+    val ext = d.as[(Long, String)].collect().toSeq :+ (4L, "x abab")
+    val cg = TextAnalysisOps.bpeTokenCounts(
+        ext.toDF("doc_id", "text"), $"doc_id", $"text", topK = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // merges re-learned over the EXTENDED corpus (the extra doc shifts
+    // type counts); the 1-char type 'x' is excluded from the type table
+    // and must count one token through the coalesce path
+    val extMerges = learnMerges(typeCounts(ext))
+    val cWant = ext.map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong,
+        ws.map(w => if (w.length >= 2) gpt2Encode(w, extMerges).length.toLong
+                    else 1L).sum)
+    }.sortBy(_._1)
+    assert(cg.toSeq == cWant.toSeq,
+      s"got ${cg.toSeq} want ${cWant.toSeq}")
   }
 
   test("blocklistFilter: exact-token hits only, counted") {

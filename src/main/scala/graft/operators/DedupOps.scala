@@ -1154,7 +1154,12 @@ object DedupOps {
     require(n > 0 && mBits > 0 && numHashes > 0 && minShared >= 1)
     def positions(g: Column): Column =
       array((0 until numHashes).map(j => pmod(hash(lit(j), g), lit(mBits))): _*)
-    val bits = oldGrams.select(explode(positions($"g")).as("bit")).distinct()
+    // the bitset is derived once per nightly run in production (an
+    // O(index) scan over the persisted gram table) — pin it so
+    // re-executions of the returned plan read the ≤ mBits rows instead
+    // of re-running the index-sized explode + distinct per action
+    val bits = Pins.pin(
+      oldGrams.select(explode(positions($"g")).as("bit")).distinct())
     val nw = Pins.pin(wordGramArrays(newDocs, id, text, n))
     val cand = nw.select($"doc_id", explode($"gs").as("g"))
       .select($"doc_id", $"g", explode(positions($"g")).as("p"))

@@ -561,8 +561,14 @@ object VectorOps {
             m: Int = 8, nCodes: Int = 16): DataFrame = {
     val vectors = Pins.pin(vectors0)
     val codebook = Pins.pin(pqCodebook(vectors, m, nCodes))
-    pqKnnWithIndex(vectors, codebook, pqEncode(vectors, codebook, m),
-      probeIds, k, m, nCodes)
+    // pin the codes table too (the clusterAssign/ivfKnn lesson):
+    // production serves from PERSISTED codes (pqKnnWithIndex over
+    // parquet), so re-executions of this plan must not re-run
+    // pqEncode's corpus-sized subvector explode + two shuffles —
+    // without the pin, repeated actions redo them every time (bench
+    // min-of-3 showed multi-× exec swings from exactly this)
+    pqKnnWithIndex(vectors, codebook,
+      Pins.pin(pqEncode(vectors, codebook, m)), probeIds, k, m, nCodes)
   }
 
   /** Per-row split into m contiguous subvectors: (id, sub, cv). Rejects
@@ -695,8 +701,10 @@ object VectorOps {
                     k: Int, r: Int, m: Int = 8, nCodes: Int = 16): DataFrame = {
     val vectors = Pins.pin(vectors0)
     val codebook = Pins.pin(pqCodebook(vectors, m, nCodes))
-    pqKnnRerank(vectors, codebook, pqEncode(vectors, codebook, m),
-      probeIds, k, r, m, nCodes)
+    // codes pinned for the same reason as [[pqKnn]]: the serving plan
+    // reads a persisted table in production, never re-encodes per action
+    pqKnnRerank(vectors, codebook,
+      Pins.pin(pqEncode(vectors, codebook, m)), probeIds, k, r, m, nCodes)
   }
 
   /** Streaming ANN serving — [[lshKnn]] for an arriving query stream:

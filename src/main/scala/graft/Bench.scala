@@ -31,12 +31,19 @@ object Bench {
     // a JVM/box-state shift moves calib_s by the same multiplier as the
     // board (r13 burned a worktree A/B proving a uniform ~1.4× swing was
     // box state — this makes the next one readable from the artifact).
-    val (calibBuild, calibExec) = timeQuery { () =>
+    // Run AGAIN at battery end (`calib_end_s`): a box-state shift that
+    // arrives MID-battery (the r14 driver run, where one query ate a
+    // 50× spike the start-of-run calib never saw) is then readable from
+    // the artifact as calib_start ≠ calib_end, and each query's
+    // `epoch_s` stamp (below) places it before or after the shift.
+    def calibrate(): (Double, Double) = timeQuery { () =>
       import org.apache.spark.sql.functions._
       spark.range(64L * 1000 * 1000)
         .select(pmod(col("id") * 2654435761L, lit(9973L)).as("k"), col("id"))
         .groupBy("k").agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
     }
+    val (calibBuild, calibExec) = calibrate()
+    val batteryT0 = System.nanoTime()
     // per query: one untimed warmup (plan construction + first count —
     // absorbs JIT/page-cache first-touch noise that dominated sub-second
     // queries: identical code swung 7× between rounds on min-of-2), then
@@ -45,7 +52,13 @@ object Bench {
     // a visible failure rather than an implausibly fast ~0s success.
     val capRows = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     val splitRows = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    val epochRows = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // wall epoch (seconds since battery start) at which this query's
+      // timing began — with calib_start/calib_end this localizes a
+      // mid-run box-state spike to its time window from the artifact
+      epochRows(name) =
+        math.rint((System.nanoTime() - batteryT0) / 1e7) / 100.0
       // build the plan once (the streaming and iterative queries do real
       // work at construction — that cost lands in the warmup, matching
       // the steady-state cost a resident engine would see); the timed
@@ -84,9 +97,12 @@ object Bench {
     val splits = splitRows.map { case (k, (b, r, m)) =>
       s"""\"$k\":{\"split_buckets\":$b,\"split_rows\":$r,\"max_bucket\":$m}"""
     }.mkString("{", ",", "}")
+    val (calibEndBuild, calibEndExec) = calibrate()
+    val epochs = epochRows.map { case (k, e) => s"\"" + k + "\":" + e }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
     val buildTotal = results.map(_._2._1).filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_total":$buildTotal,"calib_s":$calibExec,"calib_build_s":$calibBuild,"queries":$qs,"build_s":$builds,"cap_drops":$caps,"cap_splits":$splits,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","build_total":$buildTotal,"calib_s":$calibExec,"calib_build_s":$calibBuild,"calib_end_s":$calibEndExec,"calib_end_build_s":$calibEndBuild,"queries":$qs,"build_s":$builds,"epoch_s":$epochs,"cap_drops":$caps,"cap_splits":$splits,"sf":"$sfDir"}"""
     println(full)
     // The driver captures only a 2000-char tail of this stdout; the full
     // line above is ~10k chars (122 query names alone exceed the budget),
@@ -100,7 +116,7 @@ object Bench {
     // cap the inline list so this line always fits the 2000-char tail,
     // even in a mass-failure round; the full set is in BENCH_FULL.json
     val failedJson = failed.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"calib_s":$calibExec,"queries_file":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"calib_s":$calibExec,"calib_end_s":$calibEndExec,"queries_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 

@@ -274,14 +274,21 @@ object FuzzyJoinOps {
     // break the watermarked pair dedup
     val base = stream.filter(id.isNotNull && ts.isNotNull && key.isNotNull)
       .select(id.as("lid"), ts.as("ts"), key.as("lk"))
+    // join strategy deliberately left to the planner (no broadcast
+    // hints): the pinned static sides carry materialized size stats, so
+    // a fixture-scale index auto-broadcasts under the threshold, while
+    // a 100 TB historical index — which cannot fit in one executor —
+    // plans a shuffled stream-static equi-join instead. Both are
+    // stateless; the pin already amortizes per-micro-batch re-execution
+    // of the static plan either way.
     val candMain = probeRows(base, k, carry = Seq("ts", "lk"))
-      .join(broadcast(counts), keys)
+      .join(counts, keys)
       .withColumn("sub", explode(sequence(lit(0L), $"nsub" - 1)))
-      .join(broadcast(idxSub), keys :+ "sub")
+      .join(idxSub, keys :+ "sub")
       .select($"lid", $"ts", $"lk", $"rid", $"rk")
     val candShort = base.filter(length($"lk") <= 2 * k)
       .select($"lid", $"ts", $"lk", length($"lk").as("ml"))
-      .join(broadcast(rShort), "ml")
+      .join(rShort, "ml")
       .select($"lid", $"ts", $"lk", $"rid", $"rk")
     candMain.unionByName(candShort)
       .select($"lid".as("left_id"), $"ts", $"rid".as("right_id"),

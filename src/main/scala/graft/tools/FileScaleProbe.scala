@@ -229,9 +229,14 @@ object FileScaleProbe {
         .agg(sum(col("value"))).count()
       dayAgg()
       time(s"fleet 1-day pruned read+agg ($nStores stores)") { dayAgg() }
-      // optional parquet mirror of the same rows for a DuckDB-side
-      // comparison (the proxy engine cannot read .tsd stores): set
-      // GRAFT_FSP_MIRROR=<dir> and run the same aggs there
+      // optional parquet mirror for a DuckDB-side comparison (the proxy
+      // engine cannot read .tsd stores): set GRAFT_FSP_MIRROR=<dir>.
+      // NOTE the mirror is the PRE-ENCODE grid (`long`): every row is
+      // valid and there is no is_register column, so the DuckDB-side
+      // agg is `GROUP BY channel: sum(value)` with NO
+      // `valid && !is_register` filter — the fleet aggs above apply
+      // that filter to the DECODED rows, where it is a no-op on this
+      // fixture (the grid encodes no invalids and no register channels)
       sys.env.get("GRAFT_FSP_MIRROR").foreach { mdir =>
         time("parquet mirror write") {
           long.write.mode("overwrite")

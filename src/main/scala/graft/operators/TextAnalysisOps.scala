@@ -425,8 +425,11 @@ object TextAnalysisOps {
       .select($"rk", $"pair", $"n")
   }
 
-  /** BPE ENCODE — applying the learned merges table, the step between
-    * [[bpePairCounts]] (learning candidates) and a dataloader: every
+  /** BPE ENCODE (single-level) — applying [[bpePairCounts]]'s one-shot
+    * char-pair merges table; for TRUE iterated multi-level induction
+    * and its encode, see [[bpeLearn]] / [[bpeLearnEncode]] /
+    * [[applyMerges]]. The step between learning candidates and a
+    * dataloader: every
     * word type's character sequence is rewritten by the top-`topK`
     * merges in rank order, each applied exhaustively left-to-right.
     * With a single-level merges table (every merge pairs single CHARS,
@@ -466,24 +469,143 @@ object TextAnalysisOps {
   }
 
   /** The learned-merges token fold over a `w` column: learns the top-K
-    * merges from `words` (driver-side bounded collect) and returns the
-    * token-array column encoding `w` — the shared core of [[bpeEncode]]
-    * and [[bpeTokenCounts]]. */
+    * single-level merges from `words` (driver-side bounded collect) and
+    * returns the token-array column encoding `w` — the shared core of
+    * [[bpeEncode]] and [[bpeTokenCounts]]. */
   private def bpeFold(words: DataFrame, topK: Int): Column = {
     val spark = words.sparkSession
     import spark.implicits._
     val merges = bpePairsFrom(words, topK)
       .orderBy($"rk").select($"pair").as[String].collect().toSeq
-    merges.foldLeft(split($"w", "")) { (toks, p) =>
-      val cps = p.codePoints.toArray
-      require(cps.length == 2, s"merge pair must be 2 codepoints: '$p'")
-      val a = new String(cps, 0, 1); val b = new String(cps, 1, 1)
-      aggregate(toks, typedLit(Seq.empty[String]), (acc, t) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(a) && t === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(p))))
-          .otherwise(concat(acc, array(t))))
+      .map { p =>
+        val cps = p.codePoints.toArray
+        require(cps.length == 2, s"merge pair must be 2 codepoints: '$p'")
+        (new String(cps, 0, 1), new String(cps, 1, 1))
+      }
+    applyMerges(split($"w", ""), merges)
+  }
+
+  /** ONE exhaustive left-to-right merge pass of (a, b) → a+b over a
+    * token-array column — the greedy non-overlapping BPE application,
+    * for ARBITRARY tokens (a and b may themselves be merged multi-char
+    * tokens): the incoming token merges into the accumulator's last
+    * token iff (last, t) = (a, b), and a freshly merged a+b occupying
+    * the last slot is compared as the FULL token a+b, so it never
+    * re-merges as a bare `a` within the same pass (`aaaa` under (a,a)
+    * folds to `aa aa`, `aaaaa` to `aa aa a`) — exactly the
+    * non-overlapping scan of the classic encode loop. A string
+    * `replace` chain over a delimited form is NOT this fold (replace
+    * resumes scanning past the consumed delimiter and skips adjacent
+    * occurrences); the SQL twin is the identical fold via DuckDB's
+    * `list_reduce` over a string accumulator. */
+  private def mergeOnce(toks: Column, a: String, b: String): Column =
+    aggregate(toks, typedLit(Seq.empty[String]), (acc, t) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && t === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(t))))
+
+  /** Apply an ORDERED (possibly multi-level) merges table to a token
+    * array column: merge i is applied exhaustively left-to-right before
+    * merge i+1 — so a later merge may pair tokens an earlier merge
+    * produced (true hierarchical BPE application, the table
+    * [[bpeLearn]] emits). Chain-applying the learned table to the raw
+    * character split is EQUAL to the learn loop's final encoded state
+    * (induction on rounds: state_i = merge_i applied to state_{i-1});
+    * [[bpeLearnEncode]] rides that identity and the spec pins it. The
+    * merges are a bounded driver-side literal list compiled into
+    * `merges.length` codegen'd array folds — vocab-sized work per row,
+    * zero shuffles, zero UDFs. */
+  def applyMerges(toks: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(toks)((ts, m) => mergeOnce(ts, m._1, m._2))
+
+  /** ITERATED BPE merge learning — true multi-level tokenizer
+    * induction, not the single-level approximation [[bpePairCounts]]
+    * ranks: each round counts adjacent TOKEN-pair frequencies over the
+    * current encoding of the word types, collects the single top pair
+    * (count desc, then (a, b) lexicographic — a total order), and
+    * re-encodes the types with that merge before the next count — so
+    * merge i+1 can pair tokens merge i produced (`t`+`h` → `th`, then
+    * `th`+`e` → `the`), which no one-shot pair ranking can learn.
+    *
+    * Scale shape: the corpus-sized stage is the ONE word-count partial
+    * agg inside [[wordTypeCounts]]; every loop round is (vocab-sized
+    * pair explode + partial agg → 1-row TakeOrdered collect →
+    * vocab-sized re-encode map), the same bounded-literal iteration
+    * pattern as Lloyd's in VectorOps — driver state is `rounds` merge
+    * rows, each round's state is pinned and the previous round's
+    * released, and nothing corpus-sized ever re-materializes. Stops
+    * early only if the vocabulary runs out of adjacent pairs (every
+    * type reduced to one token — degenerate corpora only; the oracle's
+    * unrolled form assumes the full `rounds`).
+    * Output: rk, a, b, merged, n — the learned merges in order. */
+  def bpeLearn(docs: DataFrame, id: Column, text: Column,
+               rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = Pins.pin(wordTypeCounts(docs, id, text))
+    val (merges, _) = learnLoop(words, rounds)
+    merges.zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1L, a, b, a + b, n) }
+      .toDF("rk", "a", "b", "merged", "n")
+  }
+
+  /** [[bpeLearn]]'s merges chain-applied back to the word types via
+    * [[applyMerges]] — the multi-level-table encode path (the chain
+    * application, not the loop's final state, so the gate exercises
+    * exactly what a dataloader holding a persisted merges table runs).
+    * Output: rk, w, wn, n_toks, enc — the top `topWords` word types by
+    * (count desc, word). */
+  def bpeLearnEncode(docs: DataFrame, id: Column, text: Column,
+                     rounds: Int, topWords: Int): DataFrame = {
+    val words = Pins.pin(wordTypeCounts(docs, id, text))
+    val (merges, _) = learnLoop(words, rounds)
+    val toksN = applyMerges(split($"w", ""), merges.map(m => (m._1, m._2)))
+    rankTopN(words, topWords, $"wn".desc, $"w")
+      .withColumn("toks", toksN)
+      .select($"rk", $"w", $"wn",
+        size($"toks").cast("long").as("n_toks"),
+        array_join($"toks", " ").as("enc"))
+  }
+
+  /** The learn loop over a pinned (w, wn) type table: `rounds` times,
+    * count → collect the top merge → re-encode. Returns the merges in
+    * learned order and the final encoded state (w, wn, toks). Each
+    * round's state is pinned and materialized by the 1-row collect of
+    * the NEXT round's pair count (or by the caller's action for the
+    * last), and the previous round's cache is released eagerly so live
+    * cache stays one vocab-sized table regardless of `rounds`. */
+  private def learnLoop(words: DataFrame, rounds: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var state = Pins.pin(words.select($"w", $"wn", split($"w", "").as("toks")))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val top = state.filter(size($"toks") >= 2)
+        .select($"wn", explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> " +
+            "struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+          .as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"wn").as("n"))
+        .orderBy($"n".desc, $"a", $"b").limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, _) = top.head
+        merges += top.head
+        val next = Pins.pin(state.select($"w", $"wn",
+          mergeOnce($"toks", a, b).as("toks")))
+        next.count() // materialize before dropping the parent's cache
+        state.unpersist(blocking = false)
+        state = next
+      }
+      r += 1
     }
+    (merges.toSeq, state)
   }
 
   /** Corpus-level BPE token accounting — the dataloader-facing view of

@@ -134,6 +134,11 @@ object LlmQueries {
   private val VocabTopN = 100
   private val BpeTopK = 20
   private val BpeEncodeWords = 500 // llm_bpe_encode: top word types encoded
+  // iterated multi-level learning rounds (llm_bpe_learn): each round is
+  // one (vocab-sized pair count → 1-row collect → re-encode) step, and
+  // the oracle UNROLLS the loop into this many CTE blocks — a bounded
+  // literal like Lloyd's IvfIters, not a convergence knob
+  private val BpeLearnRounds = 12
   private val PmiTopK = 30
   private val PmiMinCount = 3L
   // demo blocklist: real tokens of the synthetic fixture (non-vacuous)
@@ -495,6 +500,24 @@ object LlmQueries {
           BpeTopK)
         .orderBy("doc_id")),
 
+    // TRUE iterated multi-level BPE merge learning: each round counts
+    // adjacent TOKEN-pair frequencies over the current encoding of the
+    // word types, collects the single top merge, and re-encodes before
+    // the next count — so merge i+1 can pair merged tokens (th+e →
+    // the), which the one-shot llm_bpe_pairs ranking cannot learn
+    "llm_bpe_learn" -> ((s, d) =>
+      TextAnalysisOps.bpeLearn(docs(s, d), $"doc_id", $"text",
+          BpeLearnRounds)
+        .orderBy("rk")),
+
+    // the learned multi-level merges table chain-applied back to the
+    // word types (applyMerges — what a dataloader holding a persisted
+    // merges table runs), top word types by count
+    "llm_bpe_learn_enc" -> ((s, d) =>
+      TextAnalysisOps.bpeLearnEncode(docs(s, d), $"doc_id", $"text",
+          BpeLearnRounds, BpeEncodeWords)
+        .orderBy("rk")),
+
     // theta-sketch distinct-token estimate per lang (bounded-memory
     // mergeable cardinality; deterministic md5 threshold, so the
     // estimate itself — not just its accuracy — is oracle-exact)
@@ -807,6 +830,47 @@ object LlmQueries {
   private val NormFooter = DedupOps.normTextSql(s"($FooterSql)")
   private def h31(e: String): String = DetHash.h31Sql(e)
   private val WsTok = s"length(norm) - length(replace(norm, ' ', '')) + 1"
+
+  /** Unrolled learn-loop CTE chain shared by the llm_bpe_learn /
+    * llm_bpe_learn_enc oracles: e0 is the char-split encoding of the
+    * word types; round block i counts adjacent token pairs over e(i-1)
+    * (p_i), takes the single top merge (m_i — count desc then (a, b),
+    * the learner's total order), and re-encodes (e_i) with the same
+    * left-to-right list_reduce fold as the engine's mergeOnce. SQL bans
+    * aggregation in a recursive CTE's recursive term, so the loop is
+    * UNROLLED — BpeLearnRounds is a bounded literal on both sides,
+    * exactly the Lloyd's-iteration oracle pattern. */
+  private def bpeLearnCtes: String = {
+    val head = s"""
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(string_split($Norm, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY 1),
+      e0 AS (SELECT w, wn,
+             trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM words)"""
+    val blocks = (1 to BpeLearnRounds).map { i =>
+      s"""
+      p$i AS (
+        SELECT ts[i] AS a, ts[i + 1] AS b, CAST(sum(wn) AS BIGINT) AS n
+        FROM (SELECT wn, string_split(s, ' ') AS ts,
+                     unnest(generate_series(1,
+                       len(string_split(s, ' ')) - 1)) AS i
+              FROM e${i - 1})
+        GROUP BY 1, 2),
+      m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+      e$i AS (
+        SELECT e.w, e.wn,
+               list_reduce(string_split(e.s, ' '), (acc, t) ->
+                 CASE WHEN regexp_extract(acc, '[^ ]+$$') = m.a
+                       AND t = m.b
+                 THEN substr(acc, 1, length(acc)
+                        - length(regexp_extract(acc, '[^ ]+$$')))
+                        || m.a || m.b
+                 ELSE acc || ' ' || t END) AS s
+        FROM e${i - 1} e, m$i m)"""
+    }
+    (head +: blocks).mkString(",")
+  }
 
   /** doc → distinct 5-char-shingle h31 hashes (mirrors
     * DedupOps.shingleHashes); `src` is any relation yielding
@@ -1284,8 +1348,18 @@ object LlmQueries {
           .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
           .maxOption.getOrElse(-1L)
         require(maxState >= 0, "stream fuzzy link: state metrics absent")
-        require(maxState <= 4 * StreamFzMaxDoc,
-          s"fuzzy-link state holds $maxState rows for ${rows.length} probes")
+        // the contract is one state row per emitted DISTINCT pair, so
+        // the bound is the OBSERVED emitted-link count (each batch's
+        // sink rows are post-dedup distinct pairs, and a pair enters
+        // state in the batch it emits) — not a fixed multiple of the
+        // probe count, which a legitimately link-dense corpus (many
+        // clean keys sharing a dirty key's prefix) would overshoot
+        val emitted = q.recentProgress.toSeq
+          .map(_.sink.numOutputRows).filter(_ >= 0).sum
+        require(maxState <= emitted,
+          s"fuzzy-link state holds $maxState rows but only $emitted " +
+            s"links were emitted for ${rows.length} probes — a probe- " +
+            "or candidate-sized leak, not pair-level state")
       }
     }
       .select($"right_id".as("doc_id"), $"left_id".as("did"), $"dist")
@@ -1914,6 +1988,28 @@ object LlmQueries {
                            ELSE 1 END) AS BIGINT) AS n_bpe_tokens
       FROM dw1 LEFT JOIN enc e USING (w)
       GROUP BY 1 ORDER BY 1""",
+
+    // iterated multi-level learning: the unrolled count → top-merge →
+    // re-encode chain (bpeLearnCtes), merges collected in round order
+    "llm_bpe_learn" -> (bpeLearnCtes + s""",
+      mm AS (${(1 to BpeLearnRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rk, a, b, a || b AS merged, n " +
+          s"FROM m$i").mkString(" UNION ALL ")})
+      SELECT rk, a, b, merged, n FROM mm ORDER BY rk"""),
+
+    // the final encoded state e_R IS the chain application of the
+    // learned table to the raw char split (state_i = merge_i applied to
+    // state_{i-1}, by induction) — the engine side runs applyMerges and
+    // the spec pins the identity
+    "llm_bpe_learn_enc" -> (bpeLearnCtes + s""",
+      top AS (SELECT w, wn,
+              CAST(row_number() OVER (ORDER BY wn DESC, w) AS BIGINT) AS rk
+              FROM words QUALIFY rk <= $BpeEncodeWords)
+      SELECT t.rk, t.w, t.wn,
+             CAST(len(string_split(e.s, ' ')) AS BIGINT) AS n_toks,
+             e.s AS enc
+      FROM top t JOIN e$BpeLearnRounds e ON e.w = t.w
+      ORDER BY t.rk"""),
 
     "llm_theta_distinct" -> s"""
       WITH tk AS (SELECT lang, unnest(string_split($Norm, ' ')) AS tok

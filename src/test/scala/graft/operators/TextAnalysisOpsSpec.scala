@@ -228,6 +228,97 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       s"got ${cg.toSeq} want ${cWant.toSeq}")
   }
 
+  test("bpeLearn: iterated multi-level learning equals a straight-line trainer") {
+    // independent ground truth: plain-collections BPE training — each
+    // round counts adjacent token pairs over the CURRENT encoding,
+    // merges the top pair (count desc, then (a, b)) greedily
+    // left-to-right, and repeats. The fixture is engineered so a later
+    // round pairs a token an earlier round PRODUCED (the multi-level
+    // step the single-level bpePairCounts table cannot express).
+    def mergeGreedy(ts: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.result()
+    }
+    def refLearn(words: Map[String, Long], rounds: Int)
+        : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+      var st = words.map { case (w, n) => w -> (w.map(_.toString).toVector, n) }
+      val ms = Seq.newBuilder[(String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        st.values.foreach { case (ts, n) =>
+          ts.sliding(2).filter(_.length == 2).foreach { s =>
+            pc((s(0), s(1))) = pc.getOrElse((s(0), s(1)), 0L) + n
+          }
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((a, b), n) = pc.toSeq
+            .minBy { case ((pa, pb), pn) => (-pn, pa, pb) }
+          ms += ((a, b, n))
+          st = st.map { case (w, (ts, wn)) => w -> (mergeGreedy(ts, a, b), wn) }
+        }
+        r += 1
+      }
+      (ms.result(), st.map { case (w, (ts, _)) => w -> ts })
+    }
+    val d = Seq(
+      (1L, "the the the then there"),
+      (2L, "these those the other then"),
+      (3L, "banana bandana the there an and")).toDF("doc_id", "text")
+    val words = d.as[(Long, String)].collect().toSeq
+      .flatMap(_._2.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rounds = 6
+    val (wantMerges, wantEnc) = refLearn(words, rounds)
+    assert(wantMerges.length == rounds)
+    // the fixture must actually exercise the multi-level step: some
+    // learned merge must have a side that is itself a merged token
+    assert(wantMerges.exists(m => m._1.length > 1 || m._2.length > 1),
+      s"fixture never paired a merged token: $wantMerges")
+
+    val gotMerges = TextAnalysisOps.bpeLearn(d, $"doc_id", $"text", rounds)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(gotMerges.map(r => (r._2, r._3, r._5)).toSeq == wantMerges,
+      s"got ${gotMerges.toSeq}\nwant $wantMerges")
+    assert(gotMerges.map(r => r._4).toSeq ==
+      wantMerges.map(m => m._1 + m._2))
+    assert(gotMerges.map(_._1).toSeq == (1L to rounds.toLong))
+
+    // bpeLearnEncode chain-applies the table via applyMerges; the ref
+    // final state is the loop's — their equality pins the
+    // chain-apply == iterate identity the oracle's e_R rides
+    val gotEnc = TextAnalysisOps.bpeLearnEncode(
+        d, $"doc_id", $"text", rounds, topWords = 100)
+      .as[(Long, String, Long, Long, String)].collect().sortBy(_._1)
+    val wantTop = words.toSeq.sortBy { case (w, wn) => (-wn, w) }
+    assert(gotEnc.length == wantTop.length)
+    gotEnc.zip(wantTop).foreach { case ((rk, w, wn, nToks, enc), (ww, wwn)) =>
+      assert(w == ww && wn == wwn, s"rank $rk: $w/$wn vs $ww/$wwn")
+      assert(enc == wantEnc(w).mkString(" "), s"'$w': got '$enc'")
+      assert(nToks == wantEnc(w).length)
+    }
+  }
+
+  test("applyMerges: a multi-level table pairs merged tokens, non-overlapping") {
+    // (a,a) then (aa,aa): 'aaaaa' → 'aa aa a' → 'aaaa a' — the second
+    // merge consumes tokens the first produced, and the greedy pass
+    // never re-merges a freshly built token as its own left side
+    val d = Seq("aaaaa", "aaaa", "aaa").toDF("w")
+    val got = d.select(org.apache.spark.sql.functions.array_join(
+        TextAnalysisOps.applyMerges(
+          org.apache.spark.sql.functions.split($"w", ""),
+          Seq(("a", "a"), ("aa", "aa"))), " ").as("enc"))
+      .as[String].collect().toSeq
+    assert(got == Seq("aaaa a", "aaaa", "aa a"))
+  }
+
   test("blocklistFilter: exact-token hits only, counted") {
     val d = Seq(
       (1L, "totally Fine text"),

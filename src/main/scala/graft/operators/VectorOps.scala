@@ -373,6 +373,83 @@ object VectorOps {
     Pins.pin(assignToCentroids(vectors, cents))
   }
 
+  /** Batch nearest-centroid assignment against a GIVEN (frozen)
+    * centroid table — the indexing-run op that writes the persisted
+    * `assignments (vec_id, list_id)` table [[ivfKnnWithIndex]] serves
+    * from, and the REBUILD side of the append == rebuild contract:
+    * assignment is per-row against frozen centroids, so assigning a
+    * grown corpus equals assigning the old corpus plus the new rows —
+    * which is exactly what [[streamingIvfAssign]] appends at ingest.
+    * Same tie-break as training (ties → higher cent_id).
+    * `centroids`: cent_id, cv, cn. Output: vec_id, list_id. */
+  def assignVectors(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(vectors,
+      broadcast(centroids.select($"cent_id", $"cv", $"cn")))
+
+  /** STREAMING IVF index APPEND — the ANN family's incremental serving
+    * form (every dedup family has one; this is the vector twin):
+    * vectors arriving on a stream are quantized and assigned to the
+    * FROZEN persisted centroid set AT INGEST, and the emitted rows are
+    * appended to the serving assignment table. Because assignment is
+    * per-row against frozen centroids, append == rebuild:
+    * [[assignVectors]] over the union corpus yields the identical
+    * table pair-for-pair (the llm_stream_ann_append gate serves from
+    * the appended index against the rebuilt-index oracle, and
+    * `StreamingAnnAppendSpec` pins row-for-row assignment equality).
+    *
+    * Execution shape: the centroid table is a bounded driver-side
+    * literal (C rows — the same collect [[ivfKnn]] already embeds in
+    * its serving plan) and the argmax is ONE codegen'd array fold per
+    * row — stateless, no shuffle, no watermark, no streaming state;
+    * exactly-once is the file sink's commit log (commitStream's
+    * pattern), and the restart spec pins replayed batches landing
+    * exactly once. The fold keeps the running lexicographic max of
+    * (ccos, cent_id) — the same pairs [[assignToCentroids]]'s
+    * `max(struct(ccos, cent_id))` aggregates, with per-pair cosine
+    * arithmetic identical expression-for-expression, so the two argmax
+    * forms cannot disagree bit-wise.
+    *
+    * At 100 TB: ingest cost is rows × C dot products, embarrassingly
+    * parallel; adding a day's vectors APPENDS to the index — no
+    * corpus-sized rebuild. Re-training the coarse quantizer stays an
+    * offline re-index decision (frozen quantizers are standard
+    * practice; centroid drift is a re-index, not an append).
+    * NULL id/embedding rows are poison and dropped (the
+    * streaming-family ignore-don't-crash policy).
+    * Output: vec_id, list_id, qv, nrm — the assignment row plus the
+    * quantized vector, so one ingest pass feeds both serving tables. */
+  def streamingIvfAssign(stream: DataFrame, id: Column, emb: Column,
+                         centroids: DataFrame): DataFrame = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val cents = centroids.select($"cent_id", $"cv", $"cn")
+      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    val clean = stream.filter(id.isNotNull && emb.isNotNull)
+      .select(id.as("vec_id"), quantizeArr(emb).as("qv"))
+      .withColumn("nrm", LongArrayDot($"qv", $"qv"))
+    // an EMPTY centroid table (an empty base corpus trained no
+    // quantizer) assigns nothing — emit no rows rather than crash, the
+    // same degrade-to-empty shape ivfKnn serves (trainCentroids already
+    // warned when the sample yielded zero seeds)
+    if (cents.isEmpty) {
+      System.err.println("[graft] streamingIvfAssign: empty centroid " +
+        "table — no rows will be assigned")
+      return clean.filter(lit(false))
+        .select($"vec_id", lit(0L).as("list_id"), $"qv", $"nrm")
+    }
+    val centsLit = typedLit(cents)
+    val best = aggregate(centsLit,
+      struct(lit(-2.0).as("ccos"), lit(-1L).as("cent_id")),
+      (acc, c) => {
+        val ccos = cosOf(LongArrayDot($"qv", c.getField("_2")),
+          $"nrm", c.getField("_3"))
+        val cand = struct(ccos.as("ccos"), c.getField("_1").as("cent_id"))
+        when(cand > acc, cand).otherwise(acc)
+      })
+    clean.withColumn("best", best)
+      .select($"vec_id", $"best.cent_id".as("list_id"), $"qv", $"nrm")
+  }
+
   /** SemDedup-style semantic near-duplicate pruning (cluster, then prune
     * within clusters — Abbas et al. 2023's recipe re-expressed): the
     * corpus is clustered by the deterministic Lloyd's coarse quantizer
@@ -623,6 +700,79 @@ object VectorOps {
       .groupBy($"vec_id")
       .agg(sort_array(collect_list(struct($"sub", $"code"))).as("sc"))
       .select($"vec_id", transform($"sc", x => x.getField("code")).as("codes"))
+
+  /** STREAMING PQ encode-at-ingest — [[streamingIvfAssign]]'s twin for
+    * the PQ serving family: arriving vectors are encoded against the
+    * FROZEN persisted codebook at ingest and the (vec_id, codes) rows
+    * appended to the codes table [[pqKnnWithIndex]] scans. Encoding is
+    * per-row against a frozen codebook, so append == rebuild
+    * ([[pqEncode]] over the union corpus yields the identical table;
+    * the llm_stream_pq_append gate serves from the appended codes
+    * against the rebuilt-index oracle).
+    *
+    * The batch form's per-subspace shape (posexplode → broadcast join →
+    * per-(vec, sub) argmin groupBy → re-assembly groupBy) is a
+    * streaming AGGREGATION — stateful, watermarked, wrong for ingest —
+    * so the streaming form compiles the m·nCodes codebook rows into a
+    * nested literal (sub-indexed, code-ascending) and computes each
+    * row's code array as one `transform` over subspaces with an inner
+    * argmin fold: running lexicographic min of (d2, code), the same
+    * pairs the batch `min(struct(d2, code))` aggregates, with the
+    * identical exact-integer L2 arithmetic — stateless, no shuffle, no
+    * state. Dimension mismatch raises (a schema/config bug, matching
+    * batch subSplit), while NULL id/embedding rows are poison and
+    * dropped. Output: vec_id, qv, nrm, codes (array<int>, sub order —
+    * byte-compatible with [[pqEncode]]'s). */
+  def streamingPqEncode(stream: DataFrame, id: Column, emb: Column,
+                        codebook: DataFrame, m: Int): DataFrame = {
+    val spark = codebook.sparkSession
+    import spark.implicits._
+    require(m > 0)
+    // per-sub code lists (code asc), bounded m·nCodes literal
+    val cb = codebook.select($"sub", $"code", $"cv", $"cn")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(r => (r._2, r._3, r._4)) }
+    // an EMPTY codebook (empty base corpus) encodes nothing — emit no
+    // rows rather than crash (the degrade-to-empty shape the whole ANN
+    // family shares); a NON-empty codebook with the wrong subspace
+    // count is a config bug and still fails fast
+    if (cb.isEmpty) {
+      System.err.println("[graft] streamingPqEncode: empty codebook — " +
+        "no rows will be encoded")
+      return stream.filter(id.isNotNull && emb.isNotNull)
+        .select(id.as("vec_id"), quantizeArr(emb).as("qv"))
+        .withColumn("nrm", LongArrayDot($"qv", $"qv"))
+        .withColumn("codes", lit(null).cast("array<int>"))
+        .filter(lit(false))
+        .select($"vec_id", $"qv", $"nrm", $"codes")
+    }
+    require(cb.length == m,
+      s"streamingPqEncode: codebook has ${cb.length} subspaces, expected $m")
+    val subDim = cb.head.head._2.length
+    val cbLit = typedLit(cb)
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val sv = slice($"qv", j * subDim + 1, lit(subDim))
+      val svn = LongArrayDot(sv, sv)
+      aggregate(element_at(cbLit, (j + 1).cast("int")),
+        struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("code")),
+        (acc, c) => {
+          val d2 = svn + c.getField("_3") -
+            lit(2L) * LongArrayDot(sv, c.getField("_2"))
+          val cand = struct(d2.as("d2"), c.getField("_1").as("code"))
+          when(cand < acc, cand).otherwise(acc)
+        }).getField("code")
+    })
+    stream.filter(id.isNotNull && emb.isNotNull)
+      .select(id.as("vec_id"), quantizeArr(emb).as("qv"))
+      .select($"vec_id", expr(
+        s"IF(size(qv) = ${m * subDim}, qv," +
+          s" raise_error('graft pq: vector dim != ${m * subDim}'))")
+        .as("qv"))
+      .withColumn("nrm", LongArrayDot($"qv", $"qv"))
+      .withColumn("codes", codes.cast("array<int>"))
+      .select($"vec_id", $"qv", $"nrm", $"codes")
+  }
 
   /** PQ/ADC search against a PERSISTED index (the production serving
     * shape, mirroring [[ivfKnnWithIndex]]): the codebook and codes

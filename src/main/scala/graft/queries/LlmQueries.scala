@@ -154,6 +154,12 @@ object LlmQueries {
   private val PqM = 8              // PQ subspaces (64 dims -> 8x8)
   private val PqCodes = 16         // PQ codebook entries per subspace
   private val PqRerankR = 50       // ADC shortlist width for exact re-rank
+  // streaming index append split: vec_id % Mod == Rem rows "arrive" on
+  // the ingest stream; the rest are the base corpus the frozen
+  // centroids/codebook were trained on
+  private val StreamApdMod = 5
+  private val StreamApdRem = 3L
+  private val BaseRestrict = s"vec_id % $StreamApdMod <> $StreamApdRem"
   // stratified-sample demo rates over the fixture's langs
   private val StratRates = Map("en" -> 0.5, "fr" -> 1.0, "zh" -> 0.1)
   private val StratDefault = 0.25
@@ -451,6 +457,16 @@ object LlmQueries {
     // window close — gates against the SAME oracle as llm_ann_lsh (the
     // streaming path answers the identical serving contract)
     "llm_stream_ann" -> ((s, d) => streamAnnResults(s, d)),
+
+    // streaming INDEX APPEND (ingest side of the ANN serving family):
+    // arriving vectors IVF-assigned against the frozen base-trained
+    // centroids at ingest; serving over base ∪ appended == the oracle's
+    // whole-corpus rebuild, pair-for-pair
+    "llm_stream_ann_append" -> ((s, d) => streamAnnAppendResults(s, d)),
+
+    // PQ twin: arriving vectors encoded against the frozen codebook at
+    // ingest; ADC serving over base codes ∪ appended codes
+    "llm_stream_pq_append" -> ((s, d) => streamPqAppendResults(s, d)),
 
     // IVF-style approximate top-k (inverted lists from a Lloyd's-trained
     // deterministic coarse quantizer; probes search their nProbe nearest
@@ -1014,14 +1030,18 @@ object LlmQueries {
   /** PQ oracle CTE chain (codebook seed → encode → LUT → ADC ranking),
     * shared by llm_ann_pq (raw ADC top-k) and llm_ann_pq_rr (top-R
     * shortlist + exact re-rank). Ends at `ranked`. */
-  private val PqCtes = {
+  private def pqCtes(seedRestrict: String = "TRUE"): String = {
     val subDim = EmbDim / PqM
+    // `seedRestrict` narrows the CODEBOOK seed corpus only
+    // (llm_stream_pq_append seeds from the base split; the encode CTEs
+    // still cover every vector — the rebuild side of append == rebuild)
     s"""WITH $QuantCte,
       uu AS (SELECT vec_id, (i - 1) // $subDim AS sub,
                     (i - 1) % $subDim AS ii, v FROM u),
       seeds AS (SELECT vec_id,
                        row_number() OVER (ORDER BY vec_id) - 1 AS code
                 FROM (SELECT DISTINCT vec_id FROM u
+                      WHERE $seedRestrict
                       ORDER BY vec_id LIMIT $PqCodes)),
       cu AS (SELECT s.code, uu.sub, uu.ii, uu.v
              FROM uu JOIN seeds s USING (vec_id)),
@@ -1061,15 +1081,18 @@ object LlmQueries {
     * list empties keeps its previous coordinates (the LEFT JOIN +
     * coalesce). Produces `centu<iters>` in unnested (cent_id, v, i)
     * form. */
-  private def ivfTrainCtes(iters: Int): String = {
+  private def ivfTrainCtes(iters: Int, restrict: String = "TRUE"): String = {
     val sampleRule = DetHash.h60Sql("'ivftrain:' || CAST(vec_id AS VARCHAR)") +
       s" % $IvfSampleMod = 0"
+    // `restrict` narrows the TRAINING corpus only (llm_stream_ann_append
+    // trains the frozen quantizer on the base split; assignment still
+    // covers every vector — the rebuild side of append == rebuild)
     val sb = new StringBuilder(s"""
-      tru AS (SELECT * FROM u WHERE $sampleRule),
+      tru AS (SELECT * FROM u WHERE ($sampleRule) AND ($restrict)),
       centu0 AS (SELECT cent_id, unnest(cv) AS v,
                  unnest(generate_series(1, len(cv))) AS i
                  FROM (SELECT vec_id AS cent_id, qv AS cv FROM qn
-                       WHERE $sampleRule
+                       WHERE ($sampleRule) AND ($restrict)
                        ORDER BY vec_id LIMIT $IvfCentroids))""")
     for (k <- 0 until iters) sb ++= s""",
       tcn$k AS (SELECT cent_id, CAST(sum(v * v) AS BIGINT) AS cn
@@ -1193,6 +1216,36 @@ object LlmQueries {
         SELECT vec_id,
                (max(struct_pack(c := ccos, id := cent_id))).id AS list_id
         FROM ccs GROUP BY 1)"""
+
+  /** IVF serving tail over `ccs`/`assigned`/`qn`/`u` (probe-list
+    * ranking → inverted-list scan → exact-cosine top-k), shared by
+    * llm_ann_ivf and llm_stream_ann_append — the two differ only in
+    * which corpus trained the frozen quantizer. */
+  private val IvfServeSql = s"""
+      plists AS (
+        SELECT vec_id AS probe_id, cent_id AS list_id FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cent_id) AS prk
+          FROM ccs WHERE vec_id < $AnnProbeMax)
+        WHERE prk <= $IvfProbe),
+      dots AS (
+        SELECT pl.probe_id, av.vec_id, CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
+               any_value(pq.nrm) AS pn, any_value(vq.nrm) AS nrm
+        FROM plists pl
+        JOIN assigned av ON av.list_id = pl.list_id AND av.vec_id <> pl.probe_id
+        JOIN qn pq ON pq.vec_id = pl.probe_id
+        JOIN qn vq ON vq.vec_id = av.vec_id
+        JOIN u ua ON ua.vec_id = pl.probe_id
+        JOIN u ub ON ub.vec_id = av.vec_id AND ub.i = ua.i
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT probe_id, vec_id, $CosSql AS cos,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY $CosSql DESC, vec_id) AS INTEGER) AS rk
+        FROM dots)
+      SELECT probe_id, vec_id, cos, rk FROM scored
+      WHERE rk <= $AnnK ORDER BY probe_id, rk"""
 
   /** llm_stream_neardup fixture: stream the first [[StreamNdMaxDoc]]
     * documents (bounded driver-side feed — this is the TEST HARNESS for
@@ -1408,6 +1461,80 @@ object LlmQueries {
     }
       .filter($"probe_id" >= 0)
       .select($"probe_id", $"vec_id", $"cos", $"rk")
+      .orderBy("probe_id", "rk")
+  }
+
+  /** llm_stream_ann_append fixture: the vec_id % [[StreamApdMod]] ==
+    * [[StreamApdRem]] slice of the corpus "arrives" on the ingest
+    * stream (bounded driver-side TEST-HARNESS feed); the frozen
+    * centroids are trained on the BASE slice only, arriving vectors
+    * are IVF-assigned at ingest (stateless per-row fold against the
+    * centroid literal), and serving runs over base assignments ∪ the
+    * appended stream rows. The oracle trains on base and assigns the
+    * WHOLE corpus — the rebuild — so hash equality is the
+    * append == rebuild proof, served pair-for-pair. */
+  private def streamAnnAppendResults(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Pins.pin(
+      VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"))
+    val arriving = pmod($"vec_id", lit(StreamApdMod.toLong)) === StreamApdRem
+    val base = vecs.filter(!arriving)
+    // the persisted-index stand-ins: frozen centroid literal + the
+    // base assignment table an indexing run wrote
+    val cents = VectorOps.trainCentroids(base, IvfCentroids, IvfIters,
+        IvfSampleMod)
+      .select($"cent_id", $"cv", $"cn").as[(Long, Seq[Long], Long)]
+      .collect().toSeq.toDF("cent_id", "cv", "cn")
+    val baseAssign = Pins.pin(VectorOps.assignVectors(base, cents))
+    baseAssign.count()
+    val rows = embs(s, d).filter(arriving)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val appended = runStreamFixture[(Long, Seq[Double])](s, "apd") { df =>
+      df.select($"_1".as("vec_id"), $"_2".as("emb"))
+    } { stream =>
+      VectorOps.streamingIvfAssign(stream, $"vec_id", $"emb", cents)
+    } { (mem, q) =>
+      rows.grouped(100).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+    }
+    VectorOps.ivfKnnWithIndex(vecs, cents,
+        baseAssign.unionByName(appended.select($"vec_id", $"list_id")),
+        _ < AnnProbeMax, AnnK, IvfProbe)
+      .orderBy("probe_id", "rk")
+  }
+
+  /** llm_stream_pq_append fixture: [[streamAnnAppendResults]]'s PQ
+    * twin — codebook trained on the base slice, arriving vectors
+    * PQ-encoded at ingest (per-row argmin folds against the codebook
+    * literal), ADC serving over base codes ∪ appended codes vs the
+    * whole-corpus-encode oracle. */
+  private def streamPqAppendResults(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Pins.pin(
+      VectorOps.quantize(embs(s, d), $"vec_id", $"embedding"))
+    val arriving = pmod($"vec_id", lit(StreamApdMod.toLong)) === StreamApdRem
+    val base = Pins.pin(vecs.filter(!arriving))
+    val codebook = Pins.pin(VectorOps.pqCodebook(base, PqM, PqCodes))
+    codebook.count()
+    val baseCodes = Pins.pin(VectorOps.pqEncode(base, codebook, PqM))
+    baseCodes.count()
+    val rows = embs(s, d).filter(arriving)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val appended = runStreamFixture[(Long, Seq[Double])](s, "pqa") { df =>
+      df.select($"_1".as("vec_id"), $"_2".as("emb"))
+    } { stream =>
+      VectorOps.streamingPqEncode(stream, $"vec_id", $"emb", codebook, PqM)
+    } { (mem, q) =>
+      rows.grouped(100).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+    }
+    VectorOps.pqKnnWithIndex(vecs, codebook,
+        baseCodes.unionByName(appended.select($"vec_id", $"codes")),
+        _ < AnnProbeMax, AnnK, PqM, PqCodes)
       .orderBy("probe_id", "rk")
   }
 
@@ -2463,29 +2590,24 @@ object LlmQueries {
       WITH $QuantCte,
       ${ivfTrainCtes(IvfIters)},
       ${ivfAssignCtes(IvfIters)},
-      plists AS (
-        SELECT vec_id AS probe_id, cent_id AS list_id FROM (
-          SELECT vec_id, cent_id,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY ccos DESC, cent_id) AS prk
-          FROM ccs WHERE vec_id < $AnnProbeMax)
-        WHERE prk <= $IvfProbe),
-      dots AS (
-        SELECT pl.probe_id, av.vec_id, CAST(sum(ua.v * ub.v) AS BIGINT) AS dot,
-               any_value(pq.nrm) AS pn, any_value(vq.nrm) AS nrm
-        FROM plists pl
-        JOIN assigned av ON av.list_id = pl.list_id AND av.vec_id <> pl.probe_id
-        JOIN qn pq ON pq.vec_id = pl.probe_id
-        JOIN qn vq ON vq.vec_id = av.vec_id
-        JOIN u ua ON ua.vec_id = pl.probe_id
-        JOIN u ub ON ub.vec_id = av.vec_id AND ub.i = ua.i
-        GROUP BY 1, 2),
-      scored AS (
-        SELECT probe_id, vec_id, $CosSql AS cos,
-               CAST(row_number() OVER (PARTITION BY probe_id
-                 ORDER BY $CosSql DESC, vec_id) AS INTEGER) AS rk
-        FROM dots)
-      SELECT probe_id, vec_id, cos, rk FROM scored
+      $IvfServeSql""",
+
+    // streaming index append: the frozen quantizer is trained on the
+    // BASE split only; the oracle then assigns EVERY vector against it
+    // (the rebuild) and serves — hash-equality against the engine's
+    // append-path serving (base assignments ∪ ingest-assigned stream
+    // rows) IS the append == rebuild proof, pair-for-pair
+    "llm_stream_ann_append" -> s"""
+      WITH $QuantCte,
+      ${ivfTrainCtes(IvfIters, BaseRestrict)},
+      ${ivfAssignCtes(IvfIters)},
+      $IvfServeSql""",
+
+    // PQ twin: codebook seeded from the BASE split only; encode CTEs
+    // cover every vector (the rebuild); ADC serving as llm_ann_pq
+    "llm_stream_pq_append" -> s"""
+      ${pqCtes(BaseRestrict)}
+      SELECT probe_id, vec_id, approx_dot, rk FROM ranked
       WHERE rk <= $AnnK ORDER BY probe_id, rk""",
 
     "llm_binary_features" -> s"""
@@ -2832,13 +2954,13 @@ object LlmQueries {
     },
 
     "llm_ann_pq" -> s"""
-      $PqCtes
+      ${pqCtes()}
       SELECT probe_id, vec_id, approx_dot, rk FROM ranked
       WHERE rk <= $AnnK ORDER BY probe_id, rk""",
 
     // two-stage serving: ADC top-R shortlist, exact-cosine re-rank
     "llm_ann_pq_rr" -> s"""
-      $PqCtes,
+      ${pqCtes()},
       short AS (SELECT probe_id, vec_id FROM ranked WHERE rk <= $PqRerankR),
       exd AS (
         SELECT s.probe_id, s.vec_id,

@@ -23,7 +23,11 @@ class PlanAuditSpec extends AnyFunSuite {
     * set, or a 1-row corpus total). */
   private val broadcastLoopOk = Set("llm_ann_topk", "llm_ann_ivf",
     "llm_semdedup", "llm_vocab", "llm_cluster_sizes", "llm_ann_pq",
-    "llm_ann_pq_rr", "llm_temp_mix", "llm_pmi")
+    "llm_ann_pq_rr", "llm_temp_mix", "llm_pmi",
+    // the append gates SERVE through the same ivfKnnWithIndex /
+    // pqKnnWithIndex paths as llm_ann_ivf / llm_ann_pq — the loop's
+    // small side is the same bounded probe/centroid/LUT set
+    "llm_stream_ann_append", "llm_stream_pq_append")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no unbounded pair generation in the physical plan") {

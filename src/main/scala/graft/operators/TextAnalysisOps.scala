@@ -568,6 +568,33 @@ object TextAnalysisOps {
         array_join($"toks", " ").as("enc"))
   }
 
+  /** [[bpeTokenCounts]] with the ITERATED multi-level merges table:
+    * the learn loop runs over the word types ([[bpeLearn]]'s exact
+    * surface — same normalization, same ≥ 2-char filter, so the two
+    * gates learn the identical table), every type is then encoded ONCE
+    * via [[applyMerges]], and each document's token count is one join
+    * of its word stream against that table. Corpus-sized work: the
+    * word explode + one equality join — identical scale shape to the
+    * single-level form. Output: doc_id, n_words, n_bpe_tokens. */
+  def bpeTokenCountsLearned(docs: DataFrame, id: Column, text: Column,
+                            rounds: Int): DataFrame = {
+    val docWords = Pins.pin(
+      docs.select(id.as("doc_id"), normText(text).as("norm"))
+        .spreadBy($"doc_id")
+        .select($"doc_id", explode(split($"norm", " ")).as("w"))
+        .filter(length($"w") >= 1))
+    val types = Pins.pin(docWords.filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("wn")))
+    val (merges, _) = learnLoop(types, rounds)
+    val enc = types.select($"w",
+      size(applyMerges(split($"w", ""), merges.map(m => (m._1, m._2))))
+        .cast("long").as("n_toks"))
+    docWords.join(enc, Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce($"n_toks", lit(1L))).as("n_bpe_tokens"))
+  }
+
   /** The learn loop over a pinned (w, wn) type table: `rounds` times,
     * count → collect the top merge → re-encode. Returns the merges in
     * learned order and the final encoded state (w, wn, toks). Each

@@ -534,6 +534,13 @@ object LlmQueries {
           BpeLearnRounds, BpeEncodeWords)
         .orderBy("rk")),
 
+    // corpus token accounting under the LEARNED multi-level table —
+    // llm_bpe_tokens' budgeting view with true iterated BPE
+    "llm_bpe_learn_tokens" -> ((s, d) =>
+      TextAnalysisOps.bpeTokenCountsLearned(docs(s, d), $"doc_id",
+          $"text", BpeLearnRounds)
+        .orderBy("doc_id")),
+
     // theta-sketch distinct-token estimate per lang (bounded-memory
     // mergeable cardinality; deterministic md5 threshold, so the
     // estimate itself — not just its accuracy — is oracle-exact)
@@ -2123,6 +2130,21 @@ object LlmQueries {
         s"SELECT CAST($i AS BIGINT) AS rk, a, b, a || b AS merged, n " +
           s"FROM m$i").mkString(" UNION ALL ")})
       SELECT rk, a, b, merged, n FROM mm ORDER BY rk"""),
+
+    // per-doc token accounting under the learned table: e_R's encoded
+    // lengths joined against each document's word stream (llm_bpe_tokens'
+    // tail over the iterated chain)
+    "llm_bpe_learn_tokens" -> (bpeLearnCtes + s""",
+      encn AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_toks
+               FROM e$BpeLearnRounds),
+      dw AS (SELECT doc_id, unnest(string_split($Norm, ' ')) AS w
+             FROM documents),
+      dw1 AS (SELECT doc_id, w FROM dw WHERE length(w) >= 1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN length(w) >= 2 THEN e.n_toks
+                           ELSE 1 END) AS BIGINT) AS n_bpe_tokens
+      FROM dw1 LEFT JOIN encn e USING (w)
+      GROUP BY 1 ORDER BY 1"""),
 
     // the final encoded state e_R IS the chain application of the
     // learned table to the raw char split (state_i = merge_i applied to

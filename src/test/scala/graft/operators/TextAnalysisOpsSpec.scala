@@ -304,6 +304,24 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
       assert(enc == wantEnc(w).mkString(" "), s"'$w': got '$enc'")
       assert(nToks == wantEnc(w).length)
     }
+
+    // corpus accounting under the learned table, with a 1-char word
+    // exercising the counts-one-without-touching-the-table path; the
+    // extra doc shifts type counts, so the trainer re-learns over the
+    // extended corpus exactly as the operator does
+    val ext = d.as[(Long, String)].collect().toSeq :+ (4L, "a the banana")
+    val extWords = ext.flatMap(_._2.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (_, extEnc) = refLearn(extWords, rounds)
+    val cg = TextAnalysisOps.bpeTokenCountsLearned(
+        ext.toDF("doc_id", "text"), $"doc_id", $"text", rounds)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val cWant = ext.map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong,
+        ws.map(w => if (w.length >= 2) extEnc(w).length.toLong else 1L).sum)
+    }.sortBy(_._1)
+    assert(cg.toSeq == cWant.toSeq, s"got ${cg.toSeq}\nwant $cWant")
   }
 
   test("applyMerges: a multi-level table pairs merged tokens, non-overlapping") {

@@ -37,6 +37,7 @@ object Bench {
     // the artifact as calib_start ≠ calib_end, and each query's
     // `epoch_s` stamp (below) places it before or after the shift.
     def calibrate(): (Double, Double) = timeQuery { () =>
+      spark.sparkContext.setJobDescription("bench:calib")
       import org.apache.spark.sql.functions._
       spark.range(64L * 1000 * 1000)
         .select(pmod(col("id") * 2654435761L, lit(9973L)).as("k"), col("id"))
@@ -64,6 +65,7 @@ object Bench {
       // the steady-state cost a resident engine would see); the timed
       // iterations reuse the warmup's operator pins, then the query's
       // pins are released at its boundary — no cache accretion
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val best = Pins.scoped {
         timeQuery(() => fn(spark, sfDir))
       }
@@ -71,6 +73,7 @@ object Bench {
       // (the capped generators' deliberate recall trade must be a
       // diffable round artifact, not a stderr line). Separate from the
       // timed runs so the listener drain never skews a timing.
+      spark.sparkContext.setJobDescription(s"caps:$name")
       Pins.scoped {
         try {
           import graft.operators.DedupStats
@@ -138,11 +141,17 @@ object Bench {
       val df = build()
       df.count()
       val buildS = (System.nanoTime() - t0) / 1e9
+      // distinguish the timed exec jobs from the build/warmup jobs in the
+      // event log / UI (guide §1.5); thread-local, reset by the next query
+      val sc = df.sparkSession.sparkContext
+      val desc = Option(sc.getLocalProperty("spark.job.description"))
+      desc.foreach(d => sc.setJobDescription(s"$d:exec"))
       val times = (1 to 3).map { _ =>
         val t1 = System.nanoTime()
         df.count()
         (System.nanoTime() - t1) / 1e9
       }
+      desc.foreach(sc.setJobDescription)
       (buildS, times.min)
     } catch { case _: Throwable => (-1.0, -1.0) }
 }

@@ -131,9 +131,17 @@ object EtsdDecoder {
     * C-channel file cost 1/C the decode CPU here too (addressing is
     * precomputed in [[Layout]], so skipping is free). */
   def decodeBlock(schema: EtsdSchema, bytes: Array[Byte],
-                  keep: Int => Boolean = _ => true): Seq[Sample] = {
-    val layout = new Layout(schema)
-    val codec = new BlockCodec(layout)
+                  keep: Int => Boolean = _ => true): Seq[Sample] =
+    decodeBlock(new BlockCodec(new Layout(schema)), bytes, keep)
+
+  /** [[decodeBlock]] with the per-schema addressing hoisted out: `codec`
+    * (and its layout) is pure schema-derived state, so a multi-block
+    * caller builds it ONCE instead of re-deriving the channel addressing
+    * for every 512-byte block (the per-block rebuild dominated decode
+    * CPU on block-dense scans). */
+  def decodeBlock(codec: BlockCodec, bytes: Array[Byte],
+                  keep: Int => Boolean): Seq[Sample] = {
+    val schema = codec.layout.schema
     val buf = BlockBuffer(bytes)
     val ts = buf.timestamp
     val nIv = math.min(buf.validIntervals, schema.blockIntervals)
@@ -170,8 +178,9 @@ object EtsdDecoder {
   def decodeFile(bytes: Array[Byte]): (EtsdSchema, Seq[Sample]) = {
     require(bytes.length % BlockBuffer.BlockSize == 0, "truncated ETSD file")
     val schema = HeaderCodec.decode(bytes.take(BlockBuffer.BlockSize))
+    val codec = new BlockCodec(new Layout(schema))
     val samples = (BlockBuffer.BlockSize until bytes.length by BlockBuffer.BlockSize)
-      .flatMap(off => decodeBlock(schema, bytes.slice(off, off + BlockBuffer.BlockSize)))
+      .flatMap(off => decodeBlock(codec, bytes.slice(off, off + BlockBuffer.BlockSize), _ => true))
     (schema, samples)
   }
 

@@ -329,12 +329,19 @@ private[sources] class TsdReaderFactory(hadoopProps: Seq[(String, String)],
   * just the 4-byte timestamp check and an `xDataSize`-byte slice. */
 private[sources] class TsdXDataPartitionReader(p: TsdInputPartition,
     hadoopProps: Seq[(String, String)]) extends PartitionReader[InternalRow] {
-  private val fs = new Path(p.file).getFileSystem(HadoopConfs.build(hadoopProps))
-  private val in = fs.open(new Path(p.file))
+  private var data: Array[Byte] = _ // whole partition sector range, one read
   private val schema: EtsdSchema = {
-    val hdr = new Array[Byte](BlockBuffer.BlockSize)
-    in.readFully(0, hdr)
-    HeaderCodec.decode(hdr)
+    val fs = new Path(p.file).getFileSystem(HadoopConfs.build(hadoopProps))
+    val in = fs.open(new Path(p.file))
+    try {
+      val hdr = new Array[Byte](BlockBuffer.BlockSize)
+      in.readFully(0, hdr)
+      val s = HeaderCodec.decode(hdr)
+      val nBlk = (p.endSector - p.startSector + 1).toInt
+      data = new Array[Byte](nBlk * BlockBuffer.BlockSize)
+      in.readFully(p.startSector * BlockBuffer.BlockSize, data)
+      s
+    } finally in.close()
   }
   private val layout = new graft.codec.Layout(schema)
   private val span = schema.blockIntervals.toLong * schema.intervalSec
@@ -346,8 +353,9 @@ private[sources] class TsdXDataPartitionReader(p: TsdInputPartition,
   override def next(): Boolean = {
     cur = null
     while (cur == null && sector <= p.endSector && schema.xDataSize > 0) {
-      val buf = new Array[Byte](BlockBuffer.BlockSize)
-      in.readFully(sector * BlockBuffer.BlockSize, buf)
+      val off = ((sector - p.startSector) * BlockBuffer.BlockSize).toInt
+      val buf = java.util.Arrays.copyOfRange(
+        data, off, off + BlockBuffer.BlockSize)
       val ts = BlockBuffer(buf).timestamp
       if (ts + span >= p.lo && ts <= p.hi)
         cur = InternalRow.fromSeq(xCols.map[Any] {
@@ -363,44 +371,120 @@ private[sources] class TsdXDataPartitionReader(p: TsdInputPartition,
   }
 
   override def get(): InternalRow = cur
-  override def close(): Unit = in.close()
+  override def close(): Unit = { data = null }
 }
 
+/** Hot decode path of the `.tsd` scan. Two deliberate shapes for CPU at
+  * scale (guide §1.2 step 2 — per-task work):
+  *
+  *   - ONE positioned `readFully` for the partition's whole sector range
+  *     instead of one 512-byte read per block: the checksummed local
+  *     filesystem charges every positioned read a seek + crc chunk walk,
+  *     which dominated decode CPU on block-dense scans (a 2048-block
+  *     partition is a single 1 MiB read).
+  *   - cursor-style decode straight out of the block bytes — no
+  *     per-sample `Sample`/`Option` allocation, no per-block
+  *     Layout/BlockCodec rebuild (hoisted once per partition: it is pure
+  *     schema-derived addressing), no per-field closures; `get()`
+  *     assembles exactly the pruned columns into one GenericInternalRow.
+  */
 private[sources] class TsdPartitionReader(p: TsdInputPartition,
     hadoopProps: Seq[(String, String)]) extends PartitionReader[InternalRow] {
-  private val fs = new Path(p.file).getFileSystem(HadoopConfs.build(hadoopProps))
-  private val in = fs.open(new Path(p.file))
+  import graft.codec.{BlockCodec, Layout, SignedCodec}
+  private var data: Array[Byte] = _ // whole partition sector range, one read
   private val schema: EtsdSchema = {
-    val hdr = new Array[Byte](BlockBuffer.BlockSize)
-    in.readFully(0, hdr)
-    HeaderCodec.decode(hdr)
+    val fs = new Path(p.file).getFileSystem(HadoopConfs.build(hadoopProps))
+    val in = fs.open(new Path(p.file))
+    try {
+      val hdr = new Array[Byte](BlockBuffer.BlockSize)
+      in.readFully(0, hdr)
+      val s = HeaderCodec.decode(hdr)
+      val nBlk = (p.endSector - p.startSector + 1).toInt
+      data = new Array[Byte](nBlk * BlockBuffer.BlockSize)
+      in.readFully(p.startSector * BlockBuffer.BlockSize, data)
+      s
+    } finally in.close()
   }
+  private val layout = new Layout(schema)
+  private val codec = new BlockCodec(layout)
   private val span = schema.blockIntervals.toLong * schema.intervalSec
-  private val names = schema.channels.map(c => UTF8String.fromString(c.name))
+  private val chans = schema.channels.toArray
+  private val nChans = chans.length
+  private val names = chans.map(c => UTF8String.fromString(c.name))
   // pushed channel set -> per-file index predicate; channels absent from
   // this file's schema simply never match
-  private val keep: Int => Boolean = p.chans match {
-    case None => _ => true
-    case Some(cs) =>
-      val set = cs.toSet
-      val byIdx = schema.channels.map(c => set.contains(c.name)).toArray
-      byIdx(_)
+  private val kept: Array[Boolean] = {
+    val sel = p.chans.map(_.toSet)
+    chans.map(c => c.streamType != graft.model.StreamType.DontSave &&
+      sel.forall(_.contains(c.name)))
   }
-  private var sector = p.startSector
-  private var rows: Iterator[graft.codec.Sample] = Iterator.empty
-  private var cur: graft.codec.Sample = null
+
+  // block cursor (index into `data`) and in-block (channel, interval)
+  // cursor; iv == 0 is the register slot, 1..nIv the samples — the same
+  // emission order as EtsdDecoder.decodeBlock
+  private var blockIdx = 0
+  private val nBlocks = (p.endSector - p.startSector + 1).toInt
+  private var buf: BlockBuffer = null
+  private var blockTs = 0L
+  private var nIv = 0
+  private var c = 0
+  private var iv = 0
+
+  // current row
+  private var curTs = 0L
+  private var curChan = 0
+  private var curValue = 0L
+  private var curValid = false
+  private var curIsReg = false
+
+  private def enterChannel(): Unit = {
+    while (c < nChans && !kept(c)) c += 1
+    if (c >= nChans) buf = null // block done
+    else iv = if (chans(c).register) 0 else 1
+  }
 
   override def next(): Boolean = {
-    while (!rows.hasNext && sector <= p.endSector) {
-      val buf = new Array[Byte](BlockBuffer.BlockSize)
-      in.readFully(sector * BlockBuffer.BlockSize, buf)
-      val ts = BlockBuffer(buf).timestamp
-      // per-block prune: 4-byte timestamp check before any decode
-      if (ts + span >= p.lo && ts <= p.hi)
-        rows = EtsdDecoder.decodeBlock(schema, buf, keep).iterator
-      sector += 1
+    while (true) {
+      if (buf == null) {
+        if (blockIdx >= nBlocks) return false
+        val off = blockIdx * BlockBuffer.BlockSize
+        blockIdx += 1
+        // per-block prune: 4-byte LE timestamp check before any decode
+        val ts = ((data(off) & 0xFFL)) | ((data(off + 1) & 0xFFL) << 8) |
+          ((data(off + 2) & 0xFFL) << 16) | ((data(off + 3) & 0xFFL) << 24)
+        if (ts + span >= p.lo && ts <= p.hi) {
+          buf = BlockBuffer(java.util.Arrays.copyOfRange(
+            data, off, off + BlockBuffer.BlockSize))
+          blockTs = ts
+          nIv = math.min(buf.validIntervals, schema.blockIntervals)
+          c = 0
+          enterChannel()
+        }
+      } else if (iv == 0) { // register snapshot row (interval 0)
+        val v = codec.readRegister(buf, c)
+        curTs = blockTs; curChan = c; curIsReg = true
+        curValid = v != 0xFFFFFFFFL; curValue = v
+        iv = 1
+        if (nIv < 1) { c += 1; enterChannel() }
+        return true
+      } else if (iv <= nIv) {
+        val wire = codec.readSample(buf, c, iv)
+        curTs = blockTs + iv.toLong * schema.intervalSec
+        curChan = c; curIsReg = false
+        if (codec.isInvalid(c, wire)) { curValid = false; curValue = 0L }
+        else {
+          curValid = true
+          curValue =
+            if (chans(c).signed)
+              SignedCodec.decode(chans(c).streamType.totalBits, wire)
+            else wire
+        }
+        iv += 1
+        if (iv > nIv) { c += 1; enterChannel() }
+        return true
+      } else { c += 1; enterChannel() }
     }
-    if (rows.hasNext) { cur = rows.next(); true } else false
+    false
   }
 
   // fleet partitions carry their store id; it lands as the store_id
@@ -412,23 +496,37 @@ private[sources] class TsdPartitionReader(p: TsdInputPartition,
   // projected order (p.cols is the scan's pruned ReadSchema; None =
   // the full long/fleet schema). count(*) prunes to ZERO columns —
   // every surviving sample emits an empty row, no boxing at all.
-  private val fieldFns: Array[() => Any] = {
+  private val colIds: Array[Int] = {
     val full = Seq("ts", "channel", "value", "valid", "is_register") ++
       (if (storeU == null) Nil else Seq("store_id"))
-    p.cols.getOrElse(full).map[() => Any] {
-      case "ts"          => () => cur.tsEpoch * 1000000L
-      case "channel"     => () => names(cur.chan)
-      case "value"       => () => cur.value.map(java.lang.Long.valueOf).orNull
-      case "valid"       => () => cur.value.isDefined
-      case "is_register" => () => cur.isRegister
-      case "store_id"    => () => storeU
+    p.cols.getOrElse(full).map {
+      case "ts" => 0
+      case "channel" => 1
+      case "value" => 2
+      case "valid" => 3
+      case "is_register" => 4
+      case "store_id" => 5
       case other => throw new IllegalArgumentException(
         s"unknown projected column '$other'")
     }.toArray
   }
 
-  override def get(): InternalRow =
-    InternalRow.fromSeq(fieldFns.map(_()).toIndexedSeq)
+  override def get(): InternalRow = {
+    val a = new Array[Any](colIds.length)
+    var j = 0
+    while (j < colIds.length) {
+      a(j) = colIds(j) match {
+        case 0 => curTs * 1000000L
+        case 1 => names(curChan)
+        case 2 => if (curValid) java.lang.Long.valueOf(curValue) else null
+        case 3 => java.lang.Boolean.valueOf(curValid)
+        case 4 => java.lang.Boolean.valueOf(curIsReg)
+        case _ => storeU
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(a)
+  }
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = { data = null }
 }

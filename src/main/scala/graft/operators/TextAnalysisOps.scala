@@ -699,16 +699,32 @@ object TextAnalysisOps {
   def collocations(docs: DataFrame, id: Column, text: Column,
                    topK: Int = 30, minCount: Long = 3L): DataFrame = {
     val c = Pins.pin(bigramCounts(docs, id, text))
-    val ma = c.groupBy($"a").agg(sum($"n_ab").as("n_a"))
-    val mb = c.groupBy($"b").agg(sum($"n_ab").as("n_b"))
     val tot = c.agg(sum($"n_ab").as("t"))
-    // rank FIRST: the top-K order depends only on n_ab, so the marginal
-    // joins run against the K winners (broadcast under AQE), not the
-    // whole bigram table — at corpus scale ma/mb join volume drops from
-    // |bigrams| to K
+    // rank FIRST: the top-K order depends only on n_ab, so marginals are
+    // needed only for the ≤ 2K words of the K winners. Both marginals
+    // come from ONE pass over the pinned bigram table (a two-slot
+    // explode), pre-filtered map-side by the broadcast winner-word set —
+    // at corpus scale the marginal shuffle drops from |vocab| rows to
+    // ≤ 2K, and the two per-slot aggregation scans collapse into one.
+    // A winner's a-word always appears in slot a of that pair (resp. b),
+    // so the per-slot sums are non-NULL for every joined key and the
+    // inner joins keep exactly the K rows with the same n_a/n_b values
+    // the full per-slot aggregations produced.
     val top = rankTopN(c.filter($"n_ab" >= minCount), topK,
       $"n_ab".desc, $"a", $"b")
-    top.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+    val words = top.select($"a".as("w"))
+      .union(top.select($"b".as("w"))).distinct()
+    val m = c.select(explode(array(
+        struct($"a".as("w"), lit(true).as("isA"), $"n_ab"),
+        struct($"b".as("w"), lit(false).as("isA"), $"n_ab"))).as("x"))
+      .select($"x.w".as("w"), $"x.isA".as("isA"), $"x.n_ab".as("nab"))
+      .join(broadcast(words), "w")
+      .groupBy($"w")
+      .agg(sum(when($"isA", $"nab")).as("n_a"),
+        sum(when(!$"isA", $"nab")).as("n_b"))
+    top.join(m.select($"w".as("a"), $"n_a"), "a")
+      .join(m.select($"w".as("b"), $"n_b"), "b")
+      .crossJoin(broadcast(tot))
       .select($"rk", $"a", $"b", $"n_ab", $"n_a", $"n_b",
         expr("CAST((CAST(n_ab AS DECIMAL(20,0)) * t * 1000000)" +
           " DIV (CAST(n_a AS DECIMAL(20,0)) * n_b) AS BIGINT)")

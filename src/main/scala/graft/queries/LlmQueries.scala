@@ -438,8 +438,11 @@ object LlmQueries {
     // is exact within the filtered set)
     "llm_ann_filtered" -> ((s, d) => {
       val e = embs(s, d)
-      val q = VectorOps.quantize(e, $"vec_id", $"embedding")
-        .join(e.select($"vec_id", $"label".cast("long").as("grp")), "vec_id")
+      // the labeled quantized corpus is the serving table (vector + its
+      // filter key); pin it so the per-action cost is the probe join,
+      // not a corpus-sized label re-join (serving-mouth discipline)
+      val q = Pins.pin(VectorOps.quantize(e, $"vec_id", $"embedding")
+        .join(e.select($"vec_id", $"label".cast("long").as("grp")), "vec_id"))
       VectorOps.filteredKnn(q, q.filter($"vec_id" < AnnProbeMax), AnnK)
         .orderBy("probe_id", "rk")
     }),

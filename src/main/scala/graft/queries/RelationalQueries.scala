@@ -123,15 +123,22 @@ object RelationalQueries {
       // customer scales with sf → no hard broadcast hint (AQE picks the
       // strategy from runtime stats); nation/region are fixed-size dims,
       // safe to pin as broadcasts at any scale.
-      li.join(o, $"l_orderkey" === $"o_orderkey")
+      // Aggregate BEFORE the join chain (guide §2.3): per-order partial
+      // sums collapse ~4-7 lineitem rows into one map-side-combined row,
+      // so the orders join (and everything after it) moves order-count
+      // rows instead of line-count rows; the final (region, nation)
+      // rollup sums the per-order sums — bit-identical long arithmetic,
+      // just associatively regrouped.
+      val liAgg = li.groupBy($"l_orderkey")
+        .agg(sum(round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_o"),
+          count(lit(1)).as("n_lines_o"))
+      liAgg.join(o, $"l_orderkey" === $"o_orderkey")
         .join(c, $"o_custkey" === $"c_custkey")
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(
-          sum(round($"l_extendedprice" * 100).cast("long") *
-              (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_u"),
-          count(lit(1)).as("n_lines"))
+        .agg(sum($"rev_o").as("rev_u"), sum($"n_lines_o").as("n_lines"))
         .select($"r_name", $"n_name",
           ($"rev_u".cast("double") / 10000.0).as("revenue"), $"n_lines")
         .orderBy($"r_name", $"n_name")
@@ -142,13 +149,21 @@ object RelationalQueries {
     "rel_brand_stats" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val p = t(s, d, "part")
-      li.join(p, $"l_partkey" === $"p_partkey")
+      // aggregate before the join (guide §2.3): per-partkey partials
+      // collapse the lineitem side map-side; count/sum/min/max all
+      // re-compose exactly across the two levels
+      val liAgg = li.groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n_p"),
+          sum(round($"l_extendedprice" * 100).cast("long")).as("price_c_p"),
+          min($"l_extendedprice").as("min_p"),
+          max($"l_extendedprice").as("max_p"))
+      liAgg.join(p, $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(
-          count(lit(1)).as("n"),
-          sum(round($"l_extendedprice" * 100).cast("long")).as("price_c"),
-          min($"l_extendedprice").as("min_price"),
-          max($"l_extendedprice").as("max_price"))
+          sum($"n_p").as("n"),
+          sum($"price_c_p").as("price_c"),
+          min($"min_p").as("min_price"),
+          max($"max_p").as("max_price"))
         .select($"p_brand", $"n",
           ($"price_c".cast("double") / $"n" / 100.0).as("avg_price"),
           $"min_price", $"max_price")

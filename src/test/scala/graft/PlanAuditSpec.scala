@@ -48,15 +48,58 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("narrow queries prune the documents scan to the used columns") {
     // a scan that reads all 5 document columns for a doc_id-only query
-    // is wasted IO at 100 TB — pruning must reach the parquet reader
-    val shufflePlan = SparkEntry.queries("llm_shuffle")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(shufflePlan.contains("ReadSchema: struct<doc_id:bigint>"),
-      shufflePlan)
-    val tokPlan = SparkEntry.queries("llm_token_counts")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(tokPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
-      tokPlan)
+    // is wasted IO at 100 TB — pruning must reach the parquet reader.
+    // The parquet scan of a pinned intermediate executes at pin
+    // (localCheckpoint) time during query CONSTRUCTION, so capture every
+    // plan executed while the query builds and search those: the final
+    // plan only shows the checkpointed blocks.
+    def plansDuring(build: => Unit): Seq[String] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = seen.add(qe.executedPlan.toString)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try {
+        build
+        // listener delivery is async: wait until the captured set stops
+        // growing (bounded)
+        var last = -1
+        var spins = 0
+        while (seen.size != last && spins < 40) {
+          last = seen.size; spins += 1; Thread.sleep(250)
+        }
+      } finally spark.listenerManager.unregister(l)
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq
+    }
+    // the per-query audit loop above builds (and pin-memoizes) every
+    // query without releasing; clear first so the pin materializations
+    // this test must observe actually re-execute
+    Pins.releaseAll()
+    Pins.scoped {
+      var shuffleDf: org.apache.spark.sql.DataFrame = null
+      val shufflePlans = plansDuring {
+        shuffleDf = SparkEntry.queries("llm_shuffle")(spark, sfDir)
+        shuffleDf.count()
+      } :+ shuffleDf.queryExecution.executedPlan.toString
+      assert(shufflePlans.exists(_.contains("ReadSchema: struct<doc_id:bigint>")),
+        shufflePlans.mkString("\n----\n"))
+    }
+    Pins.scoped {
+      var tokDf: org.apache.spark.sql.DataFrame = null
+      val tokPlans = plansDuring {
+        tokDf = SparkEntry.queries("llm_token_counts")(spark, sfDir)
+        tokDf.count()
+      } :+ tokDf.queryExecution.executedPlan.toString
+      assert(tokPlans.exists(
+        _.contains("ReadSchema: struct<doc_id:bigint,text:string>")),
+        tokPlans.mkString("\n----\n"))
+    }
   }
 
   test("rel_band_join_auto is actually rewritten (Generate in the plan)") {
